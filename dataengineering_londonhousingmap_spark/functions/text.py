@@ -1,0 +1,148 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Not present in the reference (its text handling stops at listing-string
+cleanup, SURVEY §2.8); these are the standard corpus-hygiene operators a
+100 TB document pipeline runs before training: token counting, quality
+scoring, language ID, fingerprinting. All pure Catalyst expressions —
+no Python in the hot path, so they fuse into the document scan under
+whole-stage codegen.
+
+Cross-system determinism: fingerprints use md5 (bit-identical in Spark and
+DuckDB), never murmur/xxhash (engine-specific seeds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / counting
+# ---------------------------------------------------------------------------
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of trimmed text; empty text → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(c)
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (the ``wc -w`` analog; empty → 0)."""
+    return F.size(tokens(col))
+
+
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """BPE-ish token estimate: alpha runs + digit runs + each punctuation
+    char count separately (a cheap proxy for subword tokenizers)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH), 0))
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "by", "at", "this", "that",
+]
+
+
+def quality_score(col: Column | str) -> Column:
+    """Heuristic document quality in [0,1]: blend of length signal,
+    alpha-character ratio, stopword ratio, and mean word length sanity.
+
+    Components (all codegen'd):
+      len_sig   = min(n_chars/500, 1)          — longer docs up to a cap
+      alpha     = alpha_chars / max(chars,1)   — symbol soup scores low
+      stop      = min(stop_ratio*5, 1)         — natural prose has stopwords
+      wordlen   = 1 if mean word length in [3,12] else 0.5
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    n_chars = F.length(c)
+    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS)))
+    len_sig = F.least(n_chars.cast("double") / 500.0, F.lit(1.0))
+    alpha_ratio = alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+    stop_ratio = stop_hits.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    stop_sig = F.least(stop_ratio * 5.0, F.lit(1.0))
+    mean_wordlen = alpha_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+    wordlen_sig = F.when((mean_wordlen >= 3.0) & (mean_wordlen <= 12.0), 1.0).otherwise(0.5)
+    return (len_sig * 0.25 + alpha_ratio * 0.25 + stop_sig * 0.25 + wordlen_sig * 0.25)
+
+
+# ---------------------------------------------------------------------------
+# language ID (n-gram / marker-word heuristic)
+# ---------------------------------------------------------------------------
+
+# tiny marker lexicons; deterministic, good enough for coarse routing.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to", "in", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pas", "pour"],
+    "es": ["el", "los", "las", "es", "una", "por", "con", "para"],
+}
+
+
+def lang_id_scores(col: Column | str) -> Column:
+    """Best-guess language code by marker-word hits; ties and zero hits
+    resolve to 'und' (undetermined) / lexicographically-first max."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.transform(tokens(c), F.lower)
+
+    # closure factory: the lambda must be unary (PySpark treats a binary
+    # lambda as an (element, index) function)
+    def _hits(words: list[str]):
+        return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+    # build (lang, hits) structs, pick max hits with lang as tiebreak
+    entries = F.array(
+        *[
+            F.struct(_hits(words).alias("hits"), F.lit(lang).alias("lang"))
+            for lang, words in sorted(LANG_MARKERS.items())
+        ]
+    )
+    # array_max on struct: compares by first field (hits) then lang — but we
+    # want lexicographically FIRST lang on hit ties, so invert: sort by
+    # (-hits, lang) ascending and take element 1.
+    ranked = F.sort_array(
+        F.transform(entries, lambda e: F.struct((-e["hits"]).alias("neg"), e["lang"].alias("lang")))
+    )
+    best = F.element_at(ranked, 1)
+    return F.when(best["neg"] == 0, F.lit("und")).otherwise(best["lang"])
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    strip leading/trailing."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def doc_fingerprint(col: Column | str) -> Column:
+    """Content fingerprint = md5 of normalized text. md5 (not xxhash/murmur)
+    so Spark and DuckDB produce bit-identical values — the exact-dedup key."""
+    return F.md5(normalize_text(col))
+
+
+def rolling_hash(col: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over characters (Rabin-Karp style), computed
+    with a higher-order aggregate — demonstrates order-sensitive folds as
+    pure Catalyst expressions. h = (h*base + ascii(ch)) % mod."""
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.split(c, "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * base + F.ascii(ch)) % mod,
+    )

@@ -1,0 +1,222 @@
+"""Deduplication suite — exact through near-dup, built for 100 TB corpora.
+
+The reference's dedup needs are whole-row / keyed / first-seen
+(pipeline .py:448, .py:215-216; mapping notebook:232). A training-data
+pipeline needs much more: content-hash dedup, MinHash+LSH near-dup, SimHash,
+n-gram Jaccard. All implemented as *shuffle-on-key* plans — explode to
+(feature, doc) pairs and equi-join/aggregate on the feature — never pairwise
+loops, so they scale linearly with corpus size instead of quadratically.
+
+Hashing is md5-based end-to-end: identical bits in Spark and DuckDB, so every
+operator here has an exact SQL oracle (oracles.py) — engine-specific hashes
+(xxhash64/murmur) would make cross-engine verification impossible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import doc_fingerprint
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
+    """O2/O3 — whole-row or keyed dropDuplicates (arbitrary survivor).
+    Reference: pipeline .py:448; mapping notebook:232."""
+    return df.dropDuplicates(subset) if subset else df.dropDuplicates()
+
+
+def dedup_first_seen(df: DataFrame, key: str, order: list[str]) -> DataFrame:
+    """O4 — first-occurrence-wins dedup (pipeline .py:215-216 ``if ad_id in
+    map: continue``). The reference depends on scrape order; here the order
+    is an explicit column list, so the survivor is deterministic."""
+    w = Window.partitionBy(key).orderBy(*[F.col(c).asc() for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_by_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content-hash dedup: md5 of normalized text, min-id survivor.
+
+    The 100 TB shape: one groupBy on the fingerprint (map-side partial
+    min) — no sort, no window, no skew (fingerprints are uniform).
+    """
+    fp = df.select(F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint"))
+    survivors = fp.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return df.join(survivors.select(id_col), id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+def char_shingles(df: DataFrame, id_col: str, text_col: str, w: int = 8) -> DataFrame:
+    """Distinct character w-shingles per document as (id, shingle) rows.
+
+    ``sequence`` + ``explode`` + ``substring`` — the declarative analog of a
+    sliding window; stays in codegen. Text shorter than ``w`` yields its
+    whole text as the single shingle (so short docs still participate).
+    """
+    c = F.col(text_col)
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1)))
+    return (
+        df.select(F.col(id_col), F.explode(idx).alias("__i"), c.alias("__t"))
+        .select(F.col(id_col), F.expr(f"substring(__t, __i, {w})").alias("shingle"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    shingles: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signature per document: hash_i(doc) = min over shingles of
+    md5(i || shingle), kept as the hex string (lexicographic min is a valid
+    uniform minhash and is bit-identical across engines).
+
+    One groupBy with ``num_hashes`` min-aggregates — partial aggregation
+    makes this a single shuffle of (doc → signature) regardless of corpus
+    size.
+    """
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingles.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands of
+    ``num_hashes/bands`` rows; documents sharing any band hash are candidate
+    near-duplicates. Output: (id_a, id_b) with id_a < id_b, distinct.
+
+    The plan is explode-to-bands → self-equi-join on (band_idx, band_hash):
+    a shuffle join on uniformly-distributed md5 keys — the scalable LSH
+    shape (no pairwise comparison until the candidate set).
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select(F.col(id_col), *band_cols)
+    long = banded.unpivot([id_col], [f"band{b}" for b in range(bands)], "band_idx", "band_hash")
+    a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Jaccard similarity over distinct shingle sets, computed the
+    distributed way: |A∩B| via self-join on shingle (never pairwise array
+    intersection), |A∪B| = |A|+|B|-|A∩B|.
+
+    ``candidates`` (id_a, id_b) prefilters BEFORE the join — at scale you
+    ALWAYS pass the LSH candidates: a hot shingle shared by d documents
+    contributes d²/2 rows to the unfiltered self-join (verified to OOM at
+    5k word-salad docs already), while the candidate-driven plan is linear
+    in |candidates| × shingles-per-doc. Without candidates this falls back
+    to the full co-occurrence join (only safe for small corpora).
+
+    Returns (id_a, id_b, jaccard) for pairs ≥ threshold.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    if candidates is not None:
+        # candidate-driven intersection: |cand| × shingles/doc, never d²
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__inter"))
+        )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """SimHash fingerprint over whitespace tokens.
+
+    Per token: a ``bits``-wide hash from the md5 hex prefix; per bit:
+    +1 if set else -1; sum over tokens; fingerprint bit = (sum > 0).
+    Near-duplicates differ in few bits (Hamming distance).
+
+    Built as ``bits`` conditional-sum aggregates over exploded tokens —
+    one shuffle on doc id with full partial aggregation. 32 bits keeps the
+    md5-hex→int conversion inside a signed 64-bit range in every engine.
+    """
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    # first 8 hex chars → 32-bit int (always positive in a long)
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    tok = tok.withColumn("__h", h)
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = bit if fp is None else fp + bit
+    return sums.select(F.col(id_col), fp.alias("simhash"))

@@ -1,0 +1,146 @@
+"""Composite join operators (SURVEY.md §2.3).
+
+The reference's only non-trivial join is the geo nearest-neighbour mapping
+(LondonAir_sites_subway_station_mapping.ipynb:46-79): an O(N·M) Python loop
+with ``idxmin``. Spark has no native kNN/theta-join operator, so this module
+provides it as a library function in two physical shapes:
+
+* :func:`nearest_join` — broadcast cross join + windowed rank. Exact, simple;
+  right side must be broadcastable (the reference's case: ~100 sensor sites).
+* :func:`nearest_join_gridded` — grid-bucketed equi-join prefilter for the
+  100 TB shape: both sides bucketed into lat/lon cells, candidates limited to
+  the 3×3 neighborhood, then the same windowed rank. Falls back to the exact
+  cross join for rows with no candidate in-radius, so results are always
+  complete. This turns an O(N·M) cross product into an equi-shuffle join on
+  cell id — the difference between impossible and cheap when N is 10⁹.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    distance: Callable[[DataFrame, DataFrame], Column],
+    left_key: str,
+    tiebreak: list[str] | None = None,
+    k: int = 1,
+) -> DataFrame:
+    """For each left row, attach the k nearest right rows by ``distance``.
+
+    Reference semantics: ``closest_site`` / ``map_sites``
+    (LondonAir_sites_subway_station_mapping.ipynb:46-66, 73-79) — pandas
+    ``idxmin`` keeps the first minimal row; we make the tie explicit with
+    ``tiebreak`` columns (deterministic, unlike idxmin's input order).
+
+    distance(left, right) builds the metric Column from both sides' columns.
+    """
+    dist = distance(left, right).alias("__dist")
+    joined = left.crossJoin(F.broadcast(right)).withColumn("__dist", dist)
+    order = [F.col("__dist").asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(left_key).orderBy(*order)
+    out = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    return out.drop("__rn")
+
+
+def nearest_join_gridded(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    lat: str = "latitude",
+    lon: str = "longitude",
+    right_prefix: str = "r_",
+    cell_deg: float = 0.05,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Scale-path nearest neighbour: equi-join on spatial grid cells.
+
+    Both inputs get a cell id ``(floor(lat/cell), floor(lon/cell))``; the
+    right side is exploded into its 3×3 neighborhood so any left point's
+    true nearest within ``cell_deg`` is guaranteed to share a join key.
+    L1 metric to match the reference (ipynb:50-57). Left rows with no
+    in-radius candidate are resolved by the exact broadcast path, then
+    unioned back — completeness is never sacrificed for speed.
+
+    Right columns must be pre-renamed with ``right_prefix`` (its lat/lon as
+    ``{prefix}latitude``/``{prefix}longitude``).
+    """
+    rlat, rlon = f"{right_prefix}latitude", f"{right_prefix}longitude"
+
+    cell = lambda c: F.floor(F.col(c) / cell_deg).cast("long")  # noqa: E731
+    lcell = left.withColumn("__cx", cell(lat)).withColumn("__cy", cell(lon))
+    # explode right into neighborhood cells: candidate set per left cell is
+    # exactly the right rows whose own cell is adjacent
+    offsets = F.array([F.lit(d) for d in (-1, 0, 1)])
+    rcell = (
+        right.withColumn("__rcx", cell(rlat))
+        .withColumn("__rcy", cell(rlon))
+        .withColumn("__dx", F.explode(offsets))
+        .withColumn("__dy", F.explode(offsets))
+        .withColumn("__cx", F.col("__rcx") + F.col("__dx"))
+        .withColumn("__cy", F.col("__rcy") + F.col("__dy"))
+        .drop("__rcx", "__rcy", "__dx", "__dy")
+    )
+    dist = (F.abs(F.col(lat) - F.col(rlat)) + F.abs(F.col(lon) - F.col(rlon))).alias("__dist")
+    candidates = lcell.join(rcell, ["__cx", "__cy"]).withColumn("__dist", dist)
+    order = [F.col("__dist").asc()] + [F.col(c).asc() for c in (tiebreak or [])]
+    w = Window.partitionBy(left_key).orderBy(*order)
+    # a grid winner is PROVABLY the global nearest only within cell_deg:
+    # any point at L1 ≤ cell_deg is inside the 3×3 neighborhood, so a grid
+    # best with __dist > cell_deg could be beaten by a point in an
+    # unexamined cell — those rows escalate to the exact path below
+    matched = (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("__dist") <= cell_deg))
+        .drop("__rn", "__cx", "__cy")
+    )
+    # completeness fallback: lefts whose neighborhood held no candidate
+    # (or only unprovable ones).
+    # Distance built from column NAMES (unambiguous post-join), not the
+    # original DataFrame refs — referencing `right` again would trip
+    # Spark's ambiguous-self-join analysis.
+    unmatched = left.join(matched.select(left_key), left_key, "left_anti")
+    exact = nearest_join(
+        unmatched,
+        right,
+        lambda l, r: F.abs(F.col(lat) - F.col(rlat)) + F.abs(F.col(lon) - F.col(rlon)),
+        left_key,
+        tiebreak=tiebreak,
+    )
+    return matched.unionByName(exact)
+
+
+def zip_join(left: DataFrame, right: DataFrame, order_left: list[str], order_right: list[str]) -> DataFrame:
+    """J5 — positional concat (``pd.concat(axis=1)``, google_maps_api.ipynb
+    cell 13). Spark has no row order, so the fragile positional semantics are
+    made explicit: both sides are ranked by a caller-chosen sort and joined
+    on rank. Deterministic where the reference was accidentally so."""
+    wl = Window.orderBy(*[F.col(c) for c in order_left])
+    wr = Window.orderBy(*[F.col(c) for c in order_right])
+    ln = left.withColumn("__rn", F.row_number().over(wl))
+    rn = right.withColumn("__rn", F.row_number().over(wr))
+    return ln.join(rn, "__rn", "inner").drop("__rn")
+
+
+def broadcast_map_join(
+    df: DataFrame,
+    mapping: DataFrame,
+    key: str,
+    map_key: str,
+    map_value: str,
+    out_col: str,
+    keep_unmapped: bool = True,
+) -> DataFrame:
+    """J2 — the ``Series.map(dict)`` analog (google_maps_api.ipynb cell 17;
+    station_names_mapping table database_schema.sql:61-66): left join against
+    a broadcast mapping table; unmapped keys keep their original value when
+    ``keep_unmapped`` (the reference's map-with-fallback behavior)."""
+    m = F.broadcast(mapping.select(F.col(map_key).alias("__mk"), F.col(map_value).alias("__mv")))
+    joined = df.join(m, df[key] == m["__mk"], "left")
+    value = F.coalesce(F.col("__mv"), F.col(key)) if keep_unmapped else F.col("__mv")
+    return joined.withColumn(out_col, value).drop("__mk", "__mv")

@@ -1,0 +1,92 @@
+"""The UDF escape hatch (SURVEY.md §2.10) — kept deliberately tiny.
+
+Everything else in the engine is native Catalyst expressions; the reference's
+one genuinely procedural function (``closest_line``, pipeline .py:480-501 — a
+positional state machine over a scraped transport-info token list) is the
+demonstration pandas UDF, and ``parse_transport_block`` is the demonstration
+``mapInPandas`` table function (the analog of ``feature_extract`` returning a
+frame per page, pipeline .py:354-414).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_UNDERGROUND_LINES = {
+    "Bakerloo", "Central", "Circle", "District", "Hammersmith",
+    "Jubilee", "Metropolitan", "Northern", "Piccadilly", "Victoria",
+    "Waterloo", "Elizabeth",
+}
+
+_CLOSEST_SCHEMA = T.StructType(
+    [
+        T.StructField("subway_station", T.StringType()),
+        T.StructField("distance", T.StringType()),
+        T.StructField("tube_line", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_CLOSEST_SCHEMA)
+def closest_line(tokens: pd.Series) -> pd.DataFrame:
+    """F13 — first London-Underground entry from a parsed transport list.
+
+    Reference semantics (pipeline .py:480-501): walk the flattened token
+    list in (station, distance, line) triples; return the first triple whose
+    line token is an Underground line; else the NaN-triple (.py:521-523).
+    Vectorized per Arrow batch; the inner walk is genuinely stateful, which
+    is why this is a UDF and not an expression.
+    """
+    out = {"subway_station": [], "distance": [], "tube_line": []}
+    for toks in tokens:
+        found = (None, None, None)
+        if toks is not None:
+            items = list(toks)
+            for i in range(0, len(items) - 2, 3):
+                line = items[i + 2]
+                if line is not None and any(line.startswith(l) for l in _UNDERGROUND_LINES):
+                    found = (items[i], items[i + 1], line)
+                    break
+        out["subway_station"].append(found[0])
+        out["distance"].append(found[1])
+        out["tube_line"].append(found[2])
+    return pd.DataFrame(out)
+
+
+_AD_SCHEMA = T.StructType(
+    [
+        T.StructField("ad_id", T.StringType()),
+        T.StructField("price_raw", T.StringType()),
+        T.StructField("address", T.StringType()),
+    ]
+)
+
+
+def parse_listing_pages(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """S1/S2-analog table function: raw landed page text → ad records, as a
+    ``mapInPandas`` batch parser (the in-engine analog of the reference's
+    BeautifulSoup ``feature_extract``, pipeline .py:354-414; acquisition
+    itself is out of engine scope, SURVEY §7.4).
+
+    The parser here handles the fixture format ``ad_id|price|address`` per
+    line — swap the inner loop for an HTML parser in a real deployment; the
+    distribution story (one task per page partition, Arrow batches out) is
+    the point.
+    """
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for html in pdf[html_col]:
+                for line in (html or "").splitlines():
+                    parts = line.split("|")
+                    if len(parts) == 3:
+                        rows.append({"ad_id": parts[0], "price_raw": parts[1], "address": parts[2]})
+            yield pd.DataFrame(rows, columns=["ad_id", "price_raw", "address"])
+
+    return pages.mapInPandas(_parse, _AD_SCHEMA)

@@ -1,0 +1,461 @@
+"""DuckDB oracle SQL — the correctness twin of every query in queries.py.
+
+Rules (mirror queries.py exactly or the value-hash mismatches):
+  * identical output column names AND types (BIGINT for Spark longs,
+    INTEGER for Spark ints — sums/len are cast explicitly because DuckDB
+    widens to HUGEINT where Spark stays long);
+  * identical float arithmetic ORDER inside expressions, then identical
+    ``round(x, N)``;
+  * DuckDB ``regexp_replace`` needs the ``'g'`` flag (Spark's is global by
+    default) — every global replace below carries it;
+  * md5 everywhere a hash is needed (bit-identical across engines).
+
+Approximate/streaming operators (q_embed_ann_lsh) intentionally have NO
+oracle — the driver records a rows-only check for them, and their exact
+twins (q_embed_topk) carry the correctness burden.
+"""
+
+from __future__ import annotations
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+# whitespace tokens of trimmed text; '' → empty list (mirrors functions.text.tokens)
+_TOKENS = (
+    "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+
+# distinct char-8 shingles per doc (mirrors operators.dedup.char_shingles w=8)
+_SHINGLES = """
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 8) AS shingle
+  FROM (SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+        FROM documents)
+"""
+
+_NUM_HASHES = 16
+_BANDS = 4
+_ROWS_PER_BAND = _NUM_HASHES // _BANDS
+
+_MINHASH_AGGS = ",\n    ".join(
+    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(_NUM_HASHES)
+)
+
+_BAND_SELECTS = "\n  UNION ALL\n".join(
+    "  SELECT doc_id, {b} AS band_idx, md5(concat_ws('|', {cols})) AS band_hash FROM sig".format(
+        b=b,
+        cols=", ".join(f"mh{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND)),
+    )
+    for b in range(_BANDS)
+)
+
+_SIMHASH_BITS = 32
+_SIMHASH_SUMS = ",\n    ".join(
+    f"CAST(sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{i}"
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for i in range(_SIMHASH_BITS)
+)
+
+_STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by','at','this','that']"
+
+_LANG_LISTS = {
+    "en": "['the','and','of','is','to','in','that','with']",
+    "de": "['der','die','das','und','ist','nicht','mit','ein']",
+    "fr": "['le','la','les','et','est','une','pas','pour']",
+    "es": "['el','los','las','es','una','por','con','para']",
+}
+
+_DOT = (
+    "list_sum(list_transform(generate_series(1, 64), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+_BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# ---------------------------------------------------------------------------
+# the oracle map
+# ---------------------------------------------------------------------------
+
+ORACLES: dict[str, str] = {
+    # -- scans / sinks ------------------------------------------------------
+    "q_scan_parquet": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        FROM lineitem
+        WHERE l_quantity > 30 AND l_shipdate >= TIMESTAMP '1998-01-01'
+    """,
+    "q_scan_csv": "SELECT r_regionkey, r_name FROM region",
+    "q_sink_parquet": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "q_json_flatten": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               event_type
+        FROM events
+    """,
+    # -- projections / filters ---------------------------------------------
+    "q_project": "SELECT c_custkey, c_name, c_mktsegment AS segment FROM customer",
+    "q_filter": """
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0
+    """,
+    "q_filter_regex": """
+        SELECT p_partkey, p_name, p_type
+        FROM part WHERE regexp_matches(p_name, '^(red|blue) ')
+    """,
+    "q_filter_contains": """
+        SELECT p_partkey, p_name, p_type
+        FROM part WHERE p_type LIKE '%PROMO%'
+    """,
+    "q_conditional_update": """
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_discount > 0.05 THEN 0.05 ELSE l_discount END
+                   AS discount_capped
+        FROM lineitem
+    """,
+    # -- joins --------------------------------------------------------------
+    "q_join_left": """
+        SELECT n_nationkey, n_name, r_name
+        FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+    """,
+    "q_join_broadcast_map": """
+        SELECT c_custkey, c_name, n_name AS nation_name
+        FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+    """,
+    "q_join_nn": """
+        SELECT c_custkey, s_suppkey AS nearest_suppkey,
+               round(abs(c_acctbal - s_acctbal), 6) AS dist
+        FROM (
+            SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal,
+                   row_number() OVER (
+                       PARTITION BY c_custkey
+                       ORDER BY abs(c_acctbal - s_acctbal), s_suppkey
+                   ) AS rn
+            FROM customer CROSS JOIN supplier
+        ) WHERE rn = 1
+    """,
+    "q_join_nn_gridded": """
+        WITH c AS (
+            SELECT c_custkey,
+                   (c_custkey % 100) / 10.0 AS latitude,
+                   (c_custkey * 7 % 100) / 10.0 AS longitude
+            FROM customer
+        ), s AS (
+            SELECT s_suppkey,
+                   (s_suppkey * 13 % 100) / 10.0 AS r_latitude,
+                   (s_suppkey * 31 % 100) / 10.0 AS r_longitude
+            FROM supplier
+        )
+        SELECT c_custkey, s_suppkey AS nearest_suppkey,
+               round(abs(latitude - r_latitude) + abs(longitude - r_longitude), 6) AS dist
+        FROM (
+            SELECT c.c_custkey, s.s_suppkey, c.latitude, c.longitude,
+                   s.r_latitude, s.r_longitude,
+                   row_number() OVER (
+                       PARTITION BY c.c_custkey
+                       ORDER BY abs(latitude - r_latitude) + abs(longitude - r_longitude),
+                                s_suppkey
+                   ) AS rn
+            FROM c CROSS JOIN s
+        ) WHERE rn = 1
+    """,
+    "q_join_zip": """
+        WITH l AS (
+            SELECT r_name, row_number() OVER (ORDER BY r_regionkey) AS rn FROM region
+        ), r AS (
+            SELECT n_name, row_number() OVER (ORDER BY n_nationkey) AS rn
+            FROM (SELECT * FROM nation ORDER BY n_nationkey LIMIT 5)
+        )
+        SELECT l.r_name, r.n_name FROM l JOIN r USING (rn)
+    """,
+    "q_star_join": """
+        SELECT r_name, n_name,
+               count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    """,
+    # -- aggregations -------------------------------------------------------
+    "q_groupby_avg": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_price,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_groupby_window_avg": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               round(avg(value), 6) AS avg_value, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "q_count_distinct": """
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS n_suppliers,
+               count(DISTINCT l_partkey) AS n_parts
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_argmin": """
+        SELECT c_nationkey, c_custkey AS min_custkey,
+               round(c_acctbal, 2) AS min_acctbal
+        FROM (
+            SELECT c_nationkey, c_custkey, c_acctbal,
+                   row_number() OVER (
+                       PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
+                   ) AS rn
+            FROM customer
+        ) WHERE rn = 1
+    """,
+    "q_union_all": """
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_totalprice > 50000.0
+    """,
+    "q_null_audit": """
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value
+        FROM events
+    """,
+    # -- windows / top-k ----------------------------------------------------
+    "q_first_match": f"""
+        SELECT doc_id, CAST(list_position({_TOKENS}, 'data') AS BIGINT) AS first_pos
+        FROM documents
+        WHERE list_position({_TOKENS}, 'data') > 0
+    """,
+    "q_limit": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    # -- sort / dedup -------------------------------------------------------
+    "q_sort": """
+        SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+        FROM (
+            SELECT * FROM customer
+            ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey ASC
+            LIMIT 50
+        )
+    """,
+    "q_dedup": "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q_dedup_key": """
+        SELECT o_custkey, o_orderkey, o_orderdate
+        FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    """,
+    # -- reshape ------------------------------------------------------------
+    "q_pivot_onehot": """
+        SELECT c_nationkey,
+               max(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 'Yes' ELSE 'No' END) AS "AUTOMOBILE",
+               max(CASE WHEN c_mktsegment = 'BUILDING'   THEN 'Yes' ELSE 'No' END) AS "BUILDING",
+               max(CASE WHEN c_mktsegment = 'FURNITURE'  THEN 'Yes' ELSE 'No' END) AS "FURNITURE",
+               max(CASE WHEN c_mktsegment = 'HOUSEHOLD'  THEN 'Yes' ELSE 'No' END) AS "HOUSEHOLD",
+               max(CASE WHEN c_mktsegment = 'MACHINERY'  THEN 'Yes' ELSE 'No' END) AS "MACHINERY"
+        FROM customer GROUP BY c_nationkey
+    """,
+    "q_unpivot": """
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+        FROM lineitem WHERE l_orderkey <= 100
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_tax' AS measure, l_tax AS val
+        FROM lineitem WHERE l_orderkey <= 100
+    """,
+    "q_split_sessions": """
+        SELECT event_id, user_id,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS session_id
+        FROM events
+    """,
+    # -- training-data: dedup ----------------------------------------------
+    "q_dedup_exact": r"""
+        SELECT min(doc_id) AS doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+        GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    """,
+    "q_dedup_minhash": f"""
+        WITH sh AS ({_SHINGLES}),
+        sig AS (
+            SELECT doc_id,
+                   {_MINHASH_AGGS}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+        {_BAND_SELECTS}
+        )
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.doc_id < b.doc_id
+    """,
+    "q_dedup_simhash": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS h
+            FROM tok
+        ),
+        sums AS (
+            SELECT doc_id,
+                   {_SIMHASH_SUMS}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM sums
+    """,
+    "q_ngram_jaccard": f"""
+        WITH sh AS ({_SHINGLES}),
+        sig AS (
+            SELECT doc_id,
+                   {_MINHASH_AGGS}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+            WHERE a.doc_id < b.doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY c.id_a, c.id_b
+        )
+        SELECT id_a, id_b,
+               round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.2
+    """,
+    # -- training-data: similarity -----------------------------------------
+    "q_embed_topk": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe
+            FROM embeddings WHERE vec_id < 10
+        ),
+        scored AS (
+            SELECT q.query_id, e.vec_id AS match_id,
+                   CASE WHEN sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                           * sqrt({_DOT.format(a='q.qe', b='q.qe')}) > 0
+                        THEN {_DOT.format(a='e.embedding', b='q.qe')}
+                             / (sqrt({_DOT.format(a='e.embedding', b='e.embedding')})
+                                * sqrt({_DOT.format(a='q.qe', b='q.qe')}))
+                   END AS cosine
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> q.query_id
+        )
+        SELECT query_id, match_id, round(cosine, 6) AS cosine,
+               CAST(rank AS BIGINT) AS rank
+        FROM (
+            SELECT query_id, match_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, match_id ASC
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """,
+    # q_embed_ann_lsh: intentionally no oracle (approximate by design)
+    # -- training-data: text ------------------------------------------------
+    "q_token_count": f"""
+        SELECT doc_id,
+               CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+               CAST(len(regexp_extract_all(text, '{_BPE_SQL}')) AS BIGINT) AS n_bpe_tokens
+        FROM documents
+    """,
+    "q_text_quality": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   length(text) AS nc,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                   len({_TOKENS}) AS ntok,
+                   len(list_filter({_TOKENS},
+                       t -> list_contains({_STOPWORDS_SQL}, lower(t)))) AS stop_hits
+            FROM documents
+        )
+        SELECT doc_id,
+               round(
+                   least(nc / 500.0, 1.0) * 0.25
+                   + (alpha / greatest(nc, 1)) * 0.25
+                   + least((stop_hits / greatest(ntok, 1)) * 5.0, 1.0) * 0.25
+                   + (CASE WHEN alpha / greatest(ntok, 1) BETWEEN 3.0 AND 12.0
+                           THEN 1.0 ELSE 0.5 END) * 0.25
+               , 6) AS quality,
+               CAST(nc AS BIGINT) AS n_chars
+        FROM base
+    """,
+    "q_lang_id": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_transform({_TOKENS}, t -> lower(t)) AS tk
+            FROM documents
+        ),
+        hits AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS['de']}, t))) AS BIGINT) AS de,
+                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS['en']}, t))) AS BIGINT) AS en,
+                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS['es']}, t))) AS BIGINT) AS es,
+                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS['fr']}, t))) AS BIGINT) AS fr
+            FROM toks
+        )
+        SELECT doc_id,
+               CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+                    WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+                    WHEN en >= es AND en >= fr THEN 'en'
+                    WHEN es >= fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM hits
+    """,
+    "q_fingerprint": r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+               CAST(list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(generate_series(1, length(text)),
+                           i -> CAST(ascii(substring(text, CAST(i AS INTEGER), 1)) AS BIGINT))),
+                   (acc, x) -> (acc * 31 + x) % 1000000007
+               ) AS BIGINT) AS rhash
+        FROM documents
+    """,
+    # -- training-data: multimodal -----------------------------------------
+    "q_multimodal_features": """
+        SELECT doc_id AS asset_id,
+               CAST(128 AS INTEGER) AS n_bytes,
+               round(
+                   CAST(list_sum(list_transform(generate_series(1, 16),
+                       i -> CAST('0x' || substring(md5(text), 2 * CAST(i AS INTEGER) - 1, 2) AS BIGINT)
+                   )) AS DOUBLE) / 16.0
+               , 6) AS byte_mean
+        FROM documents
+    """,
+}

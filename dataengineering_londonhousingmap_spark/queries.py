@@ -1,0 +1,617 @@
+"""Driver-facing query catalog — one entry per SURVEY.md §2 operator.
+
+Each ``q_*`` takes ``(spark, sf_dir)`` and returns a DataFrame; ``oracles.py``
+holds the DuckDB-equivalent SQL with IDENTICAL column names (the driver's
+compare sorts columns by name and hashes values — aliases must line up).
+
+Determinism rules applied throughout (BASELINE.md: "the binding constraint is
+oracle-exact correctness"):
+  * every float aggregate is ``round(x, N)`` on BOTH sides (partial-agg
+    accumulation order differs between engines in the last ulps);
+  * every window/top-k has a total-order tiebreak;
+  * every hash is md5 (bit-identical across engines), never murmur/xxhash.
+
+The testdata stand-ins for domain tables follow FIXTURES.md §7 (lineitem =
+listings fact, nation/region = station dims, events = air_quality series,
+documents/embeddings = corpus tables).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.text import (
+    _BPE_ISH,
+    doc_fingerprint,
+    lang_id_scores,
+    quality_score,
+    rolling_hash,
+    token_count,
+    tokens,
+)
+from .operators.dedup import (
+    char_shingles,
+    dedup_by_fingerprint,
+    dedup_first_seen,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .operators.joins import broadcast_map_join, nearest_join, nearest_join_gridded, zip_join
+from .operators.multimodal import extract_features, synthesize_media
+from .operators.reshape import sessionize_by_marker
+from .operators.similarity import ann_topk_bruteforce, ann_topk_lsh
+from .sources.io import read_csv, read_testdata, write_csv, write_parquet
+from .schemas import REGION
+
+# staging area for sink/roundtrip queries — inside the repo (gitignored),
+# the only writable location in this environment
+STAGE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stage")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_testdata(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans / sinks
+# ---------------------------------------------------------------------------
+
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1-analog: Parquet scan with filter+projection pushed to the reader
+    (PushedFilters + 3-column ReadSchema in .explain)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_quantity") > 30) & (F.col("l_shipdate") >= "1998-01-01"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+    )
+
+
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: schema'd CSV scan (never inferSchema). Roundtrips the region dim
+    through the CSV staging layer — the reference's S3 CSV handoff
+    (pipeline .py:309-327 → .py:844)."""
+    path = os.path.join(STAGE_DIR, "region_csv")
+    write_csv(_t(spark, sf_dir, "region"), path)
+    return read_csv(spark, path, REGION)
+
+
+def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: Parquet sink + re-scan (overwrite = the reference's
+    drop-and-reload fact semantics, pipeline .py:59,72,99)."""
+    path = os.path.join(STAGE_DIR, "orders_open")
+    sub = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    write_parquet(sub, path)
+    return spark.read.parquet(path).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/R4: semi-structured JSON payload → typed columns
+    (the LondonAir payload flatten, pipeline .py:734-747)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        "event_type",
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P3: select + rename + drop."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .withColumnRenamed("c_mktsegment", "segment")
+        .drop("c_acctbal")
+        .select("c_custkey", "c_name", "segment")
+    )
+
+
+def q_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: equality + range predicate (the Available=='Yes' analog)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 1000.0))
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+    )
+
+
+def q_filter_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: regex predicate replacing the reference's Python hasNumbers UDF
+    (pipeline .py:541-542, .py:563-564)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").rlike("^(red|blue) "))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+def q_filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: substring predicate (str.contains('Victoria'), pipeline .py:591)."""
+    return (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type").contains("PROMO"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+def q_conditional_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: the reference's filtered-copy-writeback loop (pipeline
+    .py:560-576) as a single when/otherwise projection — no index writes."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_discount") > 0.05, 0.05)
+        .otherwise(F.col("l_discount"))
+        .alias("discount_capped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: left equi-join, small dim broadcast (GM:914 pd.merge how='left')."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left")
+        .select("n_nationkey", "n_name", "r_name")
+    )
+
+
+def q_join_broadcast_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: Series.map(dict) analog — broadcast mapping-table lookup
+    (google_maps_api.ipynb cell 17; station_names_mapping SQL:61-66)."""
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return broadcast_map_join(
+        customer, nation, key="c_nationkey", map_key="n_nationkey",
+        map_value="n_name", out_col="nation_name", keep_unmapped=False,
+    ).select("c_custkey", "c_name", "nation_name")
+
+
+def q_join_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: nearest-neighbour join (the station↔sensor mapping,
+    LondonAir_sites_subway_station_mapping.ipynb:46-79) — cross+window shape.
+    Stand-in metric: |c_acctbal − s_acctbal| (1-D L1)."""
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    out = nearest_join(
+        customer,
+        supplier,
+        distance=lambda l, r: F.abs(l["c_acctbal"] - r["s_acctbal"]),
+        left_key="c_custkey",
+        tiebreak=["s_suppkey"],
+    )
+    return out.select(
+        "c_custkey",
+        F.col("s_suppkey").alias("nearest_suppkey"),
+        F.round("__dist", 6).alias("dist"),
+    )
+
+
+def q_join_nn_gridded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 at scale: grid-bucketed NN join — equi-join on spatial cells
+    replaces the cross product (SURVEY §4.3.1). Synthetic lat/lon derived
+    from keys (FIXTURES.md §7); result is exact (fallback guarantees), so it
+    shares the cross-join oracle."""
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") % 100) / 10.0).alias("latitude"),
+        ((F.col("c_custkey") * 7 % 100) / 10.0).alias("longitude"),
+    )
+    supplier = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 13 % 100) / 10.0).alias("r_latitude"),
+        ((F.col("s_suppkey") * 31 % 100) / 10.0).alias("r_longitude"),
+    )
+    out = nearest_join_gridded(
+        customer, supplier, left_key="c_custkey",
+        cell_deg=1.0, tiebreak=["s_suppkey"],
+    )
+    return out.select(
+        "c_custkey",
+        F.col("s_suppkey").alias("nearest_suppkey"),
+        F.round("__dist", 6).alias("dist"),
+    )
+
+
+def q_join_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: positional concat (pd.concat axis=1, GM cell 13) made
+    deterministic via explicit rank keys."""
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nation5 = (
+        _t(spark, sf_dir, "nation")
+        .orderBy("n_nationkey")
+        .limit(5)
+        .select("n_nationkey", "n_name")
+    )
+    return zip_join(region, nation5, ["r_regionkey"], ["n_nationkey"]).select(
+        "r_name", "n_name"
+    )
+
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: the serving-layer star join (fact ⋈ dims, database_schema.sql
+    design) — lineitem→orders→customer→nation→region with broadcast dims,
+    revenue rollup per region/nation."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(nation, customer.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+def q_groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — THE serving metric (avg price per station, README.md:4), in its
+    TPC-H-Q1 isomorph: per-group sums/avgs/count over the big fact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+def q_groupby_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — the pollution rollup (per station/species hourly mean) on the
+    events stand-in: per event_type, per hour."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count("*").alias("n"))
+    )
+
+
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — nunique (pipeline .py:635)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def q_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — idxmin (mapping notebook:59-61): per nation, the customer with
+    minimal acctbal. min(struct(...)) gives a deterministic argmin with the
+    key as tiebreak."""
+    customer = _t(spark, sf_dir, "customer")
+    m = F.min(F.struct("c_acctbal", "c_custkey")).alias("m")
+    return (
+        customer.groupBy("c_nationkey")
+        .agg(m)
+        .select(
+            "c_nationkey",
+            F.col("m.c_custkey").alias("min_custkey"),
+            F.round(F.col("m.c_acctbal"), 2).alias("min_acctbal"),
+        )
+    )
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/O5 — accumulate-append (pipeline .py:757-764) as unionByName."""
+    orders = _t(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    big = orders.filter(F.col("o_totalprice") > 50000.0)
+    return urgent.unionByName(big).select("o_orderkey", "o_totalprice", "o_orderpriority")
+
+
+def q_null_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — isnull().values.any() (GM cells 9, 15) as a null-count audit."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("props").isNull().cast("long")).alias("null_props"),
+        F.sum(F.col("value").isNull().cast("long")).alias("null_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 windows / top-k
+# ---------------------------------------------------------------------------
+
+def q_first_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — first-match scan (closest_line's positional search, pipeline
+    .py:480-501) as array_position: first 'data' token per document."""
+    docs = _t(spark, sf_dir, "documents")
+    pos = F.array_position(tokens("text"), "data")
+    return docs.select("doc_id", pos.alias("first_pos")).filter(F.col("first_pos") > 0)
+
+
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 — head/top-k with total order (tiebreak on key)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.6 sort / dedup / set ops
+# ---------------------------------------------------------------------------
+
+def q_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — multi-key sort (GM:368) + bounded fetch (sort visible through
+    the row subset it selects)."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .orderBy(F.col("c_mktsegment").asc(), F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(50)
+        .select("c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+def q_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 — whole-row dropDuplicates (pipeline .py:448)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .dropDuplicates()
+    )
+
+
+def q_dedup_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3/O4 — first-seen keyed dedup (pipeline .py:215-216) with explicit
+    deterministic order: each customer's earliest order."""
+    orders = _t(spark, sf_dir, "orders")
+    return dedup_first_seen(orders, "o_custkey", ["o_orderdate", "o_orderkey"]).select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.7 reshape
+# ---------------------------------------------------------------------------
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+
+def q_pivot_onehot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1/R2 — dummy-encoding pivot (str.get_dummies, GM:175): per nation,
+    Yes/No for each market segment present among its customers."""
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        customer.groupBy("c_nationkey")
+        .pivot("c_mktsegment", _SEGMENTS)
+        .agg(F.first(F.lit("Yes")))
+        .na.fill("No")
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 — melt (GM:368): wide measures → long (measure, val)."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 100)
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_tax").unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_tax"],
+        "measure",
+        "val",
+    )
+
+
+def q_split_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 — marker sessionization (list_divider, GM:426-439): per user,
+    'signup' events open a new session; running sum over event order
+    assigns ids. Partitioned by user (the scale-correct form of the
+    reference's single-stream generator)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.when(F.col("event_type") == "signup", 1).otherwise(0))
+        .over(w)
+        .alias("session_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup suite (SURVEY "beyond the reference")
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash exact dedup over documents: md5-of-normalized-text
+    fingerprint, min-doc_id survivor."""
+    docs = _t(spark, sf_dir, "documents")
+    survivors = dedup_by_fingerprint(docs, "doc_id", "text")
+    return survivors.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands) candidate near-dup pairs over char-8
+    shingles. All md5-keyed shuffle joins — the linear-scale shape."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", w=8)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    return lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32-bit) fingerprint per document over whitespace tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=32)
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline: LSH candidates → exact Jaccard verify
+    (threshold 0.2). The candidate prefilter is what makes this linear at
+    corpus scale — the unfiltered shingle self-join is quadratic on hot
+    shingles (OOMs at 5k docs already)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", w=8)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    out = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: similarity search
+# ---------------------------------------------------------------------------
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-5 for the first 10 vectors as queries —
+    the ANN correctness baseline."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ann_topk_bruteforce(emb, queries, k=5)
+    return out.select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed ANN (approximate — rows-only check; the
+    bruteforce twin above is the oracle-exact baseline)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ann_topk_lsh(emb, queries, k=5, num_planes=8, dim=64)
+    return out.select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: text analysis
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), 0)).alias("n_bpe_tokens"),
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("quality"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_scores("text").alias("lang_pred"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        doc_fingerprint("text").alias("fingerprint"),
+        rolling_hash("text").alias("rhash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: multimodal plumbing
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: deterministic synthetic payloads →
+    Arrow-batched mapInPandas feature extraction. Oracle covers the numeric
+    features (byte math is reproducible in SQL from the md5 hex)."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthesize_media(docs, "doc_id", "text")
+    feats = extract_features(assets)
+    return feats.select("asset_id", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"))
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # scans / sinks
+    "q_scan_parquet": q_scan_parquet,
+    "q_scan_csv": q_scan_csv,
+    "q_sink_parquet": q_sink_parquet,
+    "q_json_flatten": q_json_flatten,
+    # projections / filters
+    "q_project": q_project,
+    "q_filter": q_filter,
+    "q_filter_regex": q_filter_regex,
+    "q_filter_contains": q_filter_contains,
+    "q_conditional_update": q_conditional_update,
+    # joins
+    "q_join_left": q_join_left,
+    "q_join_broadcast_map": q_join_broadcast_map,
+    "q_join_nn": q_join_nn,
+    "q_join_nn_gridded": q_join_nn_gridded,
+    "q_join_zip": q_join_zip,
+    "q_star_join": q_star_join,
+    # aggregations
+    "q_groupby_avg": q_groupby_avg,
+    "q_groupby_window_avg": q_groupby_window_avg,
+    "q_count_distinct": q_count_distinct,
+    "q_argmin": q_argmin,
+    "q_union_all": q_union_all,
+    "q_null_audit": q_null_audit,
+    # windows / top-k
+    "q_first_match": q_first_match,
+    "q_limit": q_limit,
+    # sort / dedup
+    "q_sort": q_sort,
+    "q_dedup": q_dedup,
+    "q_dedup_key": q_dedup_key,
+    # reshape
+    "q_pivot_onehot": q_pivot_onehot,
+    "q_unpivot": q_unpivot,
+    "q_split_sessions": q_split_sessions,
+    # training-data: dedup
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    # training-data: similarity
+    "q_embed_topk": q_embed_topk,
+    "q_embed_ann_lsh": q_embed_ann_lsh,
+    # training-data: text
+    "q_token_count": q_token_count,
+    "q_text_quality": q_text_quality,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    # training-data: multimodal
+    "q_multimodal_features": q_multimodal_features,
+}

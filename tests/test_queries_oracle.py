@@ -1,0 +1,46 @@
+"""Every catalog query vs its DuckDB oracle at sf0.001 — the local twin of
+the driver's correctness gate. One parametrized test per query so failures
+localize."""
+
+from __future__ import annotations
+
+import pytest
+
+from dataengineering_londonhousingmap_spark.oracles import ORACLES
+from dataengineering_londonhousingmap_spark.queries import QUERIES
+
+from .oracle_harness import compare, duck_connection
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF)
+    yield con
+    con.close()
+
+
+def test_every_query_has_callable():
+    assert QUERIES, "query catalog is empty"
+    for name, fn in QUERIES.items():
+        assert callable(fn), name
+
+
+def test_oracle_keys_subset_of_queries():
+    missing = set(ORACLES) - set(QUERIES)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(name, spark, duck):
+    df = QUERIES[name](spark, SF)
+    ok, msg = compare(df, duck, ORACLES[name])
+    assert ok, f"{name}: {msg}"
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark):
+    df = QUERIES[name](spark, SF)
+    assert df.count() >= 0
+    assert df.schema is not None
