@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (count() alone can be
+satisfied from metadata for scan-shaped plans). Timings are per-query wall
+seconds; `value` is the sum.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dataengineering_londonhousingmap_spark.queries import QUERIES
+from dataengineering_londonhousingmap_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the serving star join + big-fact aggregation, the custom
+# NN join both ways, the training-data pipeline (dedup/similarity/text),
+# streaming rollup, and the scan path
+HEADLINE = [
+    "q_scan_parquet",
+    "q_star_join",
+    "q_groupby_avg",
+    "q_groupby_window_avg",
+    "q_join_nn",
+    "q_join_nn_gridded",
+    "q_split_sessions",
+    "q_dedup_exact",
+    "q_dedup_minhash",
+    "q_ngram_jaccard",
+    "q_dedup_simhash",
+    "q_embed_topk",
+    "q_text_quality",
+    "q_token_count",
+    "q_multimodal_features",
+    "q_stream_hourly",
+]
+
+
+def main() -> None:
+    spark = get_session("dataengineering_londonhousingmap-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + parquet footers so the first timed query isn't paying
+    # session startup
+    QUERIES["q_scan_parquet"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = QUERIES[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -150,7 +150,11 @@ def sub_values(col: Column | str) -> Column:
     """
     c = F.col(col) if isinstance(col, str) else col
     lines = F.filter(F.split(c, "\n"), lambda x: x != "")
-    return F.flatten(F.transform(lines, lambda x: F.transform(F.split(x, "-"), F.trim)))
+    # NB: the inner lambda must be unary — F.trim's optional second arg
+    # would make PySpark treat it as an (element, index) function
+    return F.flatten(
+        F.transform(lines, lambda x: F.transform(F.split(x, "-"), lambda s: F.trim(s)))
+    )
 
 
 def ad_id_from_link(col: Column | str) -> Column:

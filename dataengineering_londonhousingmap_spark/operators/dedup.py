@@ -77,24 +77,46 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, w: int = 8) -> Data
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# universal-hash family h_i(x) = (a_i·x + b_i) mod P over a single md5-derived
+# base value — ONE md5 per shingle instead of num_hashes of them (md5 is the
+# dominant cost at corpus scale). Constants derived deterministically from
+# md5 so the DuckDB oracle regenerates the identical family.
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne); a·x+b stays inside int64
+
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"minhash-a-{i}".encode()).hexdigest()[:8], 16) | 1
+        b = int(hashlib.md5(f"minhash-b-{i}".encode()).hexdigest()[:8], 16)
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     shingles: DataFrame,
     id_col: str,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """MinHash signature per document: hash_i(doc) = min over shingles of
-    md5(i || shingle), kept as the hex string (lexicographic min is a valid
-    uniform minhash and is bit-identical across engines).
+    """MinHash signature per document: base = int64 of the md5-hex prefix of
+    the shingle (bit-identical in every engine), signature_i = min over
+    shingles of (aᵢ·base + bᵢ) mod P.
 
     One groupBy with ``num_hashes`` min-aggregates — partial aggregation
     makes this a single shuffle of (doc → signature) regardless of corpus
-    size.
+    size; one md5 per shingle total.
     """
+    base = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("long")
+        % MINHASH_P
+    )
+    with_h = shingles.withColumn("__h", base)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i) + "|"), F.col("shingle")))).alias(f"mh{i}")
-        for i in range(num_hashes)
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
     ]
-    return shingles.groupBy(id_col).agg(*aggs)
+    return with_h.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(

@@ -39,9 +39,28 @@ def nearest_join(
     ``tiebreak`` columns (deterministic, unlike idxmin's input order).
 
     distance(left, right) builds the metric Column from both sides' columns.
+
+    Physical shape: for k=1 the winner is ``min(struct(dist, tiebreak…,
+    right-cols…))`` grouped by the left row — partial aggregation collapses
+    each left row's |right| candidates map-side, so the shuffle carries
+    |left| rows instead of |left|×|right| (a windowed rank would shuffle
+    and sort the full cross product). k>1 falls back to the window.
     """
     dist = distance(left, right).alias("__dist")
     joined = left.crossJoin(F.broadcast(right)).withColumn("__dist", dist)
+    if k == 1:
+        tie = tiebreak or []
+        rcols = [c for c in right.columns if c not in tie]
+        winner = F.min(
+            F.struct(F.col("__dist"), *[F.col(c) for c in tie], *[F.col(c) for c in rcols])
+        ).alias("__m")
+        agg = joined.groupBy(*left.columns).agg(winner)
+        return agg.select(
+            *left.columns,
+            *[F.col(f"__m.{c}").alias(c) for c in tie],
+            *[F.col(f"__m.{c}").alias(c) for c in rcols],
+            F.col("__m.__dist").alias("__dist"),
+        )
     order = [F.col("__dist").asc()] + [F.col(c).asc() for c in (tiebreak or [])]
     w = Window.partitionBy(left_key).orderBy(*order)
     out = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
@@ -88,17 +107,25 @@ def nearest_join_gridded(
     )
     dist = (F.abs(F.col(lat) - F.col(rlat)) + F.abs(F.col(lon) - F.col(rlon))).alias("__dist")
     candidates = lcell.join(rcell, ["__cx", "__cy"]).withColumn("__dist", dist)
-    order = [F.col("__dist").asc()] + [F.col(c).asc() for c in (tiebreak or [])]
-    w = Window.partitionBy(left_key).orderBy(*order)
+    # winner per left row via min(struct(...)) — partial aggregation, no
+    # window sort (same shape as nearest_join k=1)
+    tie = tiebreak or []
+    rcols = [c for c in right.columns if c not in tie]
+    winner = F.min(
+        F.struct(F.col("__dist"), *[F.col(c) for c in tie], *[F.col(c) for c in rcols])
+    ).alias("__m")
+    left_cols = [c for c in left.columns]
+    best = candidates.groupBy(*left_cols).agg(winner).select(
+        *left_cols,
+        *[F.col(f"__m.{c}").alias(c) for c in tie],
+        *[F.col(f"__m.{c}").alias(c) for c in rcols],
+        F.col("__m.__dist").alias("__dist"),
+    )
     # a grid winner is PROVABLY the global nearest only within cell_deg:
     # any point at L1 ≤ cell_deg is inside the 3×3 neighborhood, so a grid
     # best with __dist > cell_deg could be beaten by a point in an
     # unexamined cell — those rows escalate to the exact path below
-    matched = (
-        candidates.withColumn("__rn", F.row_number().over(w))
-        .filter((F.col("__rn") == 1) & (F.col("__dist") <= cell_deg))
-        .drop("__rn", "__cx", "__cy")
-    )
+    matched = best.filter(F.col("__dist") <= cell_deg)
     # completeness fallback: lefts whose neighborhood held no candidate
     # (or only unprovable ones).
     # Distance built from column NAMES (unambiguous post-join), not the

@@ -8,12 +8,15 @@ Two physical shapes:
   baseline, and the right plan whenever queries are few (the broadcast side)
   — at 100 TB the corpus scan is embarrassingly parallel and never shuffles
   the big side.
-* :func:`ann_topk_lsh` — random-hyperplane LSH: corpus and queries bucketed
-  by a sign-bit sketch; candidates limited to same-bucket (with multi-probe
-  by flipping each bit); exact rerank inside buckets. Turns the all-pairs
-  scan into an equi-join on bucket id. Approximate: recall < 1 by design
-  (the driver records rows-only checks for it; the bruteforce variant is the
-  oracle-exact one).
+* :func:`ann_topk_lsh` — multi-table random-hyperplane LSH: L independent
+  tables of k sign bits each; candidates = union over tables of same-bucket
+  pairs (OR-amplification: recall ≈ 1-(1-p^k)^L where p is the per-plane
+  collision probability); exact rerank over candidates. Turns the all-pairs
+  scan into an equi-join on (table, bucket). Approximate: recall < 1 by
+  design (the driver records rows-only checks for it; the bruteforce
+  variant is the oracle-exact one). k trades candidate volume against
+  recall; L buys recall back at linear cost — at 100 TB you tune k to the
+  corpus's angular clustering and keep L modest.
 
 Projection vectors for LSH are derived deterministically from md5 bytes — no
 RNG, reproducible across engines and runs.
@@ -96,49 +99,58 @@ def _bucket_expr(vec_col: str, planes: list[list[float]]):
     return out
 
 
+def _table_buckets(vec_col: str, num_tables: int, planes_per_table: int, dim: int):
+    """Array of (table_id, bucket) structs — one sketch per hash table,
+    planes seeded independently per table."""
+    entries = []
+    for t in range(num_tables):
+        planes = [
+            _hyperplane(t * 1000 + j, dim) for j in range(planes_per_table)
+        ]
+        entries.append(
+            F.struct(
+                F.lit(t).alias("t"), _bucket_expr(vec_col, planes).alias("b")
+            )
+        )
+    return F.array(*entries)
+
+
 def ann_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    num_planes: int = 8,
+    num_tables: int = 8,
+    planes_per_table: int = 4,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id: str = "vec_id",
     query_vec: str = "embedding",
-    multiprobe: bool = True,
 ) -> DataFrame:
-    """Approximate cosine top-k: equi-join corpus and queries on the
-    hyperplane-sign bucket, exact rerank within candidates.
-
-    ``multiprobe`` also probes the ``num_planes`` buckets at Hamming
-    distance 1 from the query's bucket (recall boost with bounded fanout —
-    the standard trade at scale; candidate volume ≈ (1+P)/2^P of corpus).
+    """Approximate cosine top-k: explode both sides into per-table buckets,
+    equi-join on (table, bucket), exact rerank over the deduped candidate
+    union. Expected recall for per-plane collision prob p:
+    1 - (1 - p^planes_per_table)^num_tables.
     """
-    planes = [_hyperplane(j, dim) for j in range(num_planes)]
-    bucket = _bucket_expr(vec_col, planes)
-    c = corpus.select(F.col(id_col), F.col(vec_col)).withColumn("__bucket", bucket)
-
-    qbase = queries.select(
-        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
-    ).withColumn("__qb", _bucket_expr("__qvec", planes))
-    if multiprobe:
-        probes = F.array(
-            F.col("__qb"),
-            *[
-                F.col("__qb").bitwiseXOR(F.lit(2**j).cast("long"))
-                for j in range(num_planes)
-            ],
+    tb = _table_buckets(vec_col, num_tables, planes_per_table, dim)
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .select(F.col(id_col), F.col(vec_col), F.explode(tb).alias("__tb"))
+    )
+    qtb = _table_buckets("__qvec", num_tables, planes_per_table, dim)
+    q = (
+        queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec"))
+        .select("query_id", "__qvec", F.explode(qtb).alias("__tb"))
+    )
+    joined = c.join(q, "__tb").filter(F.col(id_col) != F.col("query_id"))
+    scored = (
+        joined.select("query_id", F.col(id_col).alias("match_id"), "__qvec", F.col(vec_col))
+        .dropDuplicates(["query_id", "match_id"])
+        .select(
+            "query_id",
+            "match_id",
+            cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
         )
-        q = qbase.select("query_id", "__qvec", F.explode(probes).alias("__bucket"))
-    else:
-        q = qbase.withColumnRenamed("__qb", "__bucket")
-
-    joined = c.join(q, "__bucket").filter(F.col(id_col) != F.col("query_id"))
-    scored = joined.select(
-        "query_id",
-        F.col(id_col).alias("match_id"),
-        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
-    ).dropDuplicates(["query_id", "match_id"])
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -39,8 +39,16 @@ _NUM_HASHES = 16
 _BANDS = 4
 _ROWS_PER_BAND = _NUM_HASHES // _BANDS
 
+# the universal-hash family must regenerate EXACTLY the Spark side's
+# constants — single source of truth in operators.dedup
+from .operators.dedup import MINHASH_P, _minhash_coeffs  # noqa: E402
+
+_MINHASH_BASE = (
+    f"(CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT) % {MINHASH_P})"
+)
 _MINHASH_AGGS = ",\n    ".join(
-    f"min(md5('{i}|' || shingle)) AS mh{i}" for i in range(_NUM_HASHES)
+    f"min(({a} * {_MINHASH_BASE} + {b}) % {MINHASH_P}) AS mh{i}"
+    for i, (a, b) in enumerate(_minhash_coeffs(_NUM_HASHES))
 )
 
 _BAND_SELECTS = "\n  UNION ALL\n".join(
@@ -446,6 +454,17 @@ ORACLES: dict[str, str] = {
                    (acc, x) -> (acc * 31 + x) % 1000000007
                ) AS BIGINT) AS rhash
         FROM documents
+    """,
+    # -- streaming ----------------------------------------------------------
+    # real Structured Streaming runs; the batch SQL below is the semantic
+    # equivalent the stream must converge to on finite input
+    "q_stream_hourly": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               round(avg(value), 6) AS avg_value, count(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    "q_stream_dedup": """
+        SELECT event_id, user_id, event_type, value FROM events
     """,
     # -- training-data: multimodal -----------------------------------------
     "q_multimodal_features": """

@@ -184,9 +184,13 @@ def q_join_broadcast_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_join_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3: nearest-neighbour join (the station↔sensor mapping,
     LondonAir_sites_subway_station_mapping.ipynb:46-79) — cross+window shape.
-    Stand-in metric: |c_acctbal − s_acctbal| (1-D L1)."""
-    customer = _t(spark, sf_dir, "customer")
-    supplier = _t(spark, sf_dir, "supplier")
+    Stand-in metric: |c_acctbal − s_acctbal| (1-D L1).
+
+    Column pruning BEFORE the cross join matters: every extra column rides
+    the |left|×|right| intermediate, and group-key width drives the agg
+    cost — project to the key+metric first."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
     out = nearest_join(
         customer,
         supplier,
@@ -504,7 +508,7 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bruteforce twin above is the oracle-exact baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    out = ann_topk_lsh(emb, queries, k=5, num_planes=8, dim=64)
+    out = ann_topk_lsh(emb, queries, k=5, num_tables=8, planes_per_table=4, dim=64)
     return out.select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
@@ -556,6 +560,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = synthesize_media(docs, "doc_id", "text")
     feats = extract_features(assets)
     return feats.select("asset_id", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"))
+
+
+# ---------------------------------------------------------------------------
+# streaming (§2.9) — real Structured Streaming runs driven to completion
+# ---------------------------------------------------------------------------
+
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental hourly rollup: readStream → watermark → tumbling window
+    agg → sink. Complete mode so finite test data emits every window (an
+    append-mode deployment would flush on watermark advance)."""
+    from .streaming.incremental import hourly_rollup_stream, read_events_stream, run_stream_to_memory
+
+    events = read_events_stream(spark, sf_dir)
+    rollup = hourly_rollup_stream(events)
+    return run_stream_to_memory(rollup, "q_stream_hourly_sink", "complete")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup (dropDuplicatesWithinWatermark) — the
+    rerun-idempotence operator the reference lacks."""
+    from .streaming.incremental import dedup_stream, read_events_stream, run_stream_to_memory
+
+    events = read_events_stream(spark, sf_dir)
+    deduped = dedup_stream(events).select("event_id", "user_id", "event_type", "value")
+    return run_stream_to_memory(deduped, "q_stream_dedup_sink", "append")
 
 
 # ---------------------------------------------------------------------------
@@ -614,4 +643,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_fingerprint": q_fingerprint,
     # training-data: multimodal
     "q_multimodal_features": q_multimodal_features,
+    # streaming
+    "q_stream_hourly": q_stream_hourly,
+    "q_stream_dedup": q_stream_dedup,
 }

@@ -1,0 +1,132 @@
+"""Unit tests for the scalar function library (SURVEY §2.8) — each asserts
+the reference's observable parse/clean behavior on its dirty-string cases."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataengineering_londonhousingmap_spark.functions.cleaning import (
+    ad_id_from_link,
+    clean_dexters_price,
+    clean_tube_stop_string,
+    extract_int,
+    haversine_km,
+    is_valid_price,
+    split_miles,
+    sub_values,
+    to_num,
+    victoria_clean_stop,
+    yes_no,
+)
+from dataengineering_londonhousingmap_spark.functions.text import (
+    lang_id_scores,
+    quality_score,
+    rolling_hash,
+    token_count,
+)
+from dataengineering_londonhousingmap_spark.functions.vectors import cosine_similarity
+
+
+def _vals(spark, data, schema, col):
+    return [r.v for r in spark.createDataFrame(data, schema).select(col.alias("v")).collect()]
+
+
+def test_price_parsing(spark):
+    vals = _vals(
+        spark,
+        [("£435,000",), ("£1,250,000",), ("POA",), ("Offers over £500,000",)],
+        "s string",
+        to_num("s"),
+    )
+    assert vals[0] == 435000.0 and vals[1] == 1250000.0
+    valid = _vals(
+        spark,
+        [("£435,000",), ("POA",), ("Offers over £500,000",)],
+        "s string",
+        is_valid_price("s"),
+    )
+    assert valid == [True, False, False]
+    assert _vals(spark, [("£99,500",)], "s string", clean_dexters_price("s")) == [99500.0]
+
+
+def test_extract_int_asymmetric_defaults(spark):
+    # bathrooms default 0 (.py:390), receptions default 1 (.py:395)
+    assert _vals(spark, [("2 baths",), ("none",)], "s string", extract_int("s", 0)) == [2, 0]
+    assert _vals(spark, [("no info",)], "s string", extract_int("s", 1)) == [1]
+
+
+def test_split_miles(spark):
+    dist, station = split_miles("s")
+    df = spark.createDataFrame([("0.3 miles Angel",), ("nearby Angel",)], "s string")
+    rows = df.select(dist.alias("d"), station.alias("st")).collect()
+    assert rows[0].d == 0.3 and rows[0].st == "Angel"
+    assert rows[1].d is None and rows[1].st is None
+
+
+def test_station_string_cleanups(spark):
+    assert _vals(
+        spark,
+        [("London Overground Hackney",), ("Angel",)],
+        "s string",
+        clean_tube_stop_string("s"),
+    ) == ["Hackney", "Angel"]
+    assert _vals(
+        spark, [("Victoria Oval",), ("Victoria",)], "s string", victoria_clean_stop("s")
+    ) == ["Oval", "Victoria"]
+
+
+def test_ad_id_from_link(spark):
+    # the reference slices a RELATIVE href: "/for-sale/details/<id>?..."
+    # → split('?')[0].split('/') = ['', 'for-sale', 'details', '<id>'],
+    # python index 3 (pipeline .py:211-213)
+    assert _vals(
+        spark,
+        [("/for-sale/details/57078120?search_identifier=abc",)],
+        "s string",
+        ad_id_from_link("s"),
+    ) == ["57078120"]
+
+
+def test_sub_values_hof(spark):
+    # newline blocks, '-'-separated items, trimmed, flattened (.py:465-477)
+    assert _vals(
+        spark, [("a - b\n\nc - d\n",)], "s string", sub_values("s")
+    ) == [["a", "b", "c", "d"]]
+
+
+def test_yes_no_and_haversine(spark):
+    assert _vals(spark, [(1,), (0,), (None,)], "s int", yes_no("s")) == ["Yes", "No", "No"]
+    km = _vals(
+        spark,
+        [(51.5074, -0.1278, 48.8566, 2.3522)],  # London→Paris ≈ 344 km
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+        haversine_km(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")),
+    )
+    assert abs(km[0] - 343.5) < 2.0
+
+
+def test_text_functions(spark):
+    assert _vals(spark, [("the fast cat",), ("",), ("  ",)], "s string", token_count("s")) == [3, 0, 0]
+    q = _vals(spark, [("the quick brown fox jumps over the lazy dog",)], "s string", quality_score("s"))
+    assert 0.0 <= q[0] <= 1.0
+    lang = _vals(
+        spark,
+        [("the cat and the dog is here",), ("der hund und die katze ist da",), ("zzz qqq",)],
+        "s string",
+        lang_id_scores("s"),
+    )
+    assert lang == ["en", "de", "und"]
+    # rolling hash: deterministic polynomial fold
+    h = _vals(spark, [("ab",)], "s string", rolling_hash("s"))
+    assert h[0] == (ord("a") * 31 + ord("b")) % 1_000_000_007
+
+
+def test_cosine_similarity(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [2.0, 4.0]), ([0.0, 0.0], [1.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    vals = [r.v for r in df.select(cosine_similarity(F.col("a"), F.col("b")).alias("v")).collect()]
+    assert abs(vals[0]) < 1e-12
+    assert abs(vals[1] - 1.0) < 1e-12
+    assert vals[2] is None  # zero-vector guard

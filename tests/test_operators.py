@@ -1,0 +1,140 @@
+"""Operator-level tests: NN-join equivalence (gridded == exact), dedup
+survivor rules, LSH recall on a known near-dup pair, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataengineering_londonhousingmap_spark.operators.dedup import (
+    char_shingles,
+    dedup_by_fingerprint,
+    dedup_first_seen,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from dataengineering_londonhousingmap_spark.operators.joins import nearest_join, nearest_join_gridded
+from dataengineering_londonhousingmap_spark.operators.multimodal import (
+    decode_image,
+    extract_features,
+    frame_sample_plan,
+    synthesize_media,
+)
+from dataengineering_londonhousingmap_spark.operators.similarity import ann_topk_bruteforce, ann_topk_lsh
+from dataengineering_londonhousingmap_spark.operators.udfs import parse_listing_pages
+
+
+def test_gridded_nn_equals_exact(spark):
+    """The grid prefilter + provable-radius escalation must reproduce the
+    exact cross-join result on clustered AND isolated points."""
+    left = spark.createDataFrame(
+        [(i, float(i % 13) * 0.37, float((i * 7) % 11) * 0.53) for i in range(200)]
+        + [(900, 50.0, 50.0)],  # isolated point, far from every right row
+        "id long, latitude double, longitude double",
+    )
+    right = spark.createDataFrame(
+        [(j, float(j % 5) * 0.9, float((j * 3) % 7) * 0.8) for j in range(20)],
+        "rid long, r_latitude double, r_longitude double",
+    )
+    exact = nearest_join(
+        left,
+        right,
+        lambda l, r: F.abs(l["latitude"] - r["r_latitude"]) + F.abs(l["longitude"] - r["r_longitude"]),
+        "id",
+        tiebreak=["rid"],
+    ).select("id", "rid", F.round("__dist", 9).alias("d"))
+    grid = nearest_join_gridded(
+        left, right, left_key="id", cell_deg=0.5, tiebreak=["rid"]
+    ).select("id", "rid", F.round("__dist", 9).alias("d"))
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, grid.collect()))
+
+
+def test_dedup_survivor_rules(spark):
+    df = spark.createDataFrame(
+        [(1, "b", "x"), (2, "a", "x"), (3, "c", "y")], "id long, ord string, key string"
+    )
+    first = dedup_first_seen(df, "key", ["ord"]).collect()
+    assert {r.id for r in first} == {2, 3}  # 'a' < 'b' wins for key x
+
+    docs = spark.createDataFrame(
+        [(10, "Hello  World"), (11, "hello world"), (12, "other text")],
+        "doc_id long, text string",
+    )
+    # fingerprint normalizes case+whitespace → 10 and 11 collide, min id wins
+    kept = {r.doc_id for r in dedup_by_fingerprint(docs, "doc_id", "text").collect()}
+    assert kept == {10, 12}
+
+
+def test_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + "!"), (3, "completely different content about spark engines")],
+        "doc_id long, text string",
+    )
+    sh = char_shingles(docs, "doc_id", "text", w=8)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (1, 2) in pairs  # one-char suffix diff shares almost all shingles
+
+    verified = ngram_jaccard_pairs(sh, "doc_id", threshold=0.5, candidates=cand)
+    out = verified.collect()
+    assert [(r.id_a, r.id_b) for r in out] == [(1, 2)]
+    assert out[0].jaccard > 0.8
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    fp = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text", bits=32).collect()}
+    ham12 = bin(fp[1] ^ fp[2]).count("1")
+    ham13 = bin(fp[1] ^ fp[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    from dataengineering_londonhousingmap_spark.sources.io import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = ann_topk_bruteforce(emb, queries, k=5)
+    approx = ann_topk_lsh(emb, queries, k=5, num_tables=8, planes_per_table=4, dim=64)
+    e = {(r.query_id, r.match_id) for r in exact.collect()}
+    a = {(r.query_id, r.match_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"multiprobe LSH recall suspiciously low: {recall}"
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame([(1, "seed one"), (2, "seed two"), (3, "v")], "doc_id long, text string")
+    assets = synthesize_media(docs, "doc_id", "text")
+    feats = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert all(feats[i].n_bytes == 128 for i in (1, 2, 3))
+    assert len(feats[1].byte_histogram) == 8 and sum(feats[1].byte_histogram) == 128
+    assert feats[1].content_md5 != feats[2].content_md5
+
+    frames = frame_sample_plan(assets, every_ms=10000)
+    vid = assets.filter("media_type = 'video'").select("asset_id", "duration_ms").collect()
+    got = frames.groupBy("asset_id").count().collect()
+    expect = {r.asset_id: max(r.duration_ms - 1, 0) // 10000 + 1 for r in vid}
+    assert {r.asset_id: r["count"] for r in got} == expect
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\x00" * 4)
+    assert decode_image(b"\x01\x02\x03\x04", fake=True) == [[1, 2], [3, 4]]
+
+
+def test_mapinpandas_page_parser(spark):
+    pages = spark.createDataFrame(
+        [("1|£100,000|E1\n2|£200,000|E2",), ("3|£300,000|E3",)], "html string"
+    )
+    ads = parse_listing_pages(pages).collect()
+    assert {r.ad_id for r in ads} == {"1", "2", "3"}
+    assert {r.price_raw for r in ads} == {"£100,000", "£200,000", "£300,000"}
