@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import doc_fingerprint
+from .util import fan_out
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -67,7 +68,9 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, w: int = 8) -> Data
     n = F.length(c)
     idx = F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1)))
     return (
-        df.select(F.col(id_col), F.explode(idx).alias("__i"), c.alias("__t"))
+        # explode+substring expands each doc ×|text| before the first
+        # shuffle — spread a narrow scan across cores first
+        fan_out(df).select(F.col(id_col), F.explode(idx).alias("__i"), c.alias("__t"))
         .select(F.col(id_col), F.expr(f"substring(__t, __i, {w})").alias("shingle"))
         .distinct()
     )
@@ -223,7 +226,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     one shuffle on doc id with full partial aggregation. 32 bits keeps the
     md5-hex→int conversion inside a signed 64-bit range in every engine.
     """
-    tok = df.select(
+    tok = fan_out(df).select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     )

@@ -22,6 +22,8 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import fan_out
+
 
 def nearest_join(
     left: DataFrame,
@@ -30,6 +32,7 @@ def nearest_join(
     left_key: str,
     tiebreak: list[str] | None = None,
     k: int = 1,
+    spread: bool = True,
 ) -> DataFrame:
     """For each left row, attach the k nearest right rows by ``distance``.
 
@@ -47,7 +50,11 @@ def nearest_join(
     and sort the full cross product). k>1 falls back to the window.
     """
     dist = distance(left, right).alias("__dist")
-    joined = left.crossJoin(F.broadcast(right)).withColumn("__dist", dist)
+    # the cross-join stage does |left|×|right| work before its first shuffle
+    # — spread a narrow left scan across cores first (``spread=False`` when
+    # the caller knows left is already shuffle-partitioned)
+    src = fan_out(left) if spread else left
+    joined = src.crossJoin(F.broadcast(right)).withColumn("__dist", dist)
     if k == 1:
         tie = tiebreak or []
         rcols = [c for c in right.columns if c not in tie]
@@ -138,6 +145,7 @@ def nearest_join_gridded(
         lambda l, r: F.abs(F.col(lat) - F.col(rlat)) + F.abs(F.col(lon) - F.col(rlon)),
         left_key,
         tiebreak=tiebreak,
+        spread=False,  # unmatched is post-join, already shuffle-partitioned
     )
     return matched.unionByName(exact)
 

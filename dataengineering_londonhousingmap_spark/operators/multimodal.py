@@ -116,6 +116,9 @@ def extract_features(assets: DataFrame, batch_hint: int = 256) -> DataFrame:
                 )
             yield pd.DataFrame(out, columns=[f.name for f in IMAGE_FEATURES.fields])
 
+    # NB: no blanket repartition here — shuffling binary payloads costs more
+    # than the per-batch python work saves; use repartition_by_bytes when
+    # real payloads make the work worth spreading
     return assets.select("asset_id", "payload").mapInPandas(_extract, IMAGE_FEATURES)
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine_similarity
+from .util import fan_out
 
 
 def _query_frame(spark_df: DataFrame, queries: DataFrame, query_id: str, query_vec: str) -> DataFrame:
@@ -52,7 +53,9 @@ def ann_topk_bruteforce(
     (query_id, match_id, cosine, rank); ties broken by match_id ascending
     (deterministic — required for oracle-exact comparison)."""
     q = F.broadcast(_query_frame(corpus, queries, query_id, query_vec))
-    joined = corpus.crossJoin(q).filter(F.col(id_col) != F.col("query_id"))
+    # |corpus|×|queries| dot products happen before the first shuffle —
+    # spread a narrow corpus scan across cores first
+    joined = fan_out(corpus).crossJoin(q).filter(F.col(id_col) != F.col("query_id"))
     scored = joined.select(
         F.col("query_id"),
         F.col(id_col).alias("match_id"),
@@ -134,7 +137,9 @@ def ann_topk_lsh(
     """
     tb = _table_buckets(vec_col, num_tables, planes_per_table, dim)
     c = (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        # the sketch evaluates num_tables×planes dot products per row
+        # before the bucket join shuffles — parallelize a narrow scan first
+        fan_out(corpus).select(F.col(id_col), F.col(vec_col))
         .select(F.col(id_col), F.col(vec_col), F.explode(tb).alias("__tb"))
     )
     qtb = _table_buckets("__qvec", num_tables, planes_per_table, dim)
