@@ -150,6 +150,62 @@ def nearest_join_gridded(
     return matched.unionByName(exact)
 
 
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str] | None = None,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with the
+    greatest ``right_ts`` ≤ ``left_ts`` within the same ``key`` (inclusive on
+    equality — DuckDB/pandas ``merge_asof`` semantics). Left rows with no
+    prior right row keep NULLs (left-outer).
+
+    Spark has no native as-of operator; the naive rewrite (range join +
+    window) shuffles |left|×|matching right| rows. This is the scale shape:
+    tag and union both sides, ONE shuffle on ``key``, one per-partition sort
+    on (ts, side), then ``last(ignorenulls)`` carries the most recent right
+    payload forward onto each left row. Cost is a single sort-merge pass —
+    the same plan a native as-of operator would pick. Hot keys are the skew
+    caveat (same as any keyed window).
+
+    ``right`` must be unique per (key, right_ts) — pre-aggregate if not
+    (duplicate timestamps make every engine's as-of nondeterministic).
+    """
+    rcols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+    payload = F.struct(
+        F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]
+    )
+    r = right.select(
+        F.col(key).alias("__k"),
+        F.col(right_ts).cast("timestamp").alias("__ts"),
+        F.lit(0).alias("__side"),
+        payload.alias("__p"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left.columns],
+    )
+    l = left.select(
+        F.col(key).alias("__k"),
+        F.col(left_ts).cast("timestamp").alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),
+        *left.columns,
+    )
+    # right rows sort before left rows at equal ts → equality matches
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = r.unionByName(l).withColumn("__match", F.last("__p", ignorenulls=True).over(w))
+    return carried.filter(F.col("__side") == 1).select(
+        *left.columns,
+        F.col("__match.__rts").alias("asof_" + right_ts),
+        *[F.col(f"__match.{c}").alias(c) for c in rcols],
+    )
+
+
 def zip_join(left: DataFrame, right: DataFrame, order_left: list[str], order_right: list[str]) -> DataFrame:
     """J5 — positional concat (``pd.concat(axis=1)``, google_maps_api.ipynb
     cell 13). Spark has no row order, so the fragile positional semantics are

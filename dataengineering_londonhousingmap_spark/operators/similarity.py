@@ -159,3 +159,146 @@ def ann_topk_lsh(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_near_dup(
+    corpus: DataFrame,
+    threshold: float = 0.42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    id_a < id_b and cosine ≥ threshold.
+
+    Without ``candidates`` this is the exact all-pairs self-join (broadcast
+    right side) — the oracle-exact baseline, quadratic, only for corpora that
+    fit a broadcast. At scale you ALWAYS pass a candidate-pair frame (e.g.
+    :func:`lsh_near_dup_candidates`): the plan becomes two equi-joins to
+    fetch vectors plus a per-pair cosine — linear in |candidates|.
+    """
+    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if candidates is not None:
+        pairs = candidates.join(a, "id_a").join(b, "id_b")
+    else:
+        pairs = fan_out(a).crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            cosine_similarity(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def lsh_near_dup_candidates(
+    corpus: DataFrame,
+    num_tables: int = 8,
+    planes_per_table: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Candidate (id_a, id_b) pairs for embedding near-dup via multi-table
+    hyperplane LSH self-join — same sketch family as :func:`ann_topk_lsh`,
+    joined corpus-to-corpus on (table, bucket). Distinct pairs, id_a < id_b.
+    """
+    tb = _table_buckets(vec_col, num_tables, planes_per_table, dim)
+    sketched = fan_out(corpus).select(
+        F.col(id_col), F.explode(tb).alias("__tb")
+    )
+    a = sketched.select(F.col(id_col).alias("id_a"), "__tb")
+    b = sketched.select(F.col(id_col).alias("id_b"), "__tb")
+    return (
+        a.join(b, "__tb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def ann_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "vec_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted lists
+    by nearest centroid, probe only the ``n_probe`` lists nearest each query,
+    exact-rerank inside them.
+
+    Centroid selection is deterministic (the ``n_centroids`` vectors with
+    smallest md5 of their id — a uniform pseudo-random sample, reproducible
+    across runs/engines; a production build would swap in trained k-means
+    centroids without touching the plan shape). The centroid table is tiny →
+    broadcast; corpus assignment is one narrow scan + min-struct; the probe
+    join is an equi-join on centroid id. The corpus is never shuffled
+    all-pairs — candidate volume ≈ (n_probe/n_centroids) × |corpus| per
+    query. Approximate: recall < 1 (rows-only correctness check; bruteforce
+    is the exact twin).
+    """
+    cent = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .select(
+            F.row_number().over(Window.orderBy(F.md5(F.col(id_col).cast("string")))).alias("__cid"),
+            F.col(vec_col).alias("__cvec"),
+        )
+    )
+    cent = F.broadcast(cent)
+
+    # inverted-list assignment: nearest centroid by cosine (min-struct on
+    # negated similarity → map-side partial agg, no window sort)
+    assigned = (
+        fan_out(corpus.select(F.col(id_col), F.col(vec_col)))
+        .crossJoin(cent)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__cid"),
+            (-cosine_similarity(F.col(vec_col), F.col("__cvec"))).alias("__negsim"),
+        )
+        .groupBy(id_col, vec_col)
+        .agg(F.min(F.struct("__negsim", "__cid")).alias("__m"))
+        .select(F.col(id_col), F.col(vec_col), F.col("__m.__cid").alias("__cid"))
+    )
+
+    # each query probes its n_probe nearest lists
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec"))
+    probes = (
+        q.crossJoin(cent)
+        .select(
+            "query_id",
+            "__qvec",
+            "__cid",
+            cosine_similarity(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
+        )
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("__sim").desc(), F.col("__cid"))
+            ),
+        )
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "__qvec", "__cid")
+    )
+
+    scored = (
+        assigned.join(probes, "__cid")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("match_id"),
+            cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -193,6 +193,17 @@ ORACLES: dict[str, str] = {
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
     """,
+    "q_join_asof": """
+        WITH r AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   max(o_orderkey) AS last_orderkey
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               r.o_orderdate AS asof_o_orderdate, r.last_orderkey
+        FROM events e
+        ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.o_orderdate
+    """,
     # -- aggregations -------------------------------------------------------
     "q_groupby_avg": """
         SELECT l_returnflag, l_linestatus,
@@ -213,6 +224,13 @@ ORACLES: dict[str, str] = {
                count(DISTINCT l_suppkey) AS n_suppliers,
                count(DISTINCT l_partkey) AS n_parts
         FROM lineitem GROUP BY l_returnflag
+    """,
+    "q_rollup": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS g,
+               count(*) AS n,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
     "q_argmin": """
         SELECT c_nationkey, c_custkey AS min_custkey,
@@ -393,7 +411,20 @@ ORACLES: dict[str, str] = {
             FROM scored
         ) WHERE rank <= 5
     """,
+    "q_dedup_embed_exact": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_DOT.format(a='a.embedding', b='b.embedding')}
+                     / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+                        * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})), 6) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+              / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+                 * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})) >= 0.42
+    """,
+    # q_dedup_embed: intentionally no oracle (LSH-candidate subset is
+    # approximate by design; q_dedup_embed_exact is the exact twin)
     # q_embed_ann_lsh: intentionally no oracle (approximate by design)
+    # q_embed_ann_ivf: intentionally no oracle (approximate by design)
     # -- training-data: text ------------------------------------------------
     "q_token_count": f"""
         SELECT doc_id,

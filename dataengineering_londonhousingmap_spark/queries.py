@@ -42,10 +42,22 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from .operators.joins import broadcast_map_join, nearest_join, nearest_join_gridded, zip_join
+from .operators.joins import (
+    asof_join,
+    broadcast_map_join,
+    nearest_join,
+    nearest_join_gridded,
+    zip_join,
+)
 from .operators.multimodal import extract_features, synthesize_media
 from .operators.reshape import sessionize_by_marker
-from .operators.similarity import ann_topk_bruteforce, ann_topk_lsh
+from .operators.similarity import (
+    ann_topk_bruteforce,
+    ann_topk_ivf,
+    ann_topk_lsh,
+    embedding_near_dup,
+    lsh_near_dup_candidates,
+)
 from .sources.io import read_csv, read_testdata, write_csv, write_parquet
 from .schemas import REGION
 
@@ -268,6 +280,28 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (backward): each event picks up the customer's most recent
+    order at-or-before the event time. Single union+sort pass on the key —
+    no range cross product (operators/joins.py:asof_join). The right side is
+    pre-deduped per (custkey, date): duplicate as-of timestamps are
+    nondeterministic in every engine."""
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"), F.col("o_orderdate")
+        )
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    out = asof_join(
+        events, orders,
+        key="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_cols=["last_orderkey"],
+    )
+    return out.select("event_id", "user_id", "ts", "asof_o_orderdate", "last_orderkey")
+
+
 # ---------------------------------------------------------------------------
 # §2.4 aggregations
 # ---------------------------------------------------------------------------
@@ -307,6 +341,22 @@ def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
         F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (returnflag → linestatus → grand total) with
+    grouping id — the multi-level aggregation the serving layer wants for
+    drill-down dashboards; Spark plans it as a single Expand+HashAggregate
+    (one shuffle for all levels)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("g"),
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
     )
 
 
@@ -512,6 +562,34 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: deterministic centroid sample → inverted-list
+    assignment → n_probe nearest lists per query → exact rerank
+    (approximate — rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ann_topk_ivf(emb, queries, k=5, n_centroids=16, n_probe=4)
+    return out.select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_dedup_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, exact all-pairs baseline: pairs with
+    cosine ≥ 0.42 (the synthetic corpus's near-dup band)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dup(emb, threshold=0.42)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, scale path: hyperplane-LSH self-join
+    candidates → exact cosine verify (approximate — rows-only check; the
+    exact twin above carries the oracle)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cand = lsh_near_dup_candidates(emb, num_tables=8, planes_per_table=4, dim=64)
+    out = embedding_near_dup(emb, threshold=0.42, candidates=cand)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: text analysis
 # ---------------------------------------------------------------------------
@@ -609,11 +687,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_join_nn": q_join_nn,
     "q_join_nn_gridded": q_join_nn_gridded,
     "q_join_zip": q_join_zip,
+    "q_join_asof": q_join_asof,
     "q_star_join": q_star_join,
     # aggregations
     "q_groupby_avg": q_groupby_avg,
     "q_groupby_window_avg": q_groupby_window_avg,
     "q_count_distinct": q_count_distinct,
+    "q_rollup": q_rollup,
     "q_argmin": q_argmin,
     "q_union_all": q_union_all,
     "q_null_audit": q_null_audit,
@@ -633,9 +713,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_simhash": q_dedup_simhash,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_dedup_embed_exact": q_dedup_embed_exact,
+    "q_dedup_embed": q_dedup_embed,
     # training-data: similarity
     "q_embed_topk": q_embed_topk,
     "q_embed_ann_lsh": q_embed_ann_lsh,
+    "q_embed_ann_ivf": q_embed_ann_ivf,
     # training-data: text
     "q_token_count": q_token_count,
     "q_text_quality": q_text_quality,

@@ -138,3 +138,68 @@ def test_mapinpandas_page_parser(spark):
     ads = parse_listing_pages(pages).collect()
     assert {r.ad_id for r in ads} == {"1", "2", "3"}
     assert {r.price_raw for r in ads} == {"£100,000", "£200,000", "£300,000"}
+
+
+def test_asof_join_semantics(spark):
+    from dataengineering_londonhousingmap_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1),  # after r@09, before r@11 → 09
+            (2, "2024-01-01 11:00:00", 1),  # equal ts → inclusive match
+            (3, "2024-01-01 08:00:00", 1),  # before any right row → NULL
+            (4, "2024-01-01 12:00:00", 2),  # key with no right rows → NULL
+        ],
+        "id long, ts string, k long",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"), "k")
+    right = spark.createDataFrame(
+        [
+            ("2024-01-01 09:00:00", 1, "a"),
+            ("2024-01-01 11:00:00", 1, "b"),
+        ],
+        "rts string, k long, v string",
+    ).select(F.col("rts").cast("timestamp").alias("rts"), "k", "v")
+
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="rts")
+    rows = {r.id: (str(r.asof_rts), r.v) for r in out.collect()}
+    assert rows[1] == ("2024-01-01 09:00:00", "a")
+    assert rows[2] == ("2024-01-01 11:00:00", "b")
+    assert rows[3] == ("None", None)
+    assert rows[4] == ("None", None)
+    assert out.count() == 4  # left-outer: every left row exactly once
+
+
+def test_embedding_near_dup_candidate_path_is_subset(spark, sf_dir):
+    from dataengineering_londonhousingmap_spark.operators.similarity import (
+        embedding_near_dup,
+        lsh_near_dup_candidates,
+    )
+    from dataengineering_londonhousingmap_spark.sources.io import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b) for r in embedding_near_dup(emb, threshold=0.42).collect()
+    }
+    cand = lsh_near_dup_candidates(emb, num_tables=8, planes_per_table=4, dim=64)
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup(emb, threshold=0.42, candidates=cand).collect()
+    }
+    assert exact, "threshold produced no pairs — test data drifted"
+    assert approx <= exact  # candidates only ever prefilter
+    assert len(approx) / len(exact) >= 0.4, "LSH near-dup recall suspiciously low"
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from dataengineering_londonhousingmap_spark.operators.similarity import ann_topk_ivf
+    from dataengineering_londonhousingmap_spark.sources.io import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = ann_topk_bruteforce(emb, queries, k=5)
+    approx = ann_topk_ivf(emb, queries, k=5, n_centroids=16, n_probe=4)
+    e = {(r.query_id, r.match_id) for r in exact.collect()}
+    a = {(r.query_id, r.match_id) for r in approx.collect()}
+    assert len(a) == len(e)  # always returns a full top-k
+    recall = len(e & a) / len(e)
+    assert recall >= 0.4, f"IVF recall suspiciously low: {recall}"
