@@ -497,6 +497,38 @@ ORACLES: dict[str, str] = {
     "q_stream_dedup": """
         SELECT event_id, user_id, event_type, value FROM events
     """,
+    "q_stream_sessions": """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        numbered AS (
+            SELECT *, sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess
+            FROM marked
+        ),
+        sessions AS (
+            SELECT user_id, sess,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events,
+                   round(sum(coalesce(value, 0)), 6) AS total_value
+            FROM numbered GROUP BY user_id, sess
+        )
+        -- emitted = closed by a successor event, or timed out once the
+        -- final watermark (global max ts - 2h) passed session end + gap;
+        -- only a user's trailing session younger than that stays in state
+        SELECT user_id, session_start, session_end, n_events, total_value
+        FROM sessions
+        WHERE sess < (SELECT max(sess) FROM sessions s2
+                      WHERE s2.user_id = sessions.user_id)
+           OR session_end + INTERVAL 30 MINUTE
+              < (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    """,
     # -- training-data: multimodal -----------------------------------------
     "q_multimodal_features": """
         SELECT doc_id AS asset_id,

@@ -665,6 +665,22 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(deduped, "q_stream_dedup_sink", "append")
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    30-minute inactivity-gap sessions. Deterministic emission — closed
+    sessions only — so a batch gaps-and-islands SQL (minus each user's
+    trailing open session) is an exact oracle."""
+    from .streaming.incremental import read_events_stream, run_stream_to_memory, sessionize_stream
+
+    events = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
+    sessions = sessionize_stream(events, gap_minutes=30)
+    out = run_stream_to_memory(sessions, "q_stream_sessions_sink", "append")
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -729,4 +745,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # streaming
     "q_stream_hourly": q_stream_hourly,
     "q_stream_dedup": q_stream_dedup,
+    "q_stream_sessions": q_stream_sessions,
 }

@@ -71,6 +71,99 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("start", T.TimestampType()),
+        T.StructField("end", T.TimestampType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user inactivity-gap sessionization (the streaming upgrade of the
+    batch marker-sessionization R5).
+
+    A session closes when the next event for the key is more than
+    ``gap_minutes`` later (emitted immediately) or when the event-time
+    watermark passes session end + gap (state timeout — bounded state, the
+    100 TB requirement). Emission semantics are deterministic: every session
+    whose successor arrived is emitted; each key's trailing open session
+    stays in state until timeout, so a finite run emits all-but-last session
+    per key (the batch oracle mirrors exactly that).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        sessions = []
+        if state.exists:
+            start, end, n, total = state.get
+        else:
+            start, end, n, total = None, None, 0, 0.0
+
+        rows = pd.concat(list(pdfs)) if not state.hasTimedOut else pd.DataFrame()
+        if len(rows):
+            rows = rows.sort_values("ts")
+            for ts, val in zip(rows["ts"], rows["value"]):
+                v = 0.0 if pd.isna(val) else float(val)
+                if start is None:
+                    start, end, n, total = ts, ts, 1, v
+                elif (ts - end).total_seconds() > gap_s:
+                    sessions.append((key[0], start, end, n, round(total, 6)))
+                    start, end, n, total = ts, ts, 1, v
+                else:
+                    end, n, total = ts, n + 1, total + v
+
+        if state.hasTimedOut:
+            if start is not None:
+                sessions.append((key[0], start, end, n, round(total, 6)))
+            state.remove()
+        else:
+            state.update((start, end, n, total))
+            # close the open session once the watermark passes end + gap
+            wm = state.getCurrentWatermarkMs()
+            timeout_ms = max(
+                int(end.timestamp() * 1000) + gap_s * 1000, wm + 1
+            )
+            state.setTimeoutTimestamp(timeout_ms)
+        yield pd.DataFrame(
+            sessions,
+            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUT,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,

@@ -93,3 +93,47 @@ def test_rollup_is_incremental_not_recompute(spark):
     # finite input: all-but-last windows are final under append semantics;
     # memory table exists and the query ran without AnalysisException
     assert spark.table("t_append_ok").columns == ["hour", "event_type", "avg_value", "n"]
+
+
+def test_sessionize_stream_gap_semantics(spark, tmp_path):
+    """Closed sessions emit with correct boundaries/aggregates; the trailing
+    session younger than the final watermark stays in state."""
+    import pandas as pd
+
+    from dataengineering_londonhousingmap_spark.streaming.incremental import sessionize_stream
+
+    src = str(tmp_path / "sess_src")
+    rows = [
+        # user 7: two sessions separated by a 40-min gap, then a late
+        # trailing session within the 2h watermark horizon of max ts
+        (7, "2024-01-01 10:00:00", 1.0),
+        (7, "2024-01-01 10:10:00", 2.0),
+        (7, "2024-01-01 10:50:01", 4.0),   # > 30 min after 10:10 → new session
+        (7, "2024-01-01 13:30:00", 8.0),   # trailing, stays open
+        # user 9: single session → nothing emitted
+        (9, "2024-01-01 11:00:00", 1.5),
+        (8, "2024-01-01 14:00:00", 0.5),   # advances global watermark
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    )
+    from dataengineering_londonhousingmap_spark.streaming.incremental import run_stream_to_memory
+
+    out = run_stream_to_memory(
+        sessionize_stream(stream, gap_minutes=30), "t_sessions", "append"
+    )
+    got = {
+        (r.user_id, str(r.session_start), r.n_events, r.total_value)
+        for r in out.collect()
+    }
+    # session 1 closed by successor; session 2 closed by watermark timeout
+    # (ends 10:50, +30min < 14:00 - 2h = 12:00); 13:30 session still open;
+    # user 9's session (11:00 +30min < 12:00) times out too
+    assert (7, "2024-01-01 10:00:00", 2, 3.0) in got
+    assert (7, "2024-01-01 10:50:01", 1, 4.0) in got
+    assert (9, "2024-01-01 11:00:00", 1, 1.5) in got
+    assert not any(u == 7 and s.startswith("2024-01-01 13:30") for u, s, _, _ in got)
