@@ -32,16 +32,21 @@ HEADLINE = [
     "q_groupby_window_avg",
     "q_join_nn",
     "q_join_nn_gridded",
+    "q_join_asof",
+    "q_rollup",
     "q_split_sessions",
     "q_dedup_exact",
     "q_dedup_minhash",
     "q_ngram_jaccard",
     "q_dedup_simhash",
+    "q_dedup_embed",
     "q_embed_topk",
+    "q_embed_ann_ivf",
     "q_text_quality",
     "q_token_count",
     "q_multimodal_features",
     "q_stream_hourly",
+    "q_stream_sessions",
 ]
 
 

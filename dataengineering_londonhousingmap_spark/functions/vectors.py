@@ -9,6 +9,8 @@ for when a real BLAS matmul wins (very high dimensionality × high k).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -31,3 +33,24 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     """cos(a,b) with zero-vector guard (NULL, matching DuckDB's NaN-avoid)."""
     denom = l2_norm(a) * l2_norm(b)
     return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+def cosine_similarity_batched(a: Column, b: Column) -> Column:
+    """Vectorized cosine via an Arrow-batched pandas UDF — one numpy matmul
+    per batch instead of 3×dim interpreted lambda evals per row.
+
+    Use on the hot approximate paths (candidate verify, ANN rerank) where
+    millions of pairs flow through. numpy's pairwise summation differs from
+    the sequential fold in the last ulps, so oracle-exact queries keep
+    :func:`cosine_similarity`; everything else should prefer this.
+    """
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        dots = np.einsum("ij,ij->i", A, B)
+        denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        out = np.where(denom > 0, dots / np.where(denom > 0, denom, 1.0), np.nan)
+        return pd.Series(out)
+
+    return _cos(a, b)

@@ -583,9 +583,15 @@ def q_dedup_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, scale path: hyperplane-LSH self-join
     candidates → exact cosine verify (approximate — rows-only check; the
-    exact twin above carries the oracle)."""
+    exact twin above carries the oracle).
+
+    8 planes/table (256 buckets): the candidate self-join is quadratic per
+    bucket, so bucket granularity — not table count — is the scale knob. At
+    a production near-dup threshold (cos ≥ 0.9, per-plane collision p≈0.86)
+    8 tables × 8 planes gives recall ≈ 0.96; this corpus's 0.42 band is far
+    below that design point, which is why the exact twin exists."""
     emb = _t(spark, sf_dir, "embeddings")
-    cand = lsh_near_dup_candidates(emb, num_tables=8, planes_per_table=4, dim=64)
+    cand = lsh_near_dup_candidates(emb, num_tables=8, planes_per_table=8, dim=64)
     out = embedding_near_dup(emb, threshold=0.42, candidates=cand)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
