@@ -506,10 +506,19 @@ def q_split_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-hash exact dedup over documents: md5-of-normalized-text
-    fingerprint, min-doc_id survivor."""
+    fingerprint, min-doc_id survivor.
+
+    Narrow plan: since only (doc_id, fingerprint) is served, the groupBy IS
+    the result — one shuffle of hash+id pairs; the text column never moves.
+    (``dedup_by_fingerprint`` is the general operator when full surviving
+    rows are needed — its semi-join back would shuffle the payload.)"""
+    from .operators.util import fan_out
+
     docs = _t(spark, sf_dir, "documents")
-    survivors = dedup_by_fingerprint(docs, "doc_id", "text")
-    return survivors.select("doc_id", doc_fingerprint("text").alias("fingerprint"))
+    fp = fan_out(docs).select(doc_fingerprint(F.col("text")).alias("fingerprint"), F.col("doc_id"))
+    return fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id", "fingerprint"
+    )
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

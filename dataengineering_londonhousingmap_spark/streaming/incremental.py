@@ -123,16 +123,30 @@ def sessionize_stream(
 
         rows = pd.concat(list(pdfs)) if not state.hasTimedOut else pd.DataFrame()
         if len(rows):
+            # vectorized gaps-and-islands: carried-over state is prepended
+            # as a pseudo-session so batch boundaries don't split sessions
             rows = rows.sort_values("ts")
-            for ts, val in zip(rows["ts"], rows["value"]):
-                v = 0.0 if pd.isna(val) else float(val)
-                if start is None:
-                    start, end, n, total = ts, ts, 1, v
-                elif (ts - end).total_seconds() > gap_s:
-                    sessions.append((key[0], start, end, n, round(total, 6)))
-                    start, end, n, total = ts, ts, 1, v
-                else:
-                    end, n, total = ts, n + 1, total + v
+            ts = rows["ts"].reset_index(drop=True)
+            val = rows["value"].fillna(0.0).reset_index(drop=True)
+            prev_end = ts.shift(1)
+            if start is not None:
+                prev_end.iloc[0] = end
+            new_sess = prev_end.isna() | ((ts - prev_end).dt.total_seconds() > gap_s)
+            sess_id = new_sess.cumsum()
+            g = pd.DataFrame({"ts": ts, "val": val, "sid": sess_id}).groupby("sid")
+            agg = g.agg(s=("ts", "min"), e=("ts", "max"), n=("ts", "size"), t=("val", "sum"))
+            first = agg.iloc[0]
+            if start is not None and not new_sess.iloc[0]:
+                # first batch-session continues the carried one
+                agg.iloc[0] = (start, first["e"], first["n"] + n, first["t"] + total)
+            elif start is not None:
+                sessions.append((key[0], start, end, n, round(total, 6)))
+            for s, e, cnt, tot in agg.iloc[:-1].itertuples(index=False):
+                sessions.append((key[0], s, e, int(cnt), round(float(tot), 6)))
+            start, end, n, total = (
+                agg.iloc[-1]["s"], agg.iloc[-1]["e"],
+                int(agg.iloc[-1]["n"]), float(agg.iloc[-1]["t"]),
+            )
 
         if state.hasTimedOut:
             if start is not None:
