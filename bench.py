@@ -33,6 +33,8 @@ HEADLINE = [
     "q_join_nn",
     "q_join_nn_gridded",
     "q_join_asof",
+    "q_join_salted",
+    "q_join_bucketed",
     "q_rollup",
     "q_split_sessions",
     "q_dedup_exact",

@@ -206,6 +206,33 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi-join: the big ``left`` side gets a deterministic
+    salt (md5 of its whole row, mod ``salt``) appended to the key; the small
+    ``right`` side is exploded ×``salt`` so every salted key still matches.
+    A hot key's rows now spread over ``salt`` shuffle partitions instead of
+    one straggler task. Result is row-identical to the plain join.
+
+    Use when a handful of keys dominate (the reference's analog: every
+    listing near King's Cross) and AQE's skew-join split isn't available or
+    isn't enough. Right side grows ×salt — keep it the dimension side.
+    """
+    lsalt = F.pmod(
+        F.abs(F.hash(*[F.col(c) for c in left.columns])), F.lit(salt)
+    ).alias("__salt")
+    l = left.select("*", lsalt)
+    r = right.select(
+        "*", F.explode(F.array(*[F.lit(i) for i in range(salt)])).alias("__salt")
+    )
+    return l.join(r, [key, "__salt"], how).drop("__salt")
+
+
 def zip_join(left: DataFrame, right: DataFrame, order_left: list[str], order_right: list[str]) -> DataFrame:
     """J5 — positional concat (``pd.concat(axis=1)``, google_maps_api.ipynb
     cell 13). Spark has no row order, so the fragile positional semantics are

@@ -193,6 +193,18 @@ ORACLES: dict[str, str] = {
         JOIN region   ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
     """,
+    "q_join_salted": """
+        SELECT s_name, count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+    """,
+    "q_join_bucketed": """
+        SELECT o_orderpriority, count(*) AS n_items,
+               round(sum(l_extendedprice), 2) AS total_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
     "q_join_asof": """
         WITH r AS (
             SELECT o_custkey AS user_id, o_orderdate,

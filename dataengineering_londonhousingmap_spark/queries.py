@@ -47,6 +47,7 @@ from .operators.joins import (
     broadcast_map_join,
     nearest_join,
     nearest_join_gridded,
+    salted_join,
     zip_join,
 )
 from .operators.multimodal import extract_features, synthesize_media
@@ -255,6 +256,48 @@ def q_join_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return zip_join(region, nation5, ["r_regionkey"], ["n_nationkey"]).select(
         "r_name", "n_name"
+    )
+
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact⋈dim join via deterministic salting
+    (operators/joins.py:salted_join): hot keys spread across salt×
+    partitions; result identical to the plain join, so the plain SQL is the
+    oracle."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey"), F.col("l_extendedprice"), F.col("l_quantity")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), F.col("s_name")
+    )
+    joined = salted_join(li, supp, key="l_suppkey", salt=8)
+    return joined.groupBy("s_name").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located fact⋈fact join: both sides written bucketed+sorted on the
+    join key (16 buckets), so the sort-merge join needs NO exchange and no
+    sort — the physical plan the 100 TB deployment would get from a bucketed
+    lakehouse layout. The bucketed copies live under the stage dir."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    for df, name, key in ((li, "b_lineitem", "l_orderkey"), (orders, "b_orders", "o_orderkey")):
+        (
+            df.write.bucketBy(16, key)
+            .sortBy(key)
+            .mode("overwrite")
+            .option("path", os.path.join(STAGE_DIR, "bucketed", name))
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+    joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
 
 
@@ -542,7 +585,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale — the unfiltered shingle self-join is quadratic on hot
     shingles (OOMs at 5k docs already)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", w=8)
+    # the shingle set feeds 4 subtrees (signatures, sizes, both intersection
+    # sides) — persist so the explode+distinct runs once, not four times
+    sh = char_shingles(docs, "doc_id", "text", w=8).persist()
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     out = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
@@ -719,6 +764,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_join_nn_gridded": q_join_nn_gridded,
     "q_join_zip": q_join_zip,
     "q_join_asof": q_join_asof,
+    "q_join_salted": q_join_salted,
+    "q_join_bucketed": q_join_bucketed,
     "q_star_join": q_star_join,
     # aggregations
     "q_groupby_avg": q_groupby_avg,

@@ -203,3 +203,42 @@ def test_ann_ivf_recall_vs_bruteforce(spark, sf_dir):
     assert len(a) == len(e)  # always returns a full top-k
     recall = len(e & a) / len(e)
     assert recall >= 0.4, f"IVF recall suspiciously low: {recall}"
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    from dataengineering_londonhousingmap_spark.operators.joins import salted_join
+    from dataengineering_londonhousingmap_spark.sources.io import read_testdata
+
+    li = read_testdata(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    supp = read_testdata(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name"
+    )
+    plain = li.join(supp, "l_suppkey").groupBy("s_name").count()
+    salted = salted_join(li, supp, key="l_suppkey", salt=4).groupBy("s_name").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    """With broadcast disabled, the bucketed+sorted layout must sort-merge
+    join with NO exchange and NO sort — the co-located 100TB plan."""
+    import io, contextlib
+
+    from dataengineering_londonhousingmap_spark.queries import QUERIES
+
+    QUERIES["q_join_bucketed"](spark, sf_dir)  # (re)writes the bucketed tables
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        join_pos = plan.find("SortMergeJoin")
+        assert join_pos > 0, plan
+        head = plan[:join_pos]
+        assert "Exchange" not in head, plan
+        assert "(4) Sort" not in head and "(2) Sort" not in head
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
