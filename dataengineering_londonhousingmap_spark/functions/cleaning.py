@@ -55,10 +55,12 @@ def extract_int(col: Column | str, default: int) -> Column:
     defaults (0 for bathrooms .py:390, 1 for reception .py:395).
 
     ``regexp_extract`` returns '' on no-match; '' casts to NULL; coalesce
-    applies the default.
+    applies the default. bigint, not int: the reference's Python int is
+    unbounded, and an int32 cast would overflow long digit runs to NULL and
+    silently hand them the default.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(F.regexp_extract(c, r"(\d+)", 1).cast("int"), F.lit(default))
+    return F.coalesce(F.regexp_extract(c, r"(\d+)", 1).cast("bigint"), F.lit(default))
 
 
 # ---------------------------------------------------------------------------

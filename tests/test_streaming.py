@@ -137,3 +137,42 @@ def test_sessionize_stream_gap_semantics(spark, tmp_path):
     assert (7, "2024-01-01 10:50:01", 1, 4.0) in got
     assert (9, "2024-01-01 11:00:00", 1, 1.5) in got
     assert not any(u == 7 and s.startswith("2024-01-01 13:30") for u, s, _, _ in got)
+
+
+def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
+    """A parquet-sink stream restarted from its checkpoint must not
+    re-emit already-committed micro-batches (the engine's answer to the
+    reference's double-insert-on-retry load path)."""
+    import pandas as pd
+
+    src = str(tmp_path / "cp_src")
+    sink = str(tmp_path / "cp_sink")
+    cp = str(tmp_path / "cp_state")
+
+    pdf = pd.DataFrame(
+        {"event_id": range(100), "value": [float(i) for i in range(100)]}
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("event_id long, value double")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", cp)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    run_once()  # restart from checkpoint, no new source data
+    n2 = spark.read.parquet(sink).count()
+    assert n1 == 100
+    assert n2 == 100, f"restart duplicated rows: {n2}"
