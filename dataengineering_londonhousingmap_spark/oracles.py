@@ -97,6 +97,20 @@ ORACLES: dict[str, str] = {
         WHERE l_quantity > 30 AND l_shipdate >= TIMESTAMP '1998-01-01'
     """,
     "q_scan_csv": "SELECT r_regionkey, r_name FROM region",
+    "q_sql_entry": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "q_sink_partitioned": """
+        SELECT event_id, user_id, value, event_type
+        FROM events WHERE event_type = 'click'
+    """,
     "q_sink_parquet": """
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_orderstatus = 'O'

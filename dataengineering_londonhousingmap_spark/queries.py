@@ -103,6 +103,42 @@ def q_sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
+_SQL_PRICING_SUMMARY = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_sql_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry point 3.3 (SURVEY §3.3): a raw ANSI-SQL string through
+    ``spark.sql`` over registered views — the Catalyst replacement for the
+    reference's PGWrapper→Postgres path (query_testing.ipynb:51-95). The
+    SAME string is the DuckDB oracle: one query text, two engines."""
+    from .sources.io import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(_SQL_PRICING_SUMMARY)
+
+
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned Parquet sink + partition-pruned scan: events written
+    partitioned by event_type (the air_quality-by-date layout, SURVEY §4.1);
+    the read-back filter prunes to one directory (PartitionFilters in
+    .explain, asserted in tests) — at 100 TB this is the difference between
+    scanning a day and scanning a decade."""
+    path = os.path.join(STAGE_DIR, "events_by_type")
+    ev = _t(spark, sf_dir, "events")
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    return back.select("event_id", "user_id", "value", "event_type")
+
+
 def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/R4: semi-structured JSON payload → typed columns
     (the LondonAir payload flatten, pipeline .py:734-747)."""
@@ -750,6 +786,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_parquet": q_scan_parquet,
     "q_scan_csv": q_scan_csv,
     "q_sink_parquet": q_sink_parquet,
+    "q_sink_partitioned": q_sink_partitioned,
+    "q_sql_entry": q_sql_entry,
     "q_json_flatten": q_json_flatten,
     # projections / filters
     "q_project": q_project,

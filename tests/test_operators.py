@@ -242,3 +242,16 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
         assert "(4) Sort" not in head and "(2) Sort" not in head
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    import io, contextlib
+
+    from dataengineering_londonhousingmap_spark.queries import QUERIES
+
+    df = QUERIES["q_sink_partitioned"](spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [isnotnull(event_type" in plan, plan
