@@ -28,6 +28,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 HEADLINE = [
     "q_scan_parquet",
     "q_star_join",
+    "q_pipeline_listings",
     "q_groupby_avg",
     "q_groupby_window_avg",
     "q_join_nn",

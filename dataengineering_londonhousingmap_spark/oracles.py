@@ -121,6 +121,47 @@ ORACLES: dict[str, str] = {
                event_type
         FROM events
     """,
+    "q_pipeline_listings": """
+        WITH raw AS (
+            SELECT CAST(l_orderkey AS VARCHAR) AS ad_id,
+                   printf('https://ex.com/prop/%d/%d-%d-%d-%d-%d',
+                          l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                          CAST(floor(l_extendedprice * 100) AS BIGINT),
+                          CAST(floor(l_quantity) AS BIGINT)) AS link,
+                   CASE WHEN l_linenumber = 7 THEN 'POA'
+                        ELSE printf('£%d,%03d',
+                                    CAST(floor(l_extendedprice) AS BIGINT) // 1000,
+                                    CAST(floor(l_extendedprice) AS BIGINT) % 1000)
+                   END AS price_raw,
+                   printf('0.%02d miles Station %d',
+                          l_partkey % 100, l_suppkey % 40) AS transport_raw
+            FROM lineitem
+        ),
+        parsed AS (
+            SELECT ad_id, link,
+                   CAST(regexp_replace(price_raw, '[^0-9.]', '', 'g') AS DOUBLE) AS price,
+                   CAST(string_split(transport_raw, ' miles ')[1] AS DOUBLE)
+                       * 1.609344 AS distance_km,
+                   string_split(transport_raw, ' miles ')[2] AS subway_station
+            FROM raw
+            WHERE regexp_matches(price_raw, '^[£,0-9]+$')
+              AND contains(transport_raw, ' miles ')
+        ),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY ad_id ORDER BY link) AS rn
+                FROM parsed
+            ) WHERE rn = 1
+        )
+        SELECT subway_station,
+               round(avg(price), 2) AS avg_price,
+               count(*) AS n_listings,
+               round(min(price), 2) AS min_price,
+               round(max(price), 2) AS max_price
+        FROM deduped
+        WHERE distance_km < 1.0 AND price IS NOT NULL AND subway_station IS NOT NULL
+        GROUP BY subway_station
+    """,
     # -- projections / filters ---------------------------------------------
     "q_project": "SELECT c_custkey, c_name, c_mktsegment AS segment FROM customer",
     "q_filter": """

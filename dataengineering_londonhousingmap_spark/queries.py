@@ -150,6 +150,55 @@ def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's production pipeline end-to-end, oracle-checked:
+    raw-shaped listings (malformed 'POA' prices, '£12,345' money strings,
+    'None' bedroom strings, '0.57 miles Station 12' transport cells,
+    colliding ad_ids) → validity filter (F2) → price parse (F1) → miles
+    split (F5) → unit conversion → first-seen dedup (O4) → THE serving
+    aggregate (A3, README.md:4: avg price per station within 1 km).
+
+    Synthesis uses only integer-valued doubles and printf formatting so
+    every intermediate is bit-identical in DuckDB.
+    """
+    from .pipelines.listings import clean_zoopla
+    from .pipelines.serving import station_price_summary
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.floor(F.col("l_extendedprice")).cast("long")
+    raw = li.select(
+        F.col("l_orderkey").cast("string").alias("ad_id"),
+        # (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+        # the link embeds enough columns to be a total key, so the
+        # first-seen dedup's ORDER BY link has no ties to break arbitrarily
+        F.format_string(
+            "https://ex.com/prop/%d/%d-%d-%d-%d-%d",
+            F.col("l_orderkey"), F.col("l_linenumber"),
+            F.col("l_partkey"), F.col("l_suppkey"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long"),
+            F.floor(F.col("l_quantity")).cast("long"),
+        ).alias("link"),
+        F.when(F.col("l_linenumber") == 7, F.lit("POA"))
+        .otherwise(
+            F.format_string("£%d,%03d", F.expr("floor(l_extendedprice) div 1000"), p % 1000)
+        )
+        .alias("price_raw"),
+        F.when(F.col("l_linenumber") % 5 == 0, F.lit("None"))
+        .otherwise((F.floor(F.col("l_quantity")).cast("long") % 6).cast("string"))
+        .alias("bedrooms"),
+        F.lit("1").alias("bathrooms"),
+        F.lit("1").alias("living_rooms"),
+        F.lit("addr").alias("address"),
+        F.format_string(
+            "0.%02d miles Station %d",
+            F.col("l_partkey") % 100,
+            F.col("l_suppkey") % 40,
+        ).alias("transport_raw"),
+    )
+    cleaned = clean_zoopla(raw, order_col="link")
+    return station_price_summary(cleaned, radius_km=1.0)
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projections / filters
 # ---------------------------------------------------------------------------
@@ -788,6 +837,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sink_parquet": q_sink_parquet,
     "q_sink_partitioned": q_sink_partitioned,
     "q_sql_entry": q_sql_entry,
+    "q_pipeline_listings": q_pipeline_listings,
     "q_json_flatten": q_json_flatten,
     # projections / filters
     "q_project": q_project,
