@@ -162,6 +162,73 @@ ORACLES: dict[str, str] = {
         WHERE distance_km < 1.0 AND price IS NOT NULL AND subway_station IS NOT NULL
         GROUP BY subway_station
     """,
+    "q_pipeline_dexters": """
+        WITH raw AS (
+            SELECT CAST(l_orderkey AS VARCHAR) AS ad_id,
+                   printf('https://dex.com/%d/%d-%d-%d-%d-%d',
+                          l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                          CAST(floor(l_extendedprice * 100) AS BIGINT),
+                          CAST(floor(l_quantity) AS BIGINT)) AS link,
+                   CASE WHEN l_linenumber % 7 = 6 THEN 'POA'
+                        ELSE printf('£%d,%03d',
+                                    CAST(floor(l_extendedprice) AS BIGINT) // 1000,
+                                    CAST(floor(l_extendedprice) AS BIGINT) % 1000)
+                   END AS price_raw,
+                   CASE WHEN l_linenumber % 7 = 3 THEN 'far'
+                        ELSE printf('%dm', l_partkey % 2000) END AS distance_raw,
+                   CASE WHEN l_linenumber % 7 = 3
+                            THEN printf('Station %d %dm', l_suppkey % 40, l_partkey % 2000)
+                        WHEN l_linenumber % 7 = 4
+                            THEN printf('Victoria Hub%d', l_suppkey % 40)
+                        WHEN l_linenumber % 7 = 5
+                            THEN printf('Stop Network Rail Cross%d', l_suppkey % 40)
+                        ELSE printf('Station %d', l_suppkey % 40) END AS s_raw,
+                   printf('Line %d', l_partkey % 11) AS tube_line
+            FROM lineitem
+        ),
+        rep AS (
+            SELECT *, NOT regexp_matches(distance_raw, '[0-9]') AS leak,
+                   string_split(s_raw, ' ') AS toks
+            FROM raw WHERE regexp_matches(price_raw, '^[£,0-9]+$')
+        ),
+        s1 AS (
+            SELECT ad_id, link, tube_line,
+                   CAST(replace(replace(price_raw, '£', ''), ',', '') AS DOUBLE) AS price,
+                   CASE WHEN leak THEN array_to_string(toks[1:len(toks)-1], ' ')
+                        ELSE s_raw END AS station1,
+                   CASE WHEN leak THEN toks[len(toks)] ELSE distance_raw END AS distance1
+            FROM rep
+        ),
+        s2 AS (
+            SELECT ad_id, link, tube_line, price, distance1,
+                   CASE WHEN contains(station1, 'Victoria')
+                        THEN CASE WHEN (string_split(station1, ' '))[1] = 'Victoria'
+                                       AND len(string_split(station1, ' ')) >= 2
+                                  THEN (string_split(station1, ' '))[2]
+                                  ELSE 'Victoria' END
+                        ELSE station1 END AS station2
+            FROM s1
+        ),
+        s3 AS (
+            SELECT ad_id, link, tube_line, price,
+                   CASE WHEN regexp_matches(station2,
+                                 'London Overground|Railway|Network Rail|Tramlink')
+                        THEN (string_split(station2, ' '))[len(string_split(station2, ' '))]
+                        ELSE station2 END AS subway_station,
+                   CAST(regexp_replace(distance1, 'm$', '') AS DOUBLE) / 1000.0
+                       AS distance_km
+            FROM s2
+        ),
+        ded AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY ad_id ORDER BY link) AS rn
+                FROM s3
+            ) WHERE rn = 1
+        )
+        SELECT ad_id, round(price, 2) AS price, subway_station,
+               round(distance_km, 6) AS distance_km, tube_line
+        FROM ded
+    """,
     # -- projections / filters ---------------------------------------------
     "q_project": "SELECT c_custkey, c_name, c_mktsegment AS segment FROM customer",
     "q_filter": """

@@ -199,6 +199,61 @@ def q_pipeline_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return station_price_summary(cleaned, radius_km=1.0)
 
 
+def q_pipeline_dexters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dexters-side cleaning pipeline with its three station-repair
+    passes, oracle-checked end-to-end: leaked-distance repair (strip last
+    token back into the distance, .py:560-576), Victoria disambiguation
+    (.py:579-587), forbidden-rail-brand collapse (.py:545-557), plus price
+    parse, metre→km conversion, and first-seen dedup. Each repair branch is
+    deliberately synthesized (l_linenumber mod 7 selects the quirk)."""
+    from .pipelines.listings import clean_dexters
+
+    li = _t(spark, sf_dir, "lineitem")
+    branch = F.col("l_linenumber") % 7
+    station_n = F.col("l_suppkey") % 40
+    metres = F.col("l_partkey") % 2000
+    raw = li.select(
+        F.col("l_orderkey").cast("string").alias("ad_id"),
+        F.format_string(
+            "https://dex.com/%d/%d-%d-%d-%d-%d",
+            F.col("l_orderkey"), F.col("l_linenumber"),
+            F.col("l_partkey"), F.col("l_suppkey"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long"),
+            F.floor(F.col("l_quantity")).cast("long"),
+        ).alias("link"),
+        F.when(branch == 6, F.lit("POA"))
+        .otherwise(
+            F.format_string(
+                "£%d,%03d",
+                F.expr("floor(l_extendedprice) div 1000"),
+                F.floor(F.col("l_extendedprice")).cast("long") % 1000,
+            )
+        )
+        .alias("price_raw"),
+        (F.floor(F.col("l_quantity")).cast("long") % 6).cast("string").alias("bedrooms"),
+        F.lit("1").alias("bathrooms"),
+        F.lit("1").alias("reception"),
+        F.lit("addr").alias("address"),
+        F.when(branch == 3, F.lit("far")).otherwise(
+            F.format_string("%dm", metres)
+        ).alias("distance_raw"),
+        F.when(branch == 3, F.format_string("Station %d %dm", station_n, metres))
+        .when(branch == 4, F.format_string("Victoria Hub%d", station_n))
+        .when(branch == 5, F.format_string("Stop Network Rail Cross%d", station_n))
+        .otherwise(F.format_string("Station %d", station_n))
+        .alias("subway_station_raw"),
+        F.format_string("Line %d", F.col("l_partkey") % 11).alias("tube_line"),
+    )
+    out = clean_dexters(raw, order_col="link")
+    return out.select(
+        "ad_id",
+        F.round("price", 2).alias("price"),
+        "subway_station",
+        F.round("distance_km", 6).alias("distance_km"),
+        "tube_line",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projections / filters
 # ---------------------------------------------------------------------------
@@ -838,6 +893,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sink_partitioned": q_sink_partitioned,
     "q_sql_entry": q_sql_entry,
     "q_pipeline_listings": q_pipeline_listings,
+    "q_pipeline_dexters": q_pipeline_dexters,
     "q_json_flatten": q_json_flatten,
     # projections / filters
     "q_project": q_project,
