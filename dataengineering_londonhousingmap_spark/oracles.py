@@ -229,6 +229,14 @@ ORACLES: dict[str, str] = {
                round(distance_km, 6) AS distance_km, tube_line
         FROM ded
     """,
+    "q_pipeline_air": """
+        SELECT 'S' || CAST(user_id % 20 AS VARCHAR) AS site_code,
+               event_type AS species_code,
+               date_trunc('hour', ts) AS hour,
+               round(avg(coalesce(value, 0)), 6) AS avg_value,
+               count(*) AS n
+        FROM events GROUP BY 1, 2, 3
+    """,
     # -- projections / filters ---------------------------------------------
     "q_project": "SELECT c_custkey, c_name, c_mktsegment AS segment FROM customer",
     "q_filter": """

@@ -254,6 +254,48 @@ def q_pipeline_dexters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_air(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The air-quality pipeline end-to-end: events re-shaped into the
+    LondonAir nested-JSON payload (one payload per site, Data[] of hourly
+    measures, NULL values as the API's empty strings), then the real ingest
+    path — from_json → explode → typed cast with ''→0 coercion (.py:747) —
+    and the A4 hourly rollup. The oracle computes the same rollup straight
+    from events, so the whole JSON roundtrip is what's being checked."""
+    from .pipelines.air import hourly_air_rollup, ingest_air_payloads
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("S"), (F.col("user_id") % 20).cast("string")).alias("site_code"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("mts"),
+        "event_type",
+        "value",
+    )
+    data = F.struct(
+        F.col("mts").alias("@MeasurementDateGMT"),
+        F.col("event_type").alias("@SpeciesCode"),
+        F.coalesce(F.col("value").cast("string"), F.lit("")).alias("@Value"),
+    )
+    payloads = (
+        ev.groupBy("site_code")
+        .agg(F.collect_list(data).alias("Data"))
+        .select(
+            F.to_json(
+                F.struct(
+                    F.struct(
+                        F.col("site_code").alias("@SiteCode"),
+                        F.col("Data").alias("Data"),
+                    ).alias("AirQualityData")
+                )
+            ).alias("payload")
+        )
+    )
+    air = ingest_air_payloads(payloads)
+    rollup = hourly_air_rollup(air)
+    return rollup.select(
+        "site_code", "species_code", "hour",
+        F.round("avg_value", 6).alias("avg_value"), "n",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projections / filters
 # ---------------------------------------------------------------------------
@@ -894,6 +936,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sql_entry": q_sql_entry,
     "q_pipeline_listings": q_pipeline_listings,
     "q_pipeline_dexters": q_pipeline_dexters,
+    "q_pipeline_air": q_pipeline_air,
     "q_json_flatten": q_json_flatten,
     # projections / filters
     "q_project": q_project,
