@@ -78,6 +78,11 @@ _LANG_LISTS = {
     "es": "['el','los','las','es','una','por','con','para']",
 }
 
+_LANG_LISTS_DE = _LANG_LISTS["de"]
+_LANG_LISTS_EN = _LANG_LISTS["en"]
+_LANG_LISTS_ES = _LANG_LISTS["es"]
+_LANG_LISTS_FR = _LANG_LISTS["fr"]
+
 _DOT = (
     "list_sum(list_transform(generate_series(1, 64), "
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
@@ -616,6 +621,50 @@ ORACLES: dict[str, str] = {
                     WHEN es >= fr THEN 'es'
                     ELSE 'fr' END AS lang_pred
         FROM hits
+    """,
+    "q_corpus_curation": f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   length(text) AS nc,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                   len({_TOKENS}) AS ntok,
+                   len(list_filter({_TOKENS},
+                       t -> list_contains({_STOPWORDS_SQL}, lower(t)))) AS stop_hits
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, text,
+                   round(
+                       least(nc / 500.0, 1.0) * 0.25
+                       + (alpha / greatest(nc, 1)) * 0.25
+                       + least((stop_hits / greatest(ntok, 1)) * 5.0, 1.0) * 0.25
+                       + (CASE WHEN alpha / greatest(ntok, 1) BETWEEN 3.0 AND 12.0
+                               THEN 1.0 ELSE 0.5 END) * 0.25
+                   , 6) AS quality
+            FROM base
+        ),
+        langs AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS_DE}, t))) AS BIGINT) AS de,
+                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS_EN}, t))) AS BIGINT) AS en,
+                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS_ES}, t))) AS BIGINT) AS es,
+                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS_FR}, t))) AS BIGINT) AS fr
+            FROM (SELECT doc_id, list_transform({_TOKENS}, t -> lower(t)) AS tk FROM documents)
+        ),
+        kept AS (
+            SELECT s.doc_id, s.quality,
+                   md5(trim(regexp_replace(lower(s.text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM scored s JOIN langs l ON s.doc_id = l.doc_id
+            WHERE s.quality >= 0.6
+              AND greatest(l.de, l.en, l.es, l.fr) > 0
+              AND NOT (l.de >= l.en AND l.de >= l.es AND l.de >= l.fr)
+              AND (l.en >= l.es AND l.en >= l.fr)
+        )
+        SELECT doc_id, fingerprint, quality FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY fingerprint ORDER BY doc_id) AS rn
+            FROM kept
+        ) WHERE rn = 1
     """,
     "q_fingerprint": r"""
         SELECT doc_id,

@@ -859,6 +859,30 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", lang_id_scores("text").alias("lang_pred"))
 
 
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical training-data curation pipeline in ONE declarative
+    plan: quality scoring → language filter (en) → exact near-dup removal
+    (content fingerprint, min-id survivor). Everything stays in codegen
+    until the single dedup shuffle of (fingerprint, id, quality) triples —
+    the text column never moves past the scan. Thresholds compare ROUNDED
+    quality so the cut is engine-stable."""
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "text",
+        F.round(quality_score("text"), 6).alias("quality"),
+        lang_id_scores("text").alias("lang"),
+    )
+    kept = enriched.filter((F.col("quality") >= 0.6) & (F.col("lang") == "en"))
+    fp = kept.select(
+        doc_fingerprint(F.col("text")).alias("fingerprint"), "doc_id", "quality"
+    )
+    surv = fp.groupBy("fingerprint").agg(F.min(F.struct("doc_id", "quality")).alias("s"))
+    return surv.select(
+        F.col("s.doc_id").alias("doc_id"), "fingerprint", F.col("s.quality").alias("quality")
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -989,6 +1013,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_quality": q_text_quality,
     "q_lang_id": q_lang_id,
     "q_fingerprint": q_fingerprint,
+    "q_corpus_curation": q_corpus_curation,
     # training-data: multimodal
     "q_multimodal_features": q_multimodal_features,
     # streaming

@@ -255,3 +255,33 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
         df.explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters: [isnotnull(event_type" in plan, plan
+
+
+def test_no_rowwise_python_or_accidental_cartesian(spark, sf_dir):
+    """Engine-wide plan invariants: no row-at-a-time Python UDFs anywhere
+    (BatchEvalPython — only Arrow paths allowed), and no cartesian product
+    outside the operators that intentionally broadcast-cross (NN join,
+    brute-force ANN, near-dup baseline)."""
+    import io, contextlib
+
+    from dataengineering_londonhousingmap_spark.queries import QUERIES
+
+    CROSS_OK = {
+        "q_join_nn", "q_join_nn_gridded", "q_embed_topk",
+        "q_dedup_embed_exact", "q_embed_ann_ivf", "q_argmin",
+    }
+    STREAMING = {"q_stream_hourly", "q_stream_dedup", "q_stream_sessions"}
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name in STREAMING:  # memory-sink results, plan already executed
+            continue
+        df = fn(spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        if "BatchEvalPython" in plan:
+            offenders.append((name, "row-wise PythonUDF"))
+        if "CartesianProduct" in plan and name not in CROSS_OK:
+            offenders.append((name, "unexpected CartesianProduct"))
+    assert not offenders, offenders
