@@ -677,6 +677,14 @@ ORACLES: dict[str, str] = {
                ) AS BIGINT) AS rhash
         FROM documents
     """,
+    "q_multimodal_frames": """
+        SELECT doc_id AS asset_id,
+               CAST(doc_id % 60000 AS INTEGER) AS duration_ms,
+               CAST(unnest(generate_series(0,
+                    greatest(CAST(doc_id % 60000 AS INTEGER) - 1, 0), 1000))
+                    AS INTEGER) AS frame_ts_ms
+        FROM documents WHERE doc_id % 3 = 2
+    """,
     # -- streaming ----------------------------------------------------------
     # real Structured Streaming runs; the batch SQL below is the semantic
     # equivalent the stream must converge to on finite input

@@ -50,7 +50,7 @@ from .operators.joins import (
     salted_join,
     zip_join,
 )
-from .operators.multimodal import extract_features, synthesize_media
+from .operators.multimodal import extract_features, frame_sample_plan, synthesize_media
 from .operators.reshape import sessionize_by_marker
 from .operators.similarity import (
     ann_topk_bruteforce,
@@ -161,10 +161,13 @@ def q_pipeline_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Synthesis uses only integer-valued doubles and printf formatting so
     every intermediate is bit-identical in DuckDB.
     """
+    from .operators.util import fan_out
     from .pipelines.listings import clean_zoopla
     from .pipelines.serving import station_price_summary
 
-    li = _t(spark, sf_dir, "lineitem")
+    # the synthesis + parse chain runs before the dedup shuffle — spread a
+    # narrow fact scan across cores first
+    li = fan_out(_t(spark, sf_dir, "lineitem"))
     p = F.floor(F.col("l_extendedprice")).cast("long")
     raw = li.select(
         F.col("l_orderkey").cast("string").alias("ad_id"),
@@ -206,9 +209,10 @@ def q_pipeline_dexters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (.py:579-587), forbidden-rail-brand collapse (.py:545-557), plus price
     parse, metre→km conversion, and first-seen dedup. Each repair branch is
     deliberately synthesized (l_linenumber mod 7 selects the quirk)."""
+    from .operators.util import fan_out
     from .pipelines.listings import clean_dexters
 
-    li = _t(spark, sf_dir, "lineitem")
+    li = fan_out(_t(spark, sf_dir, "lineitem"))
     branch = F.col("l_linenumber") % 7
     station_n = F.col("l_suppkey") % 40
     metres = F.col("l_partkey") % 2000
@@ -906,6 +910,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"))
 
 
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: each video asset explodes into the frame
+    timestamps a decoder would pull (1 fps here) — the explode-then-decode
+    shape that parallelizes frame extraction across the cluster instead of
+    per-file. Decode itself stays stubbed (no codec libs); the plan and
+    schema are the real thing."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthesize_media(docs, "doc_id", "text")
+    frames = frame_sample_plan(assets, every_ms=1000)
+    return frames.select("asset_id", "duration_ms", "frame_ts_ms")
+
+
 # ---------------------------------------------------------------------------
 # streaming (§2.9) — real Structured Streaming runs driven to completion
 # ---------------------------------------------------------------------------
@@ -1016,6 +1032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_curation": q_corpus_curation,
     # training-data: multimodal
     "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_frames": q_multimodal_frames,
     # streaming
     "q_stream_hourly": q_stream_hourly,
     "q_stream_dedup": q_stream_dedup,
