@@ -120,6 +120,16 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM orders WHERE o_orderstatus = 'O'
     """,
+    "q_scan_json": """
+        SELECT event_id, event_type, value
+        FROM events WHERE event_type = 'view'
+    """,
+    "q_create_rows": """
+        SELECT CAST(site_id AS BIGINT) AS site_id, species,
+               CAST(value AS DOUBLE) AS value
+        FROM (VALUES (1, 'NO2', 42.0), (2, 'PM25', 11.5), (3, 'NO2', NULL))
+             t(site_id, species, value)
+    """,
     "q_json_flatten": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

@@ -59,7 +59,7 @@ from .operators.similarity import (
     embedding_near_dup,
     lsh_near_dup_candidates,
 )
-from .sources.io import read_csv, read_testdata, write_csv, write_parquet
+from .sources.io import read_csv, read_json, read_testdata, write_csv, write_json, write_parquet
 from .schemas import REGION
 
 # staging area for sink/roundtrip queries — inside the repo (gitignored),
@@ -137,6 +137,32 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev.write.partitionBy("event_type").mode("overwrite").parquet(path)
     back = spark.read.parquet(path).filter(F.col("event_type") == "click")
     return back.select("event_id", "user_id", "value", "event_type")
+
+
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6/S8: JSON file sink + schema'd scan (never inferSchema) — the
+    pd.read_json/to_json path (dexters_scraper.ipynb cells 35-36)."""
+    from pyspark.sql import types as T
+
+    path = os.path.join(STAGE_DIR, "events_json")
+    sub = _t(spark, sf_dir, "events").filter(F.col("event_type") == "view").select(
+        "event_id", "event_type", "value"
+    )
+    write_json(sub, path)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    return read_json(spark, path, schema)
+
+
+def q_create_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: driver-side rows → DataFrame (the scraper-accumulator
+    materializer, pipeline .py:262-287) — spark.createDataFrame with an
+    explicit schema, never inferred from dicts."""
+    rows = [(1, "NO2", 42.0), (2, "PM25", 11.5), (3, "NO2", None)]
+    return spark.createDataFrame(rows, "site_id long, species string, value double")
 
 
 def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,6 +1004,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pipeline_dexters": q_pipeline_dexters,
     "q_pipeline_air": q_pipeline_air,
     "q_json_flatten": q_json_flatten,
+    "q_scan_json": q_scan_json,
+    "q_create_rows": q_create_rows,
     # projections / filters
     "q_project": q_project,
     "q_filter": q_filter,

@@ -285,3 +285,14 @@ def test_no_rowwise_python_or_accidental_cartesian(spark, sf_dir):
         if "CartesianProduct" in plan and name not in CROSS_OK:
             offenders.append((name, "unexpected CartesianProduct"))
     assert not offenders, offenders
+
+
+def test_cluster_conf_is_consistent():
+    from dataengineering_londonhousingmap_spark.session import cluster_conf
+
+    conf = cluster_conf(executors=1000, cores_per_executor=5)
+    assert int(conf["spark.sql.shuffle.partitions"]) == 1000 * 5 * 3
+    assert conf["spark.sql.adaptive.enabled"] == "true"
+    assert int(conf["spark.sql.files.maxPartitionBytes"]) == 128 * 1024 * 1024
+    # broadcast threshold must stay below a sane executor-memory fraction
+    assert int(conf["spark.sql.autoBroadcastJoinThreshold"]) <= 128 * 1024 * 1024
