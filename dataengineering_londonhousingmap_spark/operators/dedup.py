@@ -57,23 +57,31 @@ def dedup_by_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame
 # shingling
 # ---------------------------------------------------------------------------
 
-def char_shingles(df: DataFrame, id_col: str, text_col: str, w: int = 8) -> DataFrame:
-    """Distinct character w-shingles per document as (id, shingle) rows.
+def char_shingles(
+    df: DataFrame, id_col: str, text_col: str, w: int = 8, distinct: bool = True
+) -> DataFrame:
+    """Character w-shingles per document as (id, shingle) rows.
 
     ``sequence`` + ``explode`` + ``substring`` — the declarative analog of a
     sliding window; stays in codegen. Text shorter than ``w`` yields its
     whole text as the single shingle (so short docs still participate).
+
+    ``distinct`` dedups the (id, shingle) pairs — REQUIRED for Jaccard set
+    semantics, but a full shuffle of the exploded rows. MinHash consumers
+    pass ``distinct=False``: min over a multiset equals min over its set,
+    so the signature aggregation runs straight off the explode with no
+    shuffle before the per-doc groupBy.
     """
     c = F.col(text_col)
     n = F.length(c)
     idx = F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1)))
-    return (
+    out = (
         # explode+substring expands each doc ×|text| before the first
         # shuffle — spread a narrow scan across cores first
         fan_out(df).select(F.col(id_col), F.explode(idx).alias("__i"), c.alias("__t"))
         .select(F.col(id_col), F.expr(f"substring(__t, __i, {w})").alias("shingle"))
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 # ---------------------------------------------------------------------------

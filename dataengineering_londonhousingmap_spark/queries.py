@@ -778,9 +778,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands) candidate near-dup pairs over char-8
-    shingles. All md5-keyed shuffle joins — the linear-scale shape."""
+    shingles. All md5-keyed shuffle joins — the linear-scale shape.
+    distinct=False: min-agg semantics don't need the set dedup, so the
+    signature groupBy is the FIRST shuffle (explode → partial-agg)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", w=8)
+    sh = char_shingles(docs, "doc_id", "text", w=8, distinct=False)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     return lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
 
