@@ -738,6 +738,14 @@ ORACLES: dict[str, str] = {
            OR session_end + INTERVAL 30 MINUTE
               < (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
     """,
+    "q_stream_join": """
+        SELECT l.event_id, r.event_id AS r_event_id, l.user_id, l.ts,
+               r.ts AS r_ts
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND l.event_type = 'click' AND r.event_type = 'view'
+         AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+    """,
     # -- training-data: multimodal -----------------------------------------
     "q_multimodal_features": """
         SELECT doc_id AS asset_id,

@@ -991,6 +991,41 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: every view by the same user
+    within 1 hour after a click. Both sides watermarked so join state is
+    purgeable — the scale requirement for stream joins. Inner-join output
+    is batch-equivalent on finite input, so the batch SQL is an exact
+    oracle."""
+    from .streaming.incremental import (
+        interval_join_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    left = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    right = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("r_event_id"),
+            F.col("user_id").alias("r_user_id"),
+            F.col("ts").alias("r_ts"),
+        )
+    )
+    joined = interval_join_stream(left, right, key="user_id")
+    out = run_stream_to_memory(
+        joined.select("event_id", "r_event_id", "user_id", "ts", "r_ts"),
+        "q_stream_join_sink",
+        "append",
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1067,4 +1102,5 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_hourly": q_stream_hourly,
     "q_stream_dedup": q_stream_dedup,
     "q_stream_sessions": q_stream_sessions,
+    "q_stream_join": q_stream_join,
 }

@@ -178,6 +178,32 @@ def sessionize_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "r_ts",
+    interval: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: match right rows to left rows
+    with the same ``key`` whose event time falls within ``[left_ts,
+    left_ts + interval]``. Both sides carry watermarks so the join state is
+    PURGEABLE — without the time bound the state grows forever (the classic
+    stream-join failure at scale). Spark plans this as a symmetric hash
+    join over watermark-bounded state.
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[f"r_{key}"])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {interval}"))
+    )
+    return l.join(r, cond, "inner")
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,
