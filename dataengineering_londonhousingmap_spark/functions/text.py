@@ -28,8 +28,11 @@ def tokens(col: Column | str) -> Column:
 
 
 def token_count(col: Column | str) -> Column:
-    """Whitespace token count (the ``wc -w`` analog; empty → 0)."""
-    return F.size(tokens(col))
+    """Whitespace token count (the ``wc -w`` analog; empty → 0, NULL → NULL
+    — guarded because legacy ``size(NULL)`` is -1 under ANSI-off, which
+    would flow into length filters as a valid small number)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(c.isNull(), F.lit(None).cast("int")).otherwise(F.size(tokens(c)))
 
 
 _BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
@@ -37,9 +40,12 @@ _BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 def bpe_ish_token_count(col: Column | str) -> Column:
     """BPE-ish token estimate: alpha runs + digit runs + each punctuation
-    char count separately (a cheap proxy for subword tokenizers)."""
+    char count separately (a cheap proxy for subword tokenizers).
+    NULL text → NULL (same size(NULL)=-1 guard as token_count)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH), 0))
+    return F.when(c.isNull(), F.lit(None).cast("int")).otherwise(
+        F.size(F.regexp_extract_all(c, F.lit(_BPE_ISH), 0))
+    )
 
 
 # ---------------------------------------------------------------------------

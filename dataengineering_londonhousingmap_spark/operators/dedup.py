@@ -80,6 +80,11 @@ def char_shingles(
         # shuffle — spread a narrow scan across cores first
         fan_out(df).select(F.col(id_col), F.explode(idx).alias("__i"), c.alias("__t"))
         .select(F.col(id_col), F.expr(f"substring(__t, __i, {w})").alias("shingle"))
+        # NULL-text docs would otherwise emit NULL shingles → all-NULL
+        # minhash signatures → ONE shared band bucket → O(n²) candidate
+        # pairs among empty docs (the hot-bucket blowup). No shingles means
+        # the doc simply doesn't participate in near-dup.
+        .filter(F.col("shingle").isNotNull())
     )
     return out.distinct() if distinct else out
 
@@ -144,6 +149,11 @@ def lsh_candidate_pairs(
     a shuffle join on uniformly-distributed md5 keys — the scalable LSH
     shape (no pairwise comparison until the candidate set).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands "
+            f"({bands}) — trailing hashes would be silently ignored"
+        )
     rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(

@@ -43,6 +43,13 @@ def nearest_join(
 
     distance(left, right) builds the metric Column from both sides' columns.
 
+    Precondition: ``left_key`` must uniquely identify left rows (true for
+    the reference's station dimension, and for pandas ``idxmin`` whose
+    unique index this mirrors). With duplicate identical left rows the k=1
+    path's groupBy collapses them to one output row, and the k>1 window
+    path returns k rows per KEY — pre-dedup or add a discriminator column
+    if duplicates are possible.
+
     Physical shape: for k=1 the winner is ``min(struct(dist, tiebreak…,
     right-cols…))`` grouped by the left row — partial aggregation collapses
     each left row's |right| candidates map-side, so the shuffle carries
@@ -214,15 +221,26 @@ def salted_join(
     how: str = "inner",
 ) -> DataFrame:
     """Skew-busting equi-join: the big ``left`` side gets a deterministic
-    salt (md5 of its whole row, mod ``salt``) appended to the key; the small
-    ``right`` side is exploded ×``salt`` so every salted key still matches.
-    A hot key's rows now spread over ``salt`` shuffle partitions instead of
-    one straggler task. Result is row-identical to the plain join.
+    salt (murmur hash of its whole row, mod ``salt`` — engine-internal, it
+    never crosses to the oracle) appended to the key; the small ``right``
+    side is exploded ×``salt`` so every salted key still matches. A hot
+    key's rows now spread over ``salt`` shuffle partitions instead of one
+    straggler task. Result is row-identical to the plain join for the
+    supported join types.
+
+    Only left-preserving joins are supported: under right/full-outer the
+    exploded right copies that find no partner would each survive as a
+    null-padded row (×salt inflation), so those types raise.
 
     Use when a handful of keys dominate (the reference's analog: every
     listing near King's Cross) and AQE's skew-join split isn't available or
     isn't enough. Right side grows ×salt — keep it the dimension side.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join supports left-preserving joins only, got {how!r}: "
+            "right/full outer would inflate unmatched right rows x salt"
+        )
     lsalt = F.pmod(
         F.abs(F.hash(*[F.col(c) for c in left.columns])), F.lit(salt)
     ).alias("__salt")

@@ -29,13 +29,16 @@ def onehot_pivot(df: DataFrame, key: str, list_col: str, sep: str, value_prefix:
         F.col(key),
         F.explode(F.split(F.col(list_col), sep)).alias("__v"),
     ).withColumn("__v", F.concat(F.lit(value_prefix), F.trim(F.col("__v"))))
-    pivoted = (
-        exploded.groupBy(key)
-        .pivot("__v")
-        .agg(F.lit("Yes"))
-        .na.fill("No")
+    pivoted = exploded.groupBy(key).pivot("__v").agg(F.lit("Yes"))
+    # fill AFTER the join: rows whose list_col was NULL never exploded, so
+    # their dummy cells arrive NULL from the left join — the reference's
+    # get_dummies semantics give them 'No', not NULL
+    dummy_cols = [c for c in pivoted.columns if c != key]
+    return (
+        df.drop(list_col)
+        .join(pivoted, key, "left")
+        .na.fill("No", subset=dummy_cols)
     )
-    return df.drop(list_col).join(pivoted, key, "left")
 
 
 def unpivot_yesno(

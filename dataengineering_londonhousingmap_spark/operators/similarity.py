@@ -37,7 +37,7 @@ from ..functions.vectors import cosine_similarity, cosine_similarity_batched
 from .util import fan_out
 
 
-def _query_frame(spark_df: DataFrame, queries: DataFrame, query_id: str, query_vec: str) -> DataFrame:
+def _query_frame(queries: DataFrame, query_id: str, query_vec: str) -> DataFrame:
     return queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")
     )
@@ -55,7 +55,7 @@ def ann_topk_bruteforce(
     """Exact cosine top-k per query. Returns
     (query_id, match_id, cosine, rank); ties broken by match_id ascending
     (deterministic — required for oracle-exact comparison)."""
-    q = F.broadcast(_query_frame(corpus, queries, query_id, query_vec))
+    q = F.broadcast(_query_frame(queries, query_id, query_vec))
     # |corpus|×|queries| dot products happen before the first shuffle —
     # spread a narrow corpus scan across cores first
     joined = fan_out(corpus).crossJoin(q).filter(F.col(id_col) != F.col("query_id"))

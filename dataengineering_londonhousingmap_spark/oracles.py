@@ -33,6 +33,7 @@ _SHINGLES = """
   FROM (SELECT doc_id, text,
                unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
         FROM documents)
+  WHERE substring(text, CAST(i AS INTEGER), 8) IS NOT NULL
 """
 
 _NUM_HASHES = 16

@@ -800,7 +800,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles (OOMs at 5k docs already)."""
     docs = _t(spark, sf_dir, "documents")
     # the shingle set feeds 4 subtrees (signatures, sizes, both intersection
-    # sides) — persist so the explode+distinct runs once, not four times
+    # sides) — persist so the explode+distinct runs once, not four times.
+    # Cached blocks are LRU-evicted under memory pressure; a long-lived
+    # session that calls this repeatedly trades some storage memory for the
+    # 4x recompute (unpersist isn't possible here — the returned plan still
+    # references the cache)
     sh = char_shingles(docs, "doc_id", "text", w=8).persist()
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
@@ -1011,11 +1015,7 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     right = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "view")
-        .select(
-            F.col("event_id").alias("r_event_id"),
-            F.col("user_id").alias("r_user_id"),
-            F.col("ts").alias("r_ts"),
-        )
+        .select("event_id", "user_id", "ts")
     )
     joined = interval_join_stream(left, right, key="user_id")
     out = run_stream_to_memory(

@@ -183,7 +183,7 @@ def interval_join_stream(
     right: DataFrame,
     key: str,
     left_ts: str = "ts",
-    right_ts: str = "r_ts",
+    right_ts: str = "ts",
     interval: str = "1 hour",
     watermark: str = "2 hours",
 ) -> DataFrame:
@@ -193,13 +193,19 @@ def interval_join_stream(
     PURGEABLE — without the time bound the state grows forever (the classic
     stream-join failure at scale). Spark plans this as a symmetric hash
     join over watermark-bounded state.
+
+    ``right`` uses its natural column names (``key``/``right_ts`` name its
+    columns directly); every right column comes back ``r_``-prefixed in the
+    output so the two sides never collide.
     """
     l = left.withWatermark(left_ts, watermark)
-    r = right.withWatermark(right_ts, watermark)
+    r = right.select([F.col(c).alias(f"r_{c}") for c in right.columns]).withWatermark(
+        f"r_{right_ts}", watermark
+    )
     cond = (
         (l[key] == r[f"r_{key}"])
-        & (r[right_ts] >= l[left_ts])
-        & (r[right_ts] <= l[left_ts] + F.expr(f"INTERVAL {interval}"))
+        & (r[f"r_{right_ts}"] >= l[left_ts])
+        & (r[f"r_{right_ts}"] <= l[left_ts] + F.expr(f"INTERVAL {interval}"))
     )
     return l.join(r, cond, "inner")
 

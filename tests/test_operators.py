@@ -296,3 +296,49 @@ def test_cluster_conf_is_consistent():
     assert int(conf["spark.sql.files.maxPartitionBytes"]) == 128 * 1024 * 1024
     # broadcast threshold must stay below a sane executor-memory fraction
     assert int(conf["spark.sql.autoBroadcastJoinThreshold"]) <= 128 * 1024 * 1024
+
+
+def test_review_fixes_regressions(spark):
+    """Regression pack for the code-review findings."""
+    import pytest
+
+    from dataengineering_londonhousingmap_spark.functions.text import bpe_ish_token_count, token_count
+    from dataengineering_londonhousingmap_spark.operators.dedup import (
+        char_shingles as _cs,
+        lsh_candidate_pairs as _lsh,
+        minhash_signatures as _mh,
+    )
+    from dataengineering_londonhousingmap_spark.operators.joins import salted_join
+    from dataengineering_londonhousingmap_spark.operators.reshape import onehot_pivot
+
+    # NULL text → NULL token counts (not legacy size(NULL) = -1)
+    df = spark.createDataFrame([(1, None), (2, "a b")], "id long, text string")
+    rows = {r.id: (r.n, r.b) for r in df.select(
+        "id", token_count("text").alias("n"), bpe_ish_token_count("text").alias("b")
+    ).collect()}
+    assert rows[1] == (None, None) and rows[2] == (2, 2)
+
+    # onehot: NULL list rows get 'No' dummies, not NULL
+    oh = onehot_pivot(
+        spark.createDataFrame([(1, "a,b"), (2, None)], "k long, vals string"),
+        "k", "vals", ",",
+    )
+    r2 = {r.k: (r.a, r.b) for r in oh.collect()}
+    assert r2[2] == ("No", "No")
+
+    # salted_join refuses right/full outer (x-salt inflation)
+    l = spark.createDataFrame([(1, "a")], "k long, v string")
+    r = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
+    with pytest.raises(ValueError):
+        salted_join(l, r, key="k", salt=4, how="full")
+
+    # NULL-text docs produce no shingles → no all-NULL-signature candidates
+    docs = spark.createDataFrame([(1, None), (2, None), (3, "abcdefghij")], "doc_id long, text string")
+    sh = _cs(docs, "doc_id", "text", w=8)
+    assert sh.filter(F.col("doc_id").isin(1, 2)).count() == 0
+    cand = _lsh(_mh(sh, "doc_id", 16), "doc_id", 16, 4)
+    assert cand.count() == 0
+
+    # bands must divide num_hashes
+    with pytest.raises(ValueError):
+        _lsh(_mh(sh, "doc_id", 16), "doc_id", num_hashes=16, bands=5)
