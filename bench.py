@@ -45,6 +45,8 @@ HEADLINE = [
     "q_dedup_embed",
     "q_embed_topk",
     "q_embed_ann_ivf",
+    "q_corpus_curation",
+    "q_sql_entry",
     "q_text_quality",
     "q_token_count",
     "q_multimodal_features",
