@@ -415,6 +415,17 @@ ORACLES: dict[str, str] = {
         FROM events
     """,
     # -- windows / top-k ----------------------------------------------------
+    "q_window_analytics": """
+        SELECT event_id, event_type, ts,
+               round(lag(value, 1) OVER w, 6) AS prev_value,
+               round(avg(value) OVER (PARTITION BY event_type
+                     ORDER BY ts, event_id
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+                   AS moving_avg3,
+               CAST(row_number() OVER w AS BIGINT) AS seq
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    """,
     "q_first_match": f"""
         SELECT doc_id, CAST(list_position({_TOKENS}, 'data') AS BIGINT) AS first_pos
         FROM documents

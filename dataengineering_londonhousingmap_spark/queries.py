@@ -1026,6 +1026,24 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True analytic windows (lag + bounded moving frame) over the event
+    time series — the upgrade SURVEY §2.5 flags: the reference has no
+    lag/lead/moving frames, but the pollution time series wants them.
+    Total-ordered by (ts, event_id) so every frame is deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    wf = w.rowsBetween(-2, 0)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.lag("value", 1).over(w), 6).alias("prev_value"),
+        F.round(F.avg("value").over(wf), 6).alias("moving_avg3"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1069,6 +1087,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_null_audit": q_null_audit,
     # windows / top-k
     "q_first_match": q_first_match,
+    "q_window_analytics": q_window_analytics,
     "q_limit": q_limit,
     # sort / dedup
     "q_sort": q_sort,

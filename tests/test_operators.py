@@ -342,3 +342,28 @@ def test_review_fixes_regressions(spark):
     # bands must divide num_hashes
     with pytest.raises(ValueError):
         _lsh(_mh(sh, "doc_id", 16), "doc_id", num_hashes=16, bands=5)
+
+
+def test_grouped_zscore_agrees_with_native_window(spark, sf_dir):
+    """applyInPandas grouped-map must reproduce the native window-function
+    z-score — same semantics, swappable physical path."""
+    from pyspark.sql import Window
+
+    from dataengineering_londonhousingmap_spark.operators.udfs import grouped_zscore
+    from dataengineering_londonhousingmap_spark.sources.io import read_testdata
+
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    via_pandas = grouped_zscore(li, "l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag")
+    via_native = li.withColumn(
+        "zscore",
+        (F.col("l_extendedprice") - F.avg("l_extendedprice").over(w))
+        / F.stddev_samp("l_extendedprice").over(w),
+    )
+    key = ["l_orderkey", "l_linenumber", "l_extendedprice"]
+    a = {tuple(r[k] for k in key): r.zscore for r in via_pandas.collect()}
+    b = {tuple(r[k] for k in key): r.zscore for r in via_native.collect()}
+    assert len(a) == len(b)
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
