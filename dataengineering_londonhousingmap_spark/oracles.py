@@ -374,7 +374,9 @@ ORACLES: dict[str, str] = {
     """,
     "q_groupby_window_avg": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
-               round(avg(value), 6) AS avg_value, count(*) AS n
+               CAST(round(sum(value) * 100, 0) AS BIGINT)
+                   / (100.0 * count(value)) AS avg_value,
+               count(*) AS n
         FROM events GROUP BY 1, 2
     """,
     "q_count_distinct": """
@@ -712,7 +714,9 @@ ORACLES: dict[str, str] = {
     # equivalent the stream must converge to on finite input
     "q_stream_hourly": """
         SELECT date_trunc('hour', ts) AS hour, event_type,
-               round(avg(value), 6) AS avg_value, count(*) AS n
+               CAST(round(sum(value) * 100, 0) AS BIGINT)
+                   / (100.0 * count(value)) AS avg_value,
+               count(*) AS n
         FROM events GROUP BY 1, 2
     """,
     "q_stream_dedup": """

@@ -586,7 +586,17 @@ def q_groupby_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", "ts").alias("hour"),
             "event_type",
         )
-        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count("*").alias("n"))
+        # exact-average formulation: source values are exact 2-decimals, so
+        # round(sum*100) is an exact integer and the division is a single
+        # IEEE op — bit-identical in every engine at every scale. round(avg)
+        # is NOT safe here: sum/count lands on x.xxxx5 half-way points
+        # (e.g. 1391.13/32) where Spark (binary HALF_UP) and DuckDB
+        # (decimal-repr rounding) disagree.
+        .agg(
+            (F.round(F.sum("value") * 100, 0).cast("long")
+             / (F.count("value") * 100.0)).alias("avg_value"),
+            F.count("*").alias("n"),
+        )
     )
 
 

@@ -59,7 +59,13 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count("*").alias("n"))
+        # exact-average: integer numerator / exact denominator — see
+        # queries.q_groupby_window_avg for why round(avg) is engine-unstable
+        .agg(
+            (F.round(F.sum("value") * 100, 0).cast("long")
+             / (F.count("value") * 100.0)).alias("avg_value"),
+            F.count("*").alias("n"),
+        )
         .select(F.col("w.start").alias("hour"), "event_type", "avg_value", "n")
     )
 

@@ -31,7 +31,11 @@ def test_hourly_rollup_matches_batch(spark):
     batch = (
         read_testdata(spark, SF, "events")
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count("*").alias("n"))
+        .agg(
+            (F.round(F.sum("value") * 100, 0).cast("long")
+             / (F.count("value") * 100.0)).alias("avg_value"),
+            F.count("*").alias("n"),
+        )
         .orderBy("hour", "event_type")
     )
     assert [r.asDict() for r in stream_out.collect()] == [r.asDict() for r in batch.collect()]
