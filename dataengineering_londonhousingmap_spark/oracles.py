@@ -107,7 +107,8 @@ ORACLES: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(avg(l_discount), 6) AS avg_disc,
+               CAST(round(sum(l_discount) * 100, 0) AS BIGINT)
+                   / (100e0 * count(l_discount)) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -249,7 +250,8 @@ ORACLES: dict[str, str] = {
         SELECT 'S' || CAST(user_id % 20 AS VARCHAR) AS site_code,
                event_type AS species_code,
                date_trunc('hour', ts) AS hour,
-               round(avg(coalesce(value, 0)), 6) AS avg_value,
+               CAST(round(sum(coalesce(value, 0)) * 100, 0) AS BIGINT)
+                   / (100.0 * count(*)) AS avg_value,
                count(*) AS n
         FROM events GROUP BY 1, 2, 3
     """,
@@ -367,8 +369,10 @@ ORACLES: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) AS sum_qty,
                round(sum(l_extendedprice), 2) AS sum_price,
-               round(avg(l_quantity), 6) AS avg_qty,
-               round(avg(l_extendedprice), 6) AS avg_price,
+               CAST(round(sum(l_quantity), 0) AS BIGINT)
+                   / (1.0 * count(l_quantity)) AS avg_qty,
+               CAST(round(sum(l_extendedprice) * 100, 0) AS BIGINT)
+                   / (100.0 * count(l_extendedprice)) AS avg_price,
                count(*) AS n_rows
         FROM lineitem GROUP BY l_returnflag, l_linestatus
     """,

@@ -32,7 +32,13 @@ def hourly_air_rollup(air: DataFrame) -> DataFrame:
             "species_code",
             F.date_trunc("hour", "measurement_date_gmt").alias("hour"),
         )
-        .agg(F.avg("value").alias("avg_value"), F.count("*").alias("n"))
+        # exact average over the ''→0-coerced 2-decimal measures — see
+        # queries.q_groupby_window_avg for the round(avg) hazard
+        .agg(
+            (F.round(F.sum("value") * 100, 0).cast("long")
+             / (F.count("value") * 100.0)).alias("avg_value"),
+            F.count("*").alias("n"),
+        )
     )
 
 

@@ -107,7 +107,8 @@ _SQL_PRICING_SUMMARY = """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(avg(l_discount), 6) AS avg_disc,
+           CAST(round(sum(l_discount) * 100, 0) AS BIGINT)
+               / (100e0 * count(l_discount)) AS avg_disc,
            count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -320,10 +321,7 @@ def q_pipeline_air(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     air = ingest_air_payloads(payloads)
     rollup = hourly_air_rollup(air)
-    return rollup.select(
-        "site_code", "species_code", "hour",
-        F.round("avg_value", 6).alias("avg_value"), "n",
-    )
+    return rollup.select("site_code", "species_code", "hour", "avg_value", "n")
 
 
 # ---------------------------------------------------------------------------
@@ -570,8 +568,13 @@ def q_groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            # exact averages (integer / 2-decimal sources): integer-exact
+            # numerator over count — round(avg) is engine-unstable on
+            # half-way points, see q_groupby_window_avg
+            (F.round(F.sum("l_quantity"), 0).cast("long")
+             / (F.count("l_quantity") * 1.0)).alias("avg_qty"),
+            (F.round(F.sum("l_extendedprice") * 100, 0).cast("long")
+             / (F.count("l_extendedprice") * 100.0)).alias("avg_price"),
             F.count("*").alias("n_rows"),
         )
     )
