@@ -255,6 +255,30 @@ ORACLES: dict[str, str] = {
                count(*) AS n
         FROM events GROUP BY 1, 2, 3
     """,
+    "q_pipeline_stations": """
+        WITH zones AS (
+            SELECT s_name AS "Station", 'zone_' || CAST(i AS VARCHAR) AS "Transport Zone"
+            FROM supplier, (VALUES (1), (2), (3)) z(i)
+            WHERE (s_suppkey + i) % 3 = 0
+        ),
+        lines AS (
+            SELECT CASE WHEN s_suppkey % 4 = 0 THEN 'W-' || s_name ELSE s_name END
+                       AS "Station",
+                   'Line ' || CAST(s_suppkey % 5 AS VARCHAR) AS "Tube Line"
+            FROM supplier WHERE s_suppkey % 2 = 0
+        ),
+        mapping AS (
+            SELECT 'W-' || s_name AS wiki_name, s_name AS api_name
+            FROM supplier WHERE s_suppkey % 4 = 0
+        ),
+        remapped AS (
+            SELECT coalesce(m.api_name, l."Station") AS "Station", l."Tube Line"
+            FROM lines l LEFT JOIN mapping m ON l."Station" = m.wiki_name
+        )
+        SELECT z."Station", z."Transport Zone",
+               coalesce(r."Tube Line", 'Overground line') AS "Tube Line"
+        FROM zones z LEFT JOIN remapped r ON z."Station" = r."Station"
+    """,
     # -- projections / filters ---------------------------------------------
     "q_project": "SELECT c_custkey, c_name, c_mktsegment AS segment FROM customer",
     "q_filter": """
@@ -352,6 +376,28 @@ ORACLES: dict[str, str] = {
                round(sum(l_extendedprice), 2) AS total_price
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority
+    """,
+    "q_join_semi_anti": """
+        SELECT c_custkey, c_name, TRUE AS has_open_order
+        FROM customer WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+        UNION ALL
+        SELECT c_custkey, c_name, FALSE AS has_open_order
+        FROM customer WHERE NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+    "q_set_ops": """
+        SELECT custkey, 'only_open' AS bucket FROM (
+            SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        UNION ALL
+        SELECT custkey, 'both' AS bucket FROM (
+            SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
     """,
     "q_join_asof": """
         WITH r AS (

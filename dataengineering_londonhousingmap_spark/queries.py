@@ -511,6 +511,76 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti joins (the EXISTS / NOT EXISTS shapes): one
+    row per customer, flagged by whether they have any open order. Semi and
+    anti never widen the row and never duplicate on multi-matches — the
+    shape to reach for instead of join+distinct at scale."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    open_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    has_open = customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_semi"
+    ).withColumn("has_open_order", F.lit(True))
+    no_open = customer.join(
+        open_orders, customer.c_custkey == open_orders.o_custkey, "left_anti"
+    ).withColumn("has_open_order", F.lit(False))
+    return has_open.unionByName(no_open)
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (absent from the reference, §2.6): customers with
+    open orders but no finished orders — EXCEPT over key sets, flagged
+    against the intersect of both."""
+    orders = _t(spark, sf_dir, "orders")
+    open_k = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    done_k = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    # subtract = set EXCEPT (exceptAll keeps surplus duplicate occurrences)
+    only_open = open_k.subtract(done_k).withColumn("bucket", F.lit("only_open"))
+    both = open_k.intersect(done_k).withColumn("bucket", F.lit("both"))
+    return only_open.unionByName(both)
+
+
+def q_pipeline_stations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The station-dimension build (google_maps_api.ipynb chain) end-to-end:
+    wide Yes/No zone columns → melt+filter → line table with wiki-style
+    names → broadcast name reconciliation → left join → 'Overground line'
+    default (GM:914-918). Supplier stands in for the station master."""
+    from .pipelines.stations import build_station_dimension, explode_zone_membership
+
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("Station"), "s_suppkey"
+    )
+    wide = supp.select(
+        "Station",
+        *[
+            F.when((F.col("s_suppkey") + i) % 3 == 0, "Yes")
+            .otherwise("No")
+            .alias(f"zone_{i}")
+            for i in (1, 2, 3)
+        ],
+    )
+    zones = explode_zone_membership(wide, [f"zone_{i}" for i in (1, 2, 3)])
+    lines = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 2 == 0)
+        .select(
+            F.when(F.col("s_suppkey") % 4 == 0, F.concat(F.lit("W-"), F.col("s_name")))
+            .otherwise(F.col("s_name"))
+            .alias("Station"),
+            F.concat(F.lit("Line "), (F.col("s_suppkey") % 5).cast("string")).alias("Tube Line"),
+        )
+    )
+    mapping = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 4 == 0)
+        .select(
+            F.concat(F.lit("W-"), F.col("s_name")).alias("wiki_name"),
+            F.col("s_name").alias("api_name"),
+        )
+    )
+    return build_station_dimension(zones, lines, mapping)
+
+
 def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6: the serving-layer star join (fact ⋈ dims, database_schema.sql
     design) — lineitem→orders→customer→nation→region with broadcast dims,
@@ -1071,6 +1141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pipeline_listings": q_pipeline_listings,
     "q_pipeline_dexters": q_pipeline_dexters,
     "q_pipeline_air": q_pipeline_air,
+    "q_pipeline_stations": q_pipeline_stations,
     "q_json_flatten": q_json_flatten,
     "q_scan_json": q_scan_json,
     "q_create_rows": q_create_rows,
@@ -1088,6 +1159,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_join_zip": q_join_zip,
     "q_join_asof": q_join_asof,
     "q_join_salted": q_join_salted,
+    "q_join_semi_anti": q_join_semi_anti,
+    "q_set_ops": q_set_ops,
     "q_join_bucketed": q_join_bucketed,
     "q_star_join": q_star_join,
     # aggregations
