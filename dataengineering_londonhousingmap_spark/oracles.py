@@ -442,6 +442,13 @@ ORACLES: dict[str, str] = {
                round(sum(l_quantity), 2) AS sum_qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
+    "q_cube": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS g,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
     "q_argmin": """
         SELECT c_nationkey, c_custkey AS min_custkey,
                round(c_acctbal, 2) AS min_acctbal

@@ -698,6 +698,18 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping-set combinations
+    in one Expand+HashAggregate pass — the drill-across companion to
+    q_rollup's drill-down."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().alias("g"),
+        F.count("*").alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
 def q_argmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 — idxmin (mapping notebook:59-61): per nation, the customer with
     minimal acctbal. min(struct(...)) gives a deterministic argmin with the
@@ -1168,6 +1180,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_groupby_window_avg": q_groupby_window_avg,
     "q_count_distinct": q_count_distinct,
     "q_rollup": q_rollup,
+    "q_cube": q_cube,
     "q_argmin": q_argmin,
     "q_union_all": q_union_all,
     "q_null_audit": q_null_audit,
