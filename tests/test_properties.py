@@ -69,3 +69,50 @@ def test_split_miles_roundtrip(spark, dist, station):
     row = df.select(d.alias("d"), s.alias("st")).collect()[0]
     assert abs(row.d - dist) < 1e-9
     assert row.st == station
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="abcXYZ 123", min_size=1, max_size=20), min_size=1, max_size=6))
+def test_strip_tube_and_get_tube_dist_partition_tokens(spark, values):
+    """strip_tube + get_tube_dist must partition the token list: all-but-last
+    rejoined, plus the last token (pipeline .py:530-540)."""
+    from dataengineering_londonhousingmap_spark.functions.cleaning import get_tube_dist, strip_tube
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    rows = df.select(
+        "s", strip_tube(F.col("s")).alias("head"), get_tube_dist(F.col("s")).alias("last")
+    ).collect()
+    for r in rows:
+        toks = r.s.split(" ")
+        assert r.last == toks[-1]
+        assert r.head == " ".join(toks[:-1])
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.sampled_from(
+    ["Victoria", "Victoria Park", "East Victoria", "Angel", "Victoria X Y"]
+), min_size=1, max_size=6))
+def test_victoria_clean_stop_model(spark, values):
+    """'Victoria X ...' → 'X'; anything else → 'Victoria' (pipeline
+    .py:579-587; applied only to rows containing 'Victoria')."""
+    from dataengineering_londonhousingmap_spark.functions.cleaning import victoria_clean_stop
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    rows = df.select("s", victoria_clean_stop(F.col("s")).alias("c")).collect()
+    for r in rows:
+        toks = r.s.split(" ")
+        want = toks[1] if toks[0] == "Victoria" and len(toks) >= 2 else "Victoria"
+        assert r.c == want, (r.s, r.c, want)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.text(alphabet="ab-c \n", max_size=30))
+def test_sub_values_model(spark, s):
+    """split on newlines (dropping empties), split each on '-', trim items,
+    flatten (pipeline .py:465-477)."""
+    from dataengineering_londonhousingmap_spark.functions.cleaning import sub_values
+
+    df = spark.createDataFrame([(s,)], "s string")
+    got = df.select(sub_values(F.col("s")).alias("v")).collect()[0].v
+    want = [item.strip() for line in s.split("\n") if line != "" for item in line.split("-")]
+    assert got == want, (s, got, want)

@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md — physical-plan evidence for the headline queries.
+
+Run from the repo root: python tools/gen_plans.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import re
+import sys
+import warnings
+
+warnings.filterwarnings("ignore")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from dataengineering_londonhousingmap_spark.queries import QUERIES  # noqa: E402
+from dataengineering_londonhousingmap_spark.session import get_session  # noqa: E402
+
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# memory-sink streaming queries execute on construction; their "plan" is the
+# incremental run itself
+STREAMING = {"q_stream_hourly", "q_stream_sessions", "q_stream_dedup", "q_stream_join"}
+
+HEADER = '''# PLANS — physical plan evidence for the headline queries
+
+Auto-generated from `.explain("formatted")` at sf0.1 on the tuned local
+session (`python tools/gen_plans.py` regenerates). Operator lines only
+(details elided); the things to check: scans carry `PushedFilters`/pruned
+`ReadSchema`, dim joins are `BroadcastHashJoin`, aggregates are
+partial+final `HashAggregate`, no `BatchEvalPython` (row-wise Python)
+anywhere, `ArrowEvalPython` only on the vectorized similarity paths.
+'''
+
+
+def main() -> None:
+    spark = get_session("plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = [HEADER]
+    for name in HEADLINE:
+        if name in STREAMING:
+            out.append(
+                f"\n## {name}\n\n(streaming query — the plan is the incremental "
+                "execution; see streaming/incremental.py)\n"
+            )
+            continue
+        df = QUERIES[name](spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        ops = [l.strip() for l in plan.splitlines() if re.match(r"\s*\(\d+\)\s+\S", l)]
+        pushed = [
+            l.strip()[:120]
+            for l in plan.splitlines()
+            if "PushedFilters" in l and "[]" not in l
+        ]
+        out.append(f"\n## {name}\n")
+        out.append("```")
+        out.extend(ops)
+        out.extend(pushed[:3])
+        out.append("```")
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "PLANS.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    print("PLANS.md regenerated")
+
+
+if __name__ == "__main__":
+    main()
