@@ -449,6 +449,13 @@ ORACLES: dict[str, str] = {
                round(sum(l_extendedprice), 2) AS sum_price
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
     """,
+    "q_percentiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+               round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "q_argmin": """
         SELECT c_nationkey, c_custkey AS min_custkey,
                round(c_acctbal, 2) AS min_acctbal

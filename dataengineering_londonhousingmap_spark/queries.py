@@ -698,6 +698,19 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median + p90) per group — the
+    distribution-shape metric dashboards want next to the avg. Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the linear-
+    interpolation definition, so this is oracle-exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
+        F.count("*").alias("n"),
+    )
+
+
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (returnflag, linestatus): all 4 grouping-set combinations
     in one Expand+HashAggregate pass — the drill-across companion to
@@ -1181,6 +1194,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_count_distinct": q_count_distinct,
     "q_rollup": q_rollup,
     "q_cube": q_cube,
+    "q_percentiles": q_percentiles,
     "q_argmin": q_argmin,
     "q_union_all": q_union_all,
     "q_null_audit": q_null_audit,

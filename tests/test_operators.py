@@ -367,3 +367,20 @@ def test_grouped_zscore_agrees_with_native_window(spark, sf_dir):
     b = {tuple(r[k] for k in key): r.zscore for r in via_native.collect()}
     assert len(a) == len(b)
     assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+
+
+def test_sketch_aggregates_within_error_bounds(spark, sf_dir):
+    """The scale-path sketch aggregations (HLL++ count-distinct, quantile
+    sketch) must land within their documented error of the exact answers —
+    at 100 TB these replace the exact forms, so the bounds are the contract."""
+    from dataengineering_londonhousingmap_spark.sources.io import read_testdata
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    r = li.agg(
+        F.countDistinct("l_partkey").alias("exact_d"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_d"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("exact_med"),
+        F.expr("percentile_approx(l_extendedprice, 0.5, 1000)").alias("approx_med"),
+    ).collect()[0]
+    assert abs(r.approx_d - r.exact_d) / r.exact_d < 0.15
+    assert abs(r.approx_med - r.exact_med) / max(r.exact_med, 1) < 0.05
