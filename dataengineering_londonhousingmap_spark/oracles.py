@@ -132,6 +132,13 @@ ORACLES: dict[str, str] = {
         FROM (VALUES (1, 'NO2', 42.0), (2, 'PM25', 11.5), (3, 'NO2', NULL))
              t(site_id, species, value)
     """,
+    "q_scan_corrupt": """
+        SELECT CAST(id AS BIGINT) AS id, CAST(value AS DOUBLE) AS value,
+               is_corrupt
+        FROM (VALUES (1, 10.5, FALSE), (NULL, NULL, TRUE), (3, NULL, FALSE),
+                     (NULL, NULL, TRUE), (5, 2.25, FALSE))
+             t(id, value, is_corrupt)
+    """,
     "q_json_flatten": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,

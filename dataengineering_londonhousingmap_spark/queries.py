@@ -166,6 +166,37 @@ def q_create_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "site_id long, species string, value double")
 
 
+def q_scan_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE ingest of dirty JSON: malformed lines land in
+    ``_corrupt_record`` instead of failing the job — the production answer
+    to scraped/third-party feeds (the reference's scrapers silently skip
+    malformed ads; an engine must account for every input row).
+    Deterministic fixture lines; cache() required before touching the
+    corrupt column (Spark's internal-column restriction)."""
+    import pathlib
+
+    from pyspark.sql import types as T
+
+    path = pathlib.Path(STAGE_DIR) / "corrupt_json"
+    path.mkdir(parents=True, exist_ok=True)
+    (path / "data.json").write_text(
+        '{"id": 1, "value": 10.5}\n'
+        '{"id": 2, value: oops}\n'
+        '{"id": 3}\n'
+        'plain garbage\n'
+        '{"id": 5, "value": 2.25}\n'
+    )
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("_corrupt_record", T.StringType()),
+    ])
+    raw = spark.read.schema(schema).option("mode", "PERMISSIVE").json(str(path)).cache()
+    return raw.select(
+        "id", "value", F.col("_corrupt_record").isNotNull().alias("is_corrupt")
+    )
+
+
 def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/R4: semi-structured JSON payload → typed columns
     (the LondonAir payload flatten, pipeline .py:734-747)."""
@@ -1169,6 +1200,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pipeline_stations": q_pipeline_stations,
     "q_json_flatten": q_json_flatten,
     "q_scan_json": q_scan_json,
+    "q_scan_corrupt": q_scan_corrupt,
     "q_create_rows": q_create_rows,
     # projections / filters
     "q_project": q_project,
