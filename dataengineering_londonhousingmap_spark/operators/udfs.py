@@ -106,14 +106,20 @@ def grouped_zscore(
     must fit one executor's memory (the documented applyInPandas
     constraint); pre-aggregate or salt giant groups first.
     """
+    if out_col in df.columns:
+        raise ValueError(f"output column {out_col!r} already exists in the input")
     out_schema = T.StructType(
         df.schema.fields + [T.StructField(out_col, T.DoubleType())]
     )
 
     def _z(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         v = pdf[value_col].astype(float)
         sd = v.std(ddof=1)
-        pdf[out_col] = (v - v.mean()) / sd if sd and sd > 0 else 0.0
+        # degenerate groups (single row / zero variance) → NULL, matching
+        # the native window form: (x - avg)/stddev_samp is NULL there too
+        pdf[out_col] = (v - v.mean()) / sd if sd and sd > 0 else np.nan
         return pdf
 
     return df.groupBy(key).applyInPandas(_z, out_schema)

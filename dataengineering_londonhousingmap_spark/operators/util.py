@@ -22,3 +22,16 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def exact_avg_cents(col: str):
+    """Engine-stable average of an exact-2-decimal column: integer-exact
+    numerator (round(sum×100) is an exact integer) over the non-null count —
+    ONE IEEE division, bit-identical in every engine at every scale.
+    ``round(avg(x), d)`` is NOT stable: sum/count lands on decimal half-way
+    points where Spark (exact-binary HALF_UP) and DuckDB (multiply-and-round)
+    disagree. SQL twin: CAST(round(sum(x)*100, 0) AS BIGINT) / (100e0 * count(x)).
+    """
+    from pyspark.sql import functions as F
+
+    return F.round(F.sum(col) * 100, 0).cast("long") / (F.count(col) * 100.0)

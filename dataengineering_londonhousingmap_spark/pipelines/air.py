@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.joins import nearest_join
+from ..operators.util import exact_avg_cents
 from ..operators.reshape import flatten_londonair_payload
 
 
@@ -32,13 +33,8 @@ def hourly_air_rollup(air: DataFrame) -> DataFrame:
             "species_code",
             F.date_trunc("hour", "measurement_date_gmt").alias("hour"),
         )
-        # exact average over the ''→0-coerced 2-decimal measures — see
-        # queries.q_groupby_window_avg for the round(avg) hazard
-        .agg(
-            (F.round(F.sum("value") * 100, 0).cast("long")
-             / (F.count("value") * 100.0)).alias("avg_value"),
-            F.count("*").alias("n"),
-        )
+        # exact average over the ''→0-coerced 2-decimal measures
+        .agg(exact_avg_cents("value").alias("avg_value"), F.count("*").alias("n"))
     )
 
 

@@ -52,6 +52,7 @@ from .operators.joins import (
 )
 from .operators.multimodal import extract_features, frame_sample_plan, synthesize_media
 from .operators.reshape import sessionize_by_marker
+from .operators.util import exact_avg_cents
 from .operators.similarity import (
     ann_topk_bruteforce,
     ann_topk_ivf,
@@ -171,8 +172,9 @@ def q_scan_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_corrupt_record`` instead of failing the job — the production answer
     to scraped/third-party feeds (the reference's scrapers silently skip
     malformed ads; an engine must account for every input row).
-    Deterministic fixture lines; cache() required before touching the
-    corrupt column (Spark's internal-column restriction)."""
+    Deterministic fixture lines. (No cache needed: Spark's internal-column
+    restriction only bites when _corrupt_record is the sole referenced
+    column.)"""
     import pathlib
 
     from pyspark.sql import types as T
@@ -191,7 +193,7 @@ def q_scan_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("value", T.DoubleType()),
         T.StructField("_corrupt_record", T.StringType()),
     ])
-    raw = spark.read.schema(schema).option("mode", "PERMISSIVE").json(str(path)).cache()
+    raw = spark.read.schema(schema).option("mode", "PERMISSIVE").json(str(path))
     return raw.select(
         "id", "value", F.col("_corrupt_record").isNotNull().alias("is_corrupt")
     )
@@ -669,13 +671,11 @@ def q_groupby_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            # exact averages (integer / 2-decimal sources): integer-exact
-            # numerator over count — round(avg) is engine-unstable on
-            # half-way points, see q_groupby_window_avg
+            # exact averages (integer / 2-decimal sources) — see
+            # operators.util.exact_avg_cents for why round(avg) is unstable
             (F.round(F.sum("l_quantity"), 0).cast("long")
              / (F.count("l_quantity") * 1.0)).alias("avg_qty"),
-            (F.round(F.sum("l_extendedprice") * 100, 0).cast("long")
-             / (F.count("l_extendedprice") * 100.0)).alias("avg_price"),
+            exact_avg_cents("l_extendedprice").alias("avg_price"),
             F.count("*").alias("n_rows"),
         )
     )
@@ -690,15 +690,8 @@ def q_groupby_window_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("hour", "ts").alias("hour"),
             "event_type",
         )
-        # exact-average formulation: source values are exact 2-decimals, so
-        # round(sum*100) is an exact integer and the division is a single
-        # IEEE op — bit-identical in every engine at every scale. round(avg)
-        # is NOT safe here: sum/count lands on x.xxxx5 half-way points
-        # (e.g. 1391.13/32) where Spark (binary HALF_UP) and DuckDB
-        # (decimal-repr rounding) disagree.
         .agg(
-            (F.round(F.sum("value") * 100, 0).cast("long")
-             / (F.count("value") * 100.0)).alias("avg_value"),
+            exact_avg_cents("value").alias("avg_value"),
             F.count("*").alias("n"),
         )
     )

@@ -26,6 +26,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..operators.util import exact_avg_cents
+
 # events.parquet carries nanosecond timestamps (unreadable as TimestampType
 # by Spark's parquet reader) — stream reads them as long and rebuilds µs
 EVENTS_RAW_NANOS = T.StructType(
@@ -59,13 +61,7 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        # exact-average: integer numerator / exact denominator — see
-        # queries.q_groupby_window_avg for why round(avg) is engine-unstable
-        .agg(
-            (F.round(F.sum("value") * 100, 0).cast("long")
-             / (F.count("value") * 100.0)).alias("avg_value"),
-            F.count("*").alias("n"),
-        )
+        .agg(exact_avg_cents("value").alias("avg_value"), F.count("*").alias("n"))
         .select(F.col("w.start").alias("hour"), "event_type", "avg_value", "n")
     )
 

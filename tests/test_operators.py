@@ -384,3 +384,21 @@ def test_sketch_aggregates_within_error_bounds(spark, sf_dir):
     ).collect()[0]
     assert abs(r.approx_d - r.exact_d) / r.exact_d < 0.15
     assert abs(r.approx_med - r.exact_med) / max(r.exact_med, 1) < 0.05
+
+
+def test_grouped_zscore_degenerate_groups_are_null(spark):
+    """Single-row and zero-variance groups → NULL, matching the native
+    window formulation (the swappable-path contract)."""
+    from dataengineering_londonhousingmap_spark.operators.udfs import grouped_zscore
+
+    df = spark.createDataFrame(
+        [(1, "solo", 5.0), (2, "flat", 3.0), (3, "flat", 3.0)],
+        "id long, grp string, v double",
+    )
+    rows = {r.id: r.zscore for r in grouped_zscore(df, "grp", "v").collect()}
+    assert rows[1] is None and rows[2] is None and rows[3] is None
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        grouped_zscore(df.withColumnRenamed("v", "zscore"), "grp", "zscore")

@@ -10,6 +10,7 @@ import shutil
 import pytest
 from pyspark.sql import functions as F
 
+from dataengineering_londonhousingmap_spark.operators.util import exact_avg_cents
 from dataengineering_londonhousingmap_spark.queries import STAGE_DIR
 from dataengineering_londonhousingmap_spark.streaming.incremental import (
     dedup_stream,
@@ -31,11 +32,7 @@ def test_hourly_rollup_matches_batch(spark):
     batch = (
         read_testdata(spark, SF, "events")
         .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
-        .agg(
-            (F.round(F.sum("value") * 100, 0).cast("long")
-             / (F.count("value") * 100.0)).alias("avg_value"),
-            F.count("*").alias("n"),
-        )
+        .agg(exact_avg_cents("value").alias("avg_value"), F.count("*").alias("n"))
         .orderBy("hour", "event_type")
     )
     assert [r.asDict() for r in stream_out.collect()] == [r.asDict() for r in batch.collect()]
@@ -180,3 +177,56 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     n2 = spark.read.parquet(sink).count()
     assert n1 == 100
     assert n2 == 100, f"restart duplicated rows: {n2}"
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """An event arriving in a later micro-batch with event time older than
+    the advanced watermark must be DROPPED from the windowed aggregate —
+    bounded state means late data has a deadline."""
+    import pandas as pd
+
+    src = str(tmp_path / "late_src")
+    sink_name = "t_late"
+
+    def write_batch(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: establishes watermark at max_ts - 10 minutes = 11:50
+    write_batch([(1, "2024-01-01 10:00:00", 1.0), (1, "2024-01-01 12:00:00", 2.0)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("hour"), "n")
+    )
+    try:
+        spark.catalog.dropTempView(sink_name)
+    except Exception:
+        pass
+    q = agg.writeStream.format("memory").queryName(sink_name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        # batch 2: one on-time event and one 2-hours-late event (10:30,
+        # before the 11:50 watermark → dropped)
+        write_batch([(1, "2024-01-01 12:30:00", 3.0), (1, "2024-01-01 10:30:00", 99.0)])
+        q.processAllAvailable()
+        # batch 3: advance watermark far enough to close every window
+        write_batch([(1, "2024-01-01 15:00:00", 0.0)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+
+    got = {str(r.hour): r.n for r in spark.table(sink_name).collect()}
+    # the 10:00 window holds ONE event — the late 10:30 arrival was dropped
+    assert got.get("2024-01-01 10:00:00") == 1, got
+    # the 12:00 window holds both on-time events
+    assert got.get("2024-01-01 12:00:00") == 2, got
