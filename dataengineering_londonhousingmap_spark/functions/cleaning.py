@@ -27,7 +27,7 @@ def to_num(col: Column | str) -> Column:
     ``"£435,000"`` → 435000.0; unparseable → NULL (non-ANSI cast).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c, r"[^0-9.]", "").cast("double")
+    return F.regexp_replace(c, r"[^0-9.]", "").try_cast("double")
 
 
 def is_valid_price(col: Column | str) -> Column:
@@ -47,7 +47,7 @@ def clean_dexters_price(col: Column | str) -> Column:
     codegen'd pass.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.translate(c, "£,", "").cast("double")
+    return F.translate(c, "£,", "").try_cast("double")
 
 
 def extract_int(col: Column | str, default: int) -> Column:
@@ -60,7 +60,7 @@ def extract_int(col: Column | str, default: int) -> Column:
     silently hand them the default.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.coalesce(F.regexp_extract(c, r"(\d+)", 1).cast("bigint"), F.lit(default))
+    return F.coalesce(F.regexp_extract(c, r"(\d+)", 1).try_cast("bigint"), F.lit(default))
 
 
 # ---------------------------------------------------------------------------
@@ -75,7 +75,7 @@ def split_miles(col: Column | str) -> tuple[Column, Column]:
     """
     c = F.col(col) if isinstance(col, str) else col
     parts = F.split(c, " miles ")
-    dist = F.when(F.size(parts) >= 2, F.element_at(parts, 1).cast("double"))
+    dist = F.when(F.size(parts) >= 2, F.element_at(parts, 1).try_cast("double"))
     station = F.when(F.size(parts) >= 2, F.element_at(parts, 2))
     return dist, station
 
@@ -86,7 +86,7 @@ def clean_dexters_distance_m(col: Column | str) -> Column:
     Reference: pipeline .py:632.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_replace(c, r"m$", "").cast("double")
+    return F.regexp_replace(c, r"m$", "").try_cast("double")
 
 
 def distance_km_from_miles(col: Column) -> Column:
@@ -181,7 +181,7 @@ def none_string_to_null(col: Column | str) -> Column:
 def yes_no(col: Column | str) -> Column:
     """F21 — {1:'Yes', 0:'No'} remap (google_maps_api.ipynb:175)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.when(c.cast("int") == 1, F.lit("Yes")).otherwise(F.lit("No"))
+    return F.when(c.try_cast("int") == 1, F.lit("Yes")).otherwise(F.lit("No"))
 
 
 # ---------------------------------------------------------------------------

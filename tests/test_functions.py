@@ -130,3 +130,34 @@ def test_cosine_similarity(spark):
     assert abs(vals[0]) < 1e-12
     assert abs(vals[1] - 1.0) < 1e-12
     assert vals[2] is None  # zero-vector guard
+
+
+def test_cleaning_functions_are_ansi_proof(spark):
+    """The scalar cleaning library must behave identically under ANSI mode
+    (the Spark 4 default on a vanilla session — what the driver runs):
+    malformed input → NULL, never an exception."""
+    from dataengineering_londonhousingmap_spark.functions.cleaning import (
+        clean_dexters_distance_m,
+        clean_dexters_price,
+        extract_int,
+        split_miles,
+        to_num,
+        yes_no,
+    )
+
+    ansi = spark.newSession()
+    ansi.conf.set("spark.sql.ansi.enabled", "true")
+    df = ansi.createDataFrame(
+        [("..",), ("",), ("£1,200",), ("abc",), ("x miles y",)], "s string"
+    )
+    d, st = split_miles("s")
+    out = df.select(
+        to_num("s").alias("a"),
+        clean_dexters_price("s").alias("b"),
+        extract_int("s", 7).alias("c"),
+        clean_dexters_distance_m("s").alias("d"),
+        yes_no("s").alias("e"),
+        d.alias("f"),
+    ).collect()  # must not raise under ANSI
+    vals = {r.a for r in out}
+    assert 1200.0 in vals and None in vals
