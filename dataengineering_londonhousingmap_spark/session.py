@@ -45,8 +45,10 @@ def get_session(app_name: str = "dataengineering_londonhousingmap_spark", cpus: 
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # oracle comparisons (DuckDB is UTC-naive) require a pinned zone
         .config("spark.sql.session.timeZone", "UTC")
-        # ANSI off: the reference's cleaning semantics rely on cast-to-null
-        # for malformed values (e.g. "POA" price → NULL, SURVEY §2.8 F1/F2)
+        # ANSI off to match the reference's lenient arithmetic; the cleaning
+        # library itself is try_cast-based so malformed→NULL semantics hold
+        # under EITHER mode (the driver's vanilla session runs Spark 4's
+        # ANSI-on default — verified by the test suite's ANSI session)
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
