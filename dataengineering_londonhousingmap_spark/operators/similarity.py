@@ -259,6 +259,70 @@ def lsh_near_dup_candidates(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    k: int = 16,
+    iters: int = 3,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Lloyd's k-means for IVF centroids — the iterative-algorithm pattern
+    done Spark-style: a DRIVER loop where each iteration is one distributed
+    assignment (cross join against ≤k broadcast centroids, min-struct) plus
+    one element-wise mean aggregation (posexplode → groupBy(cluster, dim)).
+    Only the k×dim centroid matrix is ever collected; the corpus never
+    leaves the executors, so iterations scale with corpus size, not driver
+    memory. Deterministic: md5-ordered seeding, no RNG.
+
+    Empty clusters keep their previous centroid (standard Lloyd fix).
+    Returns the centroid list (row i = centroid i).
+    """
+    seed_rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(k)
+        .collect()
+    )
+    centroids = [[float(x) for x in r[vec_col]] for r in seed_rows]
+
+    spark = corpus.sparkSession
+    for _ in range(iters):
+        cent_df = F.broadcast(
+            spark.createDataFrame(
+                [(i, c) for i, c in enumerate(centroids)],
+                "__cid int, __cvec array<double>",
+            )
+        )
+        assigned = (
+            fan_out(corpus.select(F.col(id_col), F.col(vec_col)))
+            .crossJoin(cent_df)
+            .select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col("__cid"),
+                (-cosine_similarity_batched(F.col(vec_col), F.col("__cvec"))).alias("__neg"),
+            )
+            .groupBy(id_col, vec_col)
+            .agg(F.min(F.struct("__neg", "__cid")).alias("__m"))
+            .select(F.col(vec_col), F.col("__m.__cid").alias("__cid"))
+        )
+        means = (
+            assigned.select("__cid", F.posexplode(vec_col).alias("__d", "__x"))
+            .groupBy("__cid", "__d")
+            .agg(F.avg("__x").alias("__mu"))
+            .collect()  # ≤ k×dim rows — the only driver-side data
+        )
+        new = [list(c) for c in centroids]  # empty clusters keep old centroid
+        by_cid: dict[int, list[float]] = {}
+        for r in means:
+            by_cid.setdefault(r["__cid"], [0.0] * dim)[r["__d"]] = r["__mu"]
+        for cid, vec in by_cid.items():
+            new[cid] = vec
+        centroids = new
+    return centroids
+
+
 def ann_topk_ivf(
     corpus: DataFrame,
     queries: DataFrame,
@@ -269,30 +333,38 @@ def ann_topk_ivf(
     vec_col: str = "embedding",
     query_id: str = "vec_id",
     query_vec: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted lists
     by nearest centroid, probe only the ``n_probe`` lists nearest each query,
     exact-rerank inside them.
 
-    Centroid selection is deterministic (the ``n_centroids`` vectors with
-    smallest md5 of their id — a uniform pseudo-random sample, reproducible
-    across runs/engines; a production build would swap in trained k-means
-    centroids without touching the plan shape). The centroid table is tiny →
-    broadcast; corpus assignment is one narrow scan + min-struct; the probe
-    join is an equi-join on centroid id. The corpus is never shuffled
-    all-pairs — candidate volume ≈ (n_probe/n_centroids) × |corpus| per
-    query. Approximate: recall < 1 (rows-only correctness check; bruteforce
-    is the exact twin).
+    Default centroid selection is deterministic (the ``n_centroids`` vectors
+    with smallest md5 of their id — a uniform pseudo-random sample,
+    reproducible across runs/engines); pass ``centroids`` from
+    :func:`train_ivf_centroids` for the k-means-trained index — same plan
+    shape, better list balance. The centroid table is tiny → broadcast;
+    corpus assignment is one narrow scan + min-struct; the probe join is an
+    equi-join on centroid id. The corpus is never shuffled all-pairs —
+    candidate volume ≈ (n_probe/n_centroids) × |corpus| per query.
+    Approximate: recall < 1 (rows-only correctness check; bruteforce is the
+    exact twin).
     """
-    cent = (
-        corpus.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.md5(F.col(id_col).cast("string")))
-        .limit(n_centroids)
-        .select(
-            F.row_number().over(Window.orderBy(F.md5(F.col(id_col).cast("string")))).alias("__cid"),
-            F.col(vec_col).alias("__cvec"),
+    if centroids is not None:
+        cent = corpus.sparkSession.createDataFrame(
+            [(i + 1, c) for i, c in enumerate(centroids)],
+            "__cid int, __cvec array<double>",
         )
-    )
+    else:
+        cent = (
+            corpus.select(F.col(id_col), F.col(vec_col))
+            .orderBy(F.md5(F.col(id_col).cast("string")))
+            .limit(n_centroids)
+            .select(
+                F.row_number().over(Window.orderBy(F.md5(F.col(id_col).cast("string")))).alias("__cid"),
+                F.col(vec_col).alias("__cvec"),
+            )
+        )
     cent = F.broadcast(cent)
 
     # inverted-list assignment: nearest centroid by cosine (min-struct on

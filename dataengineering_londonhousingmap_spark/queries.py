@@ -59,6 +59,7 @@ from .operators.similarity import (
     ann_topk_lsh,
     embedding_near_dup,
     lsh_near_dup_candidates,
+    train_ivf_centroids,
 )
 from .sources.io import read_csv, read_json, read_testdata, write_csv, write_json, write_parquet
 from .schemas import REGION
@@ -976,6 +977,18 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_embed_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with Lloyd-trained centroids — the iterative-algorithm pattern:
+    a driver loop of distributed assignment + element-wise mean aggregations
+    (operators/similarity.py:train_ivf_centroids); only the k×dim centroid
+    matrix ever reaches the driver. Approximate — rows-only check."""
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(emb, k=16, iters=2)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = ann_topk_ivf(emb, queries, k=5, n_probe=4, centroids=cents)
+    return out.select("query_id", "match_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_dedup_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact all-pairs baseline: pairs with
     cosine ≥ 0.42 (the synthetic corpus's near-dup band)."""
@@ -1246,6 +1259,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embed_topk": q_embed_topk,
     "q_embed_ann_lsh": q_embed_ann_lsh,
     "q_embed_ann_ivf": q_embed_ann_ivf,
+    "q_embed_ann_ivf_trained": q_embed_ann_ivf_trained,
     # training-data: text
     "q_token_count": q_token_count,
     "q_text_quality": q_text_quality,

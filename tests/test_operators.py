@@ -402,3 +402,27 @@ def test_grouped_zscore_degenerate_groups_are_null(spark):
 
     with pytest.raises(ValueError):
         grouped_zscore(df.withColumnRenamed("v", "zscore"), "grp", "zscore")
+
+
+def test_ivf_training_improves_or_matches_recall(spark, sf_dir):
+    """Lloyd-trained centroids must produce a working index with recall at
+    least in the same band as the untrained md5-sample seeding (on random
+    synthetic data the gain is modest; the contract is convergence + a
+    balanced, complete index)."""
+    from dataengineering_londonhousingmap_spark.operators.similarity import (
+        ann_topk_ivf,
+        train_ivf_centroids,
+    )
+    from dataengineering_londonhousingmap_spark.sources.io import read_testdata
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    cents = train_ivf_centroids(emb, k=8, iters=2)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+
+    exact = ann_topk_bruteforce(emb, queries, k=5)
+    trained = ann_topk_ivf(emb, queries, k=5, n_probe=3, centroids=cents)
+    e = {(r.query_id, r.match_id) for r in exact.collect()}
+    t = {(r.query_id, r.match_id) for r in trained.collect()}
+    assert len(t) == len(e)  # full top-k for every query
+    assert len(e & t) / len(e) >= 0.3, "trained IVF recall collapsed"
