@@ -286,6 +286,70 @@ ORACLES: dict[str, str] = {
                coalesce(r."Tube Line", 'Overground line') AS "Tube Line"
         FROM zones z LEFT JOIN remapped r ON z."Station" = r."Station"
     """,
+    "q_serving_dashboard": """
+        WITH raw AS (
+            SELECT CAST(l_orderkey AS VARCHAR) AS ad_id,
+                   printf('https://ex.com/prop/%d/%d-%d-%d-%d-%d',
+                          l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                          CAST(floor(l_extendedprice * 100) AS BIGINT),
+                          CAST(floor(l_quantity) AS BIGINT)) AS link,
+                   CASE WHEN l_linenumber = 7 THEN 'POA'
+                        ELSE printf('£%d,%03d',
+                                    CAST(floor(l_extendedprice) AS BIGINT) // 1000,
+                                    CAST(floor(l_extendedprice) AS BIGINT) % 1000)
+                   END AS price_raw,
+                   printf('0.%02d miles Station %d',
+                          l_partkey % 100, l_suppkey % 40) AS transport_raw
+            FROM lineitem
+        ),
+        parsed AS (
+            SELECT ad_id, link,
+                   CAST(regexp_replace(price_raw, '[^0-9.]', '', 'g') AS DOUBLE) AS price,
+                   CAST(string_split(transport_raw, ' miles ')[1] AS DOUBLE)
+                       * 1.609344 AS distance_km,
+                   string_split(transport_raw, ' miles ')[2] AS subway_station
+            FROM raw
+            WHERE regexp_matches(price_raw, '^[£,0-9]+$')
+              AND contains(transport_raw, ' miles ')
+        ),
+        deduped AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY ad_id ORDER BY link) AS rn
+                FROM parsed
+            ) WHERE rn = 1
+        ),
+        prices AS (
+            SELECT subway_station,
+                   round(avg(price), 2) AS avg_price,
+                   count(*) AS n_listings
+            FROM deduped
+            WHERE distance_km < 1.0 AND price IS NOT NULL
+              AND subway_station IS NOT NULL
+            GROUP BY subway_station
+        ),
+        pollution AS (
+            SELECT 'Station ' || CAST((user_id % 20) * 2 AS VARCHAR) AS subway_station,
+                   event_type AS species_code,
+                   CAST(round(sum(coalesce(value, 0)) * 100, 0) AS BIGINT)
+                       / (100e0 * count(*)) AS avg_value,
+                   round(max(coalesce(value, 0)), 4) AS max_value,
+                   count(*) AS n_measurements
+            FROM events
+            GROUP BY 1, 2
+        ),
+        dim AS (
+            SELECT 'Station ' || CAST(i AS VARCHAR) AS subway_station,
+                   'Line ' || CAST(i % 11 AS VARCHAR) AS tube_line,
+                   CAST(i % 6 + 1 AS VARCHAR) AS transport_zone
+            FROM generate_series(0, 39) t(i)
+        )
+        SELECT p.subway_station, p.avg_price, p.n_listings,
+               po.species_code, po.avg_value, po.max_value, po.n_measurements,
+               d.tube_line, d.transport_zone
+        FROM prices p
+        LEFT JOIN pollution po ON p.subway_station = po.subway_station
+        LEFT JOIN dim d ON p.subway_station = d.subway_station
+    """,
     # -- projections / filters ---------------------------------------------
     "q_project": "SELECT c_custkey, c_name, c_mktsegment AS segment FROM customer",
     "q_filter": """

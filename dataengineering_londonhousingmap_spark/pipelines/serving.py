@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..operators.util import exact_avg_cents
+
 
 def station_price_summary(listings: DataFrame, radius_km: float = 1.0) -> DataFrame:
     """THE serving metric (A3): avg price + listing count per station,
@@ -48,7 +50,7 @@ def station_air_summary(
         air.join(F.broadcast(tube_site_mapping), "site_code")
         .groupBy("subway_station", "species_code")
         .agg(
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            exact_avg_cents("value").alias("avg_value"),
             F.round(F.max("value"), 4).alias("max_value"),
             F.count("*").alias("n_measurements"),
         )

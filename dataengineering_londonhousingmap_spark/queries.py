@@ -358,6 +358,68 @@ def q_pipeline_air(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup.select("site_code", "species_code", "hour", "avg_value", "n")
 
 
+def q_serving_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE webapp payload (README.md:4): per-station price summary joined
+    to the pollution summary and the station master dim — the full serving
+    star assembled by pipelines/serving.py:station_dashboard, oracle-checked
+    end-to-end. Listings come from the q_pipeline_listings synthesis; air
+    measures and mappings derive from events/keys the same engine-stable
+    way."""
+    from .operators.util import fan_out
+    from .pipelines.listings import clean_zoopla
+    from .pipelines.serving import station_dashboard
+
+    li = fan_out(_t(spark, sf_dir, "lineitem"))
+    p = F.floor(F.col("l_extendedprice")).cast("long")
+    raw = li.select(
+        F.col("l_orderkey").cast("string").alias("ad_id"),
+        F.format_string(
+            "https://ex.com/prop/%d/%d-%d-%d-%d-%d",
+            F.col("l_orderkey"), F.col("l_linenumber"),
+            F.col("l_partkey"), F.col("l_suppkey"),
+            F.floor(F.col("l_extendedprice") * 100).cast("long"),
+            F.floor(F.col("l_quantity")).cast("long"),
+        ).alias("link"),
+        F.when(F.col("l_linenumber") == 7, F.lit("POA"))
+        .otherwise(
+            F.format_string("£%d,%03d", F.expr("floor(l_extendedprice) div 1000"), p % 1000)
+        )
+        .alias("price_raw"),
+        F.lit("1").alias("bedrooms"),
+        F.lit("1").alias("bathrooms"),
+        F.lit("1").alias("living_rooms"),
+        F.lit("addr").alias("address"),
+        F.format_string(
+            "0.%02d miles Station %d",
+            F.col("l_partkey") % 100,
+            F.col("l_suppkey") % 40,
+        ).alias("transport_raw"),
+    )
+    listings = clean_zoopla(raw, order_col="link")
+
+    ev = _t(spark, sf_dir, "events")
+    air = ev.select(
+        F.concat(F.lit("S"), (F.col("user_id") % 20).cast("string")).alias("site_code"),
+        F.col("ts").alias("measurement_date_gmt"),
+        F.col("event_type").alias("species_code"),
+        F.coalesce(F.col("value"), F.lit(0.0)).alias("value"),
+    )
+    mapping = spark.range(20).select(
+        F.concat(F.lit("S"), F.col("id").cast("string")).alias("site_code"),
+        F.format_string("Station %d", F.col("id") * 2).alias("subway_station"),
+    )
+    dim = spark.range(40).select(
+        F.format_string("Station %d", F.col("id")).alias("subway_station"),
+        F.format_string("Line %d", F.col("id") % 11).alias("tube_line"),
+        (F.col("id") % 6 + 1).cast("string").alias("transport_zone"),
+    )
+    out = station_dashboard(listings, air, mapping, dim, radius_km=1.0)
+    return out.select(
+        "subway_station", "avg_price", "n_listings", "species_code",
+        "avg_value", "max_value", "n_measurements", "tube_line", "transport_zone",
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 projections / filters
 # ---------------------------------------------------------------------------
@@ -1204,6 +1266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pipeline_dexters": q_pipeline_dexters,
     "q_pipeline_air": q_pipeline_air,
     "q_pipeline_stations": q_pipeline_stations,
+    "q_serving_dashboard": q_serving_dashboard,
     "q_json_flatten": q_json_flatten,
     "q_scan_json": q_scan_json,
     "q_scan_corrupt": q_scan_corrupt,
