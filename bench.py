@@ -29,6 +29,7 @@ HEADLINE = [
     "q_scan_parquet",
     "q_star_join",
     "q_pipeline_listings",
+    "q_serving_dashboard",
     "q_groupby_avg",
     "q_groupby_window_avg",
     "q_join_nn",
