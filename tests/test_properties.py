@@ -31,7 +31,7 @@ def _py_to_num(s: str) -> float | None:
         return None
 
 
-@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=30, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(st.lists(_PRICE, min_size=1, max_size=8))
 def test_to_num_matches_reference_model(spark, values):
     df = spark.createDataFrame([(v,) for v in values], "s string")
@@ -47,7 +47,7 @@ def test_to_num_matches_reference_model(spark, values):
             assert abs(g - w) < 1e-9, (g, w, values)
 
 
-@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=30, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.text(alphabet="0123456789abc ", max_size=12), min_size=1, max_size=8))
 def test_extract_int_default_semantics(spark, values):
     """First \\d+ match, else the default — pipeline .py:388-395."""
@@ -58,7 +58,7 @@ def test_extract_int_default_semantics(spark, values):
         assert g == (int(m.group()) if m else 7)
 
 
-@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=20, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(
     st.floats(min_value=0, max_value=99, allow_nan=False).map(lambda f: round(f, 2)),
     st.text(alphabet="abcXYZ ", min_size=1, max_size=10).map(str.strip),
@@ -71,7 +71,7 @@ def test_split_miles_roundtrip(spark, dist, station):
     assert row.st == station
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=25, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.text(alphabet="abcXYZ 123", min_size=1, max_size=20), min_size=1, max_size=6))
 def test_strip_tube_and_get_tube_dist_partition_tokens(spark, values):
     """strip_tube + get_tube_dist must partition the token list: all-but-last
@@ -88,7 +88,7 @@ def test_strip_tube_and_get_tube_dist_partition_tokens(spark, values):
         assert r.head == " ".join(toks[:-1])
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=25, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(st.lists(st.sampled_from(
     ["Victoria", "Victoria Park", "East Victoria", "Angel", "Victoria X Y"]
 ), min_size=1, max_size=6))
@@ -105,7 +105,7 @@ def test_victoria_clean_stop_model(spark, values):
         assert r.c == want, (r.s, r.c, want)
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=25, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
 @given(st.text(alphabet="ab-c \n", max_size=30))
 def test_sub_values_model(spark, s):
     """split on newlines (dropping empties), split each on '-', trim items,
