@@ -426,3 +426,40 @@ def test_ivf_training_improves_or_matches_recall(spark, sf_dir):
     t = {(r.query_id, r.match_id) for r in trained.collect()}
     assert len(t) == len(e)  # full top-k for every query
     assert len(e & t) / len(e) >= 0.3, "trained IVF recall collapsed"
+
+
+def test_closest_line_first_underground_match(spark):
+    """F13 (the one demonstration pandas UDF): walk (station, distance,
+    line) triples, return the FIRST Underground entry, else the null triple
+    (pipeline .py:480-501, .py:521-523)."""
+    from dataengineering_londonhousingmap_spark.operators.udfs import closest_line
+
+    rows = [
+        # first triple is rail → skipped; second is Underground → picked
+        (["Kings X", "0.2m", "Thameslink", "Angel", "0.3m", "Northern line"],),
+        # no underground entry at all → null triple
+        (["Stratford", "0.1m", "DLR"],),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "toks array<string>")
+    out = df.select(closest_line("toks").alias("r")).select("r.*").collect()
+    assert (out[0].subway_station, out[0].tube_line) == ("Angel", "Northern line")
+    assert out[1].subway_station is None and out[1].tube_line is None
+    assert out[2].subway_station is None
+
+
+def test_repartition_by_bytes_scales_with_payload(spark):
+    """Byte-budget partitioning: wider payloads → more partitions for the
+    same row count (row-count-based sizing is wrong for binary columns)."""
+    from dataengineering_londonhousingmap_spark.operators.multimodal import (
+        repartition_by_bytes,
+        synthesize_media,
+    )
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"), F.lit("seed").alias("text")
+    )
+    assets = synthesize_media(docs, "doc_id", "text")
+    small = repartition_by_bytes(assets, target_partition_mb=1)
+    big = repartition_by_bytes(assets, target_partition_mb=1, est_row_bytes=1024 * 1024)
+    assert big.rdd.getNumPartitions() > small.rdd.getNumPartitions()
