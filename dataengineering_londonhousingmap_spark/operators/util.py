@@ -14,14 +14,28 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     downstream of it until the first shuffle runs as ONE task no matter how
     many cores the cluster has. That is invisible at 60k rows and fatal when
     the expansion is ×|broadcast side|. At 100 TB the big fact side already
-    has thousands of splits and this is a no-op (the partition-count check
-    keeps us from inserting a pointless full shuffle into wide inputs).
+    has thousands of splits and this is a no-op.
+
+    The under-partitioned check deliberately avoids ``df.rdd`` — converting
+    to an RDD forces a full physical-planning pass per call and leaves an
+    RDD-lineage sidecar. ``inputFiles()`` needs only the analyzed plan:
+    a file-backed scan with ≥ target files already yields ≥ target splits
+    (Spark splits large files, so files is a lower bound on partitions), so
+    no shuffle is inserted into wide inputs. The one false positive — many
+    tiny files coalesced below target by maxPartitionBytes packing — costs
+    a narrow extra shuffle, never a wrong plan. Non-file-backed frames
+    (createDataFrame, post-shuffle trees) report no files and get spread,
+    which is exactly the call-site contract: fan_out wraps narrow sources.
     """
     sess = df.sparkSession
     target = min_partitions or sess.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # complex plans where inputFiles is unsupported
+        n_files = 0
+    if n_files >= target:
+        return df
+    return df.repartition(target)
 
 
 def exact_avg_cents(col: str):

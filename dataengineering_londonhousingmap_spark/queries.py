@@ -995,12 +995,15 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles (OOMs at 5k docs already)."""
     docs = _t(spark, sf_dir, "documents")
     # the shingle set feeds 4 subtrees (signatures, sizes, both intersection
-    # sides) — persist so the explode+distinct runs once, not four times.
-    # Cached blocks are LRU-evicted under memory pressure; a long-lived
-    # session that calls this repeatedly trades some storage memory for the
-    # 4x recompute (unpersist isn't possible here — the returned plan still
-    # references the cache)
-    sh = char_shingles(docs, "doc_id", "text", w=8).persist()
+    # sides) — eager localCheckpoint materializes the explode+distinct ONCE
+    # and truncates the lineage, so the main job reads the stored blocks
+    # four times instead of recomputing. Unlike persist(), checkpoint blocks
+    # are released by the ContextCleaner as soon as the returned plan is
+    # garbage-collected — repeated invocation in a long-lived session shows
+    # flat storage memory. (Blocks live on executor local storage: lost on
+    # executor failure → recompute from source, acceptable for a
+    # query-scoped temp.)
+    sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     out = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
@@ -1256,6 +1259,37 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # ------------------------------------------------------------------
+    # Ordering contract: the driver verifies queries in dict order under a
+    # bounded budget (round 1 stopped at entry #50). Families that have
+    # never received a driver CORRECTNESS row run FIRST — streaming, text,
+    # similarity, multimodal, and this round's new entries — so the hard
+    # verification signal reaches the whole catalog; the 50 rows already
+    # green in CORRECTNESS_r01.json follow.
+    # ------------------------------------------------------------------
+    # streaming (driver-unverified in r1)
+    "q_stream_hourly": q_stream_hourly,
+    "q_stream_dedup": q_stream_dedup,
+    "q_stream_sessions": q_stream_sessions,
+    "q_stream_join": q_stream_join,
+    # training-data: text (driver-unverified in r1)
+    "q_token_count": q_token_count,
+    "q_text_quality": q_text_quality,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_corpus_curation": q_corpus_curation,
+    # training-data: dedup/similarity tail (driver-unverified in r1)
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_dedup_embed_exact": q_dedup_embed_exact,
+    "q_dedup_embed": q_dedup_embed,
+    "q_embed_topk": q_embed_topk,
+    "q_embed_ann_lsh": q_embed_ann_lsh,
+    "q_embed_ann_ivf": q_embed_ann_ivf,
+    "q_embed_ann_ivf_trained": q_embed_ann_ivf_trained,
+    # training-data: multimodal (driver-unverified in r1)
+    "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_frames": q_multimodal_frames,
     # scans / sinks
     "q_scan_parquet": q_scan_parquet,
     "q_scan_csv": q_scan_csv,
@@ -1311,30 +1345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pivot_onehot": q_pivot_onehot,
     "q_unpivot": q_unpivot,
     "q_split_sessions": q_split_sessions,
-    # training-data: dedup
+    # training-data: dedup (head entries driver-verified in r1)
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
-    "q_dedup_simhash": q_dedup_simhash,
-    "q_ngram_jaccard": q_ngram_jaccard,
-    "q_dedup_embed_exact": q_dedup_embed_exact,
-    "q_dedup_embed": q_dedup_embed,
-    # training-data: similarity
-    "q_embed_topk": q_embed_topk,
-    "q_embed_ann_lsh": q_embed_ann_lsh,
-    "q_embed_ann_ivf": q_embed_ann_ivf,
-    "q_embed_ann_ivf_trained": q_embed_ann_ivf_trained,
-    # training-data: text
-    "q_token_count": q_token_count,
-    "q_text_quality": q_text_quality,
-    "q_lang_id": q_lang_id,
-    "q_fingerprint": q_fingerprint,
-    "q_corpus_curation": q_corpus_curation,
-    # training-data: multimodal
-    "q_multimodal_features": q_multimodal_features,
-    "q_multimodal_frames": q_multimodal_frames,
-    # streaming
-    "q_stream_hourly": q_stream_hourly,
-    "q_stream_dedup": q_stream_dedup,
-    "q_stream_sessions": q_stream_sessions,
-    "q_stream_join": q_stream_join,
 }
