@@ -908,4 +908,85 @@ ORACLES: dict[str, str] = {
                , 6) AS byte_mean
         FROM documents
     """,
+    # -- §2.10 UDF surface (round-2 promotion) ------------------------------
+    # the Spark side walks synthesized token triples through the F13 pandas
+    # UDF; the oracle regenerates the same triples and CASE-walks them:
+    # partkey%13==0 rows hold only a non-Underground triple → NULL triple;
+    # partkey%6 ∈ {1,3,5} puts an Underground line in triple 1; else the
+    # always-Underground triple 2 wins
+    "q_closest_line": """
+        WITH t AS (
+            SELECT p_partkey,
+                   CAST(p_partkey % 6 AS INTEGER) AS i1,
+                   (p_partkey % 13 = 0) AS only_bad
+            FROM part
+        )
+        SELECT p_partkey,
+               CASE WHEN only_bad THEN NULL
+                    WHEN i1 IN (1, 3, 5) THEN printf('Stop %d', p_partkey % 40)
+                    ELSE printf('Hub %d', p_partkey % 25) END AS subway_station,
+               CASE WHEN only_bad THEN NULL
+                    WHEN i1 IN (1, 3, 5) THEN printf('%dm', p_partkey % 9)
+                    ELSE printf('%dm', p_partkey % 7) END AS distance,
+               CASE WHEN only_bad THEN NULL
+                    WHEN i1 = 1 THEN 'Northern line'
+                    WHEN i1 = 3 THEN 'Victoria line'
+                    WHEN i1 = 5 THEN 'Central line'
+                    ELSE 'Jubilee line' END AS tube_line
+        FROM t
+    """,
+    # each page carries two ad lines — rebuild both records per order
+    "q_parse_pages": """
+        SELECT CAST(o_orderkey AS VARCHAR) AS ad_id,
+               printf('£%d', CAST(floor(o_totalprice) AS BIGINT)) AS price_raw,
+               printf('Addr %d', o_custkey % 100) AS address
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey || '-b',
+               printf('£%d', CAST(floor(o_totalprice) AS BIGINT) + 1),
+               printf('Addr %d', o_custkey % 100 + 1)
+        FROM orders
+    """,
+    # the native window formulation of the applyInPandas grouped z-score;
+    # NULLIF guards zero-variance groups (single-event users are NULL via
+    # stddev_samp already)
+    "q_grouped_zscore": """
+        SELECT event_id, user_id,
+               round((value - avg(value) OVER w)
+                     / NULLIF(stddev_samp(value) OVER w, 0), 6) AS zscore
+        FROM events
+        WHERE value IS NOT NULL
+        WINDOW w AS (PARTITION BY user_id)
+    """,
+    # plain cross join + haversine filter — the Spark side's gridded
+    # radius join must return exactly this set; the formula mirrors
+    # functions/cleaning.py:haversine_km term-for-term
+    "q_serving_radius": """
+        WITH listings AS (
+            SELECT c_custkey AS listing_id,
+                   (c_custkey % 9000) + 1000 AS price,
+                   51.5 + CAST(c_custkey % 40 AS DOUBLE) * 0.004 AS lat,
+                   -0.2 + CAST((c_custkey // 40) % 50 AS DOUBLE) * 0.003 AS lon
+            FROM customer
+        ),
+        stations AS (
+            SELECT s_suppkey AS station_id,
+                   51.5 + CAST(s_suppkey % 8 AS DOUBLE) * 0.02 AS s_lat,
+                   -0.2 + CAST((s_suppkey // 8) % 5 AS DOUBLE) * 0.03 AS s_lon
+            FROM supplier WHERE s_suppkey <= 40
+        ),
+        within AS (
+            SELECT station_id, price
+            FROM listings, stations
+            WHERE 2 * 6371.0088 * asin(sqrt(
+                      pow(sin(radians(s_lat - lat) / 2), 2)
+                      + cos(radians(lat)) * cos(radians(s_lat))
+                        * pow(sin(radians(s_lon - lon) / 2), 2)
+                  )) <= 1.0
+        )
+        SELECT station_id,
+               CAST(sum(price) AS BIGINT) / (1e0 * count(price)) AS avg_price,
+               count(*) AS n_listings
+        FROM within GROUP BY station_id
+    """,
 }

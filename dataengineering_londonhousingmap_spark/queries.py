@@ -24,6 +24,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .functions.cleaning import haversine_km
 from .functions.text import (
     _BPE_ISH,
     doc_fingerprint,
@@ -1255,6 +1256,134 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.10 UDF surface as catalog queries (round-2 promotion: these operators
+# were implemented and unit-tested in round 1 but invisible to the driver)
+# ---------------------------------------------------------------------------
+
+def q_closest_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 ``closest_line`` (reference pipeline .py:480-501) as a driver
+    query: a positional state machine over (station, distance, line) token
+    triples picking the first London-Underground entry — the engine's one
+    demonstration pandas UDF. Token lists are synthesized from ``part`` so
+    the oracle is a SQL CASE walk over the same triples: partkey%6 selects
+    triple-1's line (Underground at 1/3/5), partkey%13==0 rows carry only a
+    non-Underground triple and must yield the NaN-triple (.py:521-523)."""
+    from .operators.udfs import closest_line
+
+    part = _t(spark, sf_dir, "part")
+    lines = F.array(
+        F.lit("DLR"), F.lit("Northern line"), F.lit("Overground"),
+        F.lit("Victoria line"), F.lit("Tramlink"), F.lit("Central line"),
+    )
+    line1 = F.element_at(lines, (F.col("p_partkey") % 6 + 1).cast("int"))
+    st1 = F.format_string("Stop %d", F.col("p_partkey") % 40)
+    d1 = F.format_string("%dm", F.col("p_partkey") % 9)
+    st2 = F.format_string("Hub %d", F.col("p_partkey") % 25)
+    d2 = F.format_string("%dm", F.col("p_partkey") % 7)
+    toks = F.when(
+        F.col("p_partkey") % 13 == 0, F.array(st1, d1, F.lit("DLR"))
+    ).otherwise(F.array(st1, d1, line1, st2, d2, F.lit("Jubilee line")))
+    out = part.select(F.col("p_partkey"), closest_line(toks).alias("r"))
+    return out.select("p_partkey", "r.subway_station", "r.distance", "r.tube_line")
+
+
+def q_parse_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2-analog table function as a driver query: landed raw page text →
+    ad records through the ``mapInPandas`` batch parser (the in-engine
+    analog of ``feature_extract``, pipeline .py:354-414). Each synthesized
+    page carries two ad lines, so the parse both splits lines AND fans one
+    input row out to many — the table-function shape. The oracle rebuilds
+    both records per order directly."""
+    from .operators.udfs import parse_listing_pages
+    from .operators.util import fan_out
+
+    orders = _t(spark, sf_dir, "orders")
+    price = F.floor(F.col("o_totalprice")).cast("long")
+    pages = fan_out(orders).select(
+        F.format_string(
+            "%d|£%d|Addr %d\n%d-b|£%d|Addr %d",
+            F.col("o_orderkey"), price, F.col("o_custkey") % 100,
+            F.col("o_orderkey"), price + 1, F.col("o_custkey") % 100 + 1,
+        ).alias("html")
+    )
+    return parse_listing_pages(pages)
+
+
+def q_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch grouped-map escape hatch (X31) as a driver query: per-user
+    z-score of event values via ``applyInPandas`` — each group arrives as
+    one pandas frame (the shape for per-group logic expressions can't
+    state). The oracle is the native window formulation: identical
+    semantics, swappable physical path; degenerate groups (single event /
+    zero variance) are NULL on both sides."""
+    from .operators.udfs import grouped_zscore
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull()).select(
+        "event_id", "user_id", "value"
+    )
+    out = grouped_zscore(ev, key="user_id", value_col="value")
+    return out.select("event_id", "user_id", F.round("zscore", 6).alias("zscore"))
+
+
+def q_serving_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE literal README.md:4 semantics, upgraded past the reference: avg
+    listing price per station counting ONLY listings within 1 km great-
+    circle distance (the reference only ever had the listing-string L1
+    proxy; ``haversine_km`` is the true-radius upgrade SURVEY F19 flags).
+
+    Scale shape: a grid-bucketed RADIUS join — both sides keyed to lat/lon
+    cells sized > 1 km, stations exploded into the 3×3 neighborhood, so
+    every in-radius pair provably shares a cell key and the join is a plain
+    equi-shuffle (never |listings|×|stations|). Haversine runs only on
+    neighborhood candidates; integer prices make the per-station average an
+    exact integer sum over a count — bit-identical in any engine."""
+    cust = _t(spark, sf_dir, "customer")
+    listings = cust.select(
+        F.col("c_custkey").alias("listing_id"),
+        ((F.col("c_custkey") % 9000) + 1000).alias("price"),
+        (F.lit(51.5) + (F.col("c_custkey") % 40).cast("double") * 0.004).alias("lat"),
+        (F.lit(-0.2) + (F.floor(F.col("c_custkey") / 40) % 50).cast("double") * 0.003).alias("lon"),
+    )
+    stations = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") <= 40)
+        .select(
+            F.col("s_suppkey").alias("station_id"),
+            (F.lit(51.5) + (F.col("s_suppkey") % 8).cast("double") * 0.02).alias("s_lat"),
+            (F.lit(-0.2) + (F.floor(F.col("s_suppkey") / 8) % 5).cast("double") * 0.03).alias("s_lon"),
+        )
+    )
+    # cells strictly larger than the radius in both axes (0.012° lat ≈
+    # 1.33 km; 0.02° lon ≈ 1.38 km at 51.5°N) → any pair within 1 km is in
+    # the 3×3 neighborhood — the provable-completeness grid condition
+    lat_cell, lon_cell = 0.012, 0.02
+    cell_x = lambda c: F.floor(c / lat_cell).cast("long")  # noqa: E731
+    cell_y = lambda c: F.floor(c / lon_cell).cast("long")  # noqa: E731
+    l = listings.withColumn("__cx", cell_x(F.col("lat"))).withColumn(
+        "__cy", cell_y(F.col("lon"))
+    )
+    offsets = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    s = (
+        stations.withColumn("__sx", cell_x(F.col("s_lat")))
+        .withColumn("__sy", cell_y(F.col("s_lon")))
+        .withColumn("__dx", F.explode(offsets))
+        .withColumn("__dy", F.explode(offsets))
+        .select(
+            "station_id", "s_lat", "s_lon",
+            (F.col("__sx") + F.col("__dx")).alias("__cx"),
+            (F.col("__sy") + F.col("__dy")).alias("__cy"),
+        )
+    )
+    within = l.join(s, ["__cx", "__cy"]).filter(
+        haversine_km(F.col("lat"), F.col("lon"), F.col("s_lat"), F.col("s_lon")) <= 1.0
+    )
+    return within.groupBy("station_id").agg(
+        (F.sum("price") / F.count("price")).alias("avg_price"),
+        F.count("*").alias("n_listings"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1267,6 +1396,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # verification signal reaches the whole catalog; the 50 rows already
     # green in CORRECTNESS_r01.json follow.
     # ------------------------------------------------------------------
+    # round-2 additions (never driver-verified)
+    "q_closest_line": q_closest_line,
+    "q_parse_pages": q_parse_pages,
+    "q_grouped_zscore": q_grouped_zscore,
+    "q_serving_radius": q_serving_radius,
     # streaming (driver-unverified in r1)
     "q_stream_hourly": q_stream_hourly,
     "q_stream_dedup": q_stream_dedup,
