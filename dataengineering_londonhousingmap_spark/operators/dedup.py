@@ -230,6 +230,71 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# cluster survivorship (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    vertices: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components by min-label propagation — the cluster step a
+    production dedup needs after pairwise near-dup detection: pairs (A,B),
+    (B,C) must collapse to ONE surviving document, not two independent
+    pair-survivors.
+
+    ``vertices`` has ``id_col``; ``edges`` has (id_a, id_b). Returns
+    (id_col, cluster_id) where cluster_id = min id reachable through the
+    edge graph (isolated docs are their own cluster).
+
+    The iterative-algorithm pattern (same shape as Lloyd training in
+    similarity.py): a driver loop of DISTRIBUTED steps — each iteration is
+    one equi-join (labels onto edge endpoints) + one min-aggregate, with
+    ``localCheckpoint`` truncating the lineage so the plan doesn't grow
+    with iterations. Only a converged-yet boolean ever reaches the driver.
+    Iteration count is the graph diameter; near-dup components are
+    shallow (a transitive chain of near-identical docs), so this
+    converges in a handful of rounds at any corpus size. Raises if
+    ``max_iters`` is hit without convergence rather than returning a
+    silently-wrong partial clustering.
+    """
+    e = (
+        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused every iteration
+    )
+    labels = vertices.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(max_iters):
+        msgs = e.join(labels, e["src"] == labels["id"]).select(
+            F.col("dst").alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} iterations — "
+        "component diameter exceeds the bound; raise max_iters"
+    )
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

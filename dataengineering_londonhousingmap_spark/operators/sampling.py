@@ -1,0 +1,118 @@
+"""Deterministic sampling + sequence packing for training-data pipelines.
+
+Not in the reference (its only sampling is ``head(5)`` eyeballing); these
+are the corpus-assembly operators a 100 TB pretraining pipeline needs:
+class-balanced downsampling, reproducible train/test splits, and
+concat-and-chunk sequence packing into fixed token budgets.
+
+Everything is md5-hash-deterministic — NOT ``df.sample()``: Spark's sampler
+is seed × partitioning dependent (a repartition changes the sample), which
+is unacceptable for reproducible corpus builds and impossible to oracle.
+A hash of the row's stable id is partition-independent, re-runnable,
+engine-portable (md5 is bit-identical in DuckDB), and mergeable — two
+pipeline runs sample the SAME rows, so incremental corpus refreshes don't
+churn the training set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# hash granularity: rates are resolved in basis points (0.01%) so
+# rate=0.1234 is exact
+_BUCKETS = 10_000
+
+
+def _hash_bucket(id_col: Column, salt: str) -> Column:
+    """Deterministic bucket in [0, 10000): int64 of the md5-hex prefix of
+    (id || salt). Uniform, partition-independent, identical in any engine.
+    SQL twin: CAST('0x' || substring(md5(CAST(id AS VARCHAR) || salt), 1, 8)
+    AS BIGINT) % 10000."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(salt))), 1, 8), 16, 10
+    ).cast("long")
+    return h % _BUCKETS
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, rate: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep a deterministic ``rate`` fraction of rows by id hash. A pure
+    narrow filter — no shuffle, pushes past column pruning, and the SAME
+    rows survive at any partitioning or cluster size."""
+    return df.filter(_hash_bucket(F.col(id_col), salt) < int(rate * _BUCKETS))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the class-rebalance operator
+    (downsample the over-represented language/source/domain, keep the rest).
+    ``rates`` maps stratum value → keep fraction. Still a narrow filter:
+    the rate lookup is a CASE expression, never a join or shuffle."""
+    rate_expr: Column = F.lit(int(default_rate * _BUCKETS))
+    for value, rate in sorted(rates.items()):
+        rate_expr = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * _BUCKETS))
+        ).otherwise(rate_expr)
+    return df.filter(_hash_bucket(F.col(id_col), salt) < rate_expr)
+
+
+def train_test_split(
+    df: DataFrame, id_col: str, test_rate: float = 0.1, salt: str = "split"
+) -> DataFrame:
+    """Reproducible split column ('train' | 'test') by id hash. Disjoint and
+    exhaustive by construction; a row keeps its split across re-runs and
+    incremental refreshes — the property random splits lose the moment the
+    corpus changes under them."""
+    return df.withColumn(
+        "split",
+        F.when(
+            _hash_bucket(F.col(id_col), salt) < int(test_rate * _BUCKETS), "test"
+        ).otherwise("train"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    budget: int,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end in
+    deterministic id order and cut every ``budget`` tokens (the GPT-style
+    pretraining pack); each document is assigned the pack where its first
+    token lands, at ``pack_offset`` within it.
+
+    Scale shape: one window cumsum per SHARD (id mod ``n_shards``), never a
+    global single-partition sort — shards pack independently, which is how
+    a real corpus build parallelizes anyway (pack ids are (shard, pack_id)
+    pairs). Pure integer window arithmetic in codegen; no UDF, no shuffle
+    beyond the one window partitioning.
+    """
+    shard = (F.col(id_col) % n_shards).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(token_count_col).over(w) - F.col(token_count_col)).alias("__start")
+    out = df.select(F.col(id_col), F.col(token_count_col), shard).select(
+        "*", start
+    )
+    return out.select(
+        F.col(id_col),
+        "shard",
+        # integer division (div), not floor(double /): exact at any
+        # magnitude and identical to the SQL twin's `//`
+        F.expr(f"__start div {budget}").alias("pack_id"),
+        (F.col("__start") % budget).alias("pack_offset"),
+        F.col(token_count_col),
+    )

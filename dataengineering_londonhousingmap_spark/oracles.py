@@ -908,6 +908,94 @@ ORACLES: dict[str, str] = {
                , 6) AS byte_mean
         FROM documents
     """,
+    # -- training-data: clustering / sampling / packing (round 2) -----------
+    # the identical LSH→Jaccard edge set as q_ngram_jaccard, then min
+    # reachable doc per node via recursive CTE — the declarative twin of the
+    # engine's iterative min-label propagation
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE sh AS ({_SHINGLES}),
+        sig AS (
+            SELECT doc_id,
+                   {_MINHASH_AGGS}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+        {_BAND_SELECTS}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a
+            JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+            WHERE a.doc_id < b.doc_id
+        ),
+        sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY c.id_a, c.id_b
+        ),
+        jac AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE i / (sa.sz + sb.sz - i) >= 0.2
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM jac
+            UNION ALL
+            SELECT id_b, id_a FROM jac
+        ),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+        )
+        SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    "q_sample_stratified": """
+        SELECT event_id, event_type, value
+        FROM events
+        WHERE CAST('0x' || substring(md5(CAST(event_id AS VARCHAR) || 'sample'), 1, 8)
+                   AS BIGINT) % 10000
+              < CASE WHEN event_type = 'view' THEN 5000
+                     WHEN event_type = 'click' THEN 2500
+                     ELSE 10000 END
+    """,
+    "q_train_test_split": """
+        SELECT doc_id,
+               CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)
+                              AS BIGINT) % 10000 < 1000
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    """,
+    "q_pack_sequences": f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                   doc_id % 8 AS shard
+            FROM documents
+        ),
+        cum AS (
+            SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) - n_tokens AS start
+            FROM toks
+        )
+        SELECT doc_id, shard, start // 2048 AS pack_id,
+               start % 2048 AS pack_offset, n_tokens
+        FROM cum
+    """,
+    "q_scan_orc": """
+        SELECT p_partkey, p_brand, p_size, p_retailprice
+        FROM part WHERE p_size > 25
+    """,
     # -- §2.10 UDF surface (round-2 promotion) ------------------------------
     # the Spark side walks synthesized token triples through the F13 pandas
     # UDF; the oracle regenerates the same triples and CASE-walks them:

@@ -36,6 +36,7 @@ from .functions.text import (
 )
 from .operators.dedup import (
     char_shingles,
+    connected_components,
     dedup_by_fingerprint,
     dedup_first_seen,
     lsh_candidate_pairs,
@@ -1256,6 +1257,78 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data ops: cluster survivorship, sampling, packing (round 2)
+# ---------------------------------------------------------------------------
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: LSH candidates → Jaccard-verified
+    edges → connected components by iterative min-label propagation
+    (operators/dedup.py:connected_components). The step pairwise dedup
+    misses: (A,B), (B,C) near-dup pairs collapse to ONE cluster min-id even
+    when (A,C) was never a candidate. Oracle: a recursive CTE computing min
+    reachable doc over the identical edge set."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    edges = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand).select(
+        "id_a", "id_b"
+    )
+    return connected_components(docs.select("doc_id"), edges, "doc_id")
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (class rebalance): clicks kept
+    at 25%, views at 50%, everything else whole — by md5 hash of the stable
+    id, NOT df.sample() (partition-dependent, un-oracle-able). A narrow
+    filter: same surviving rows at any parallelism."""
+    from .operators.sampling import stratified_hash_sample
+
+    ev = _t(spark, sf_dir, "events")
+    out = stratified_hash_sample(
+        ev, "event_id", "event_type", rates={"click": 0.25, "view": 0.5}
+    )
+    return out.select("event_id", "event_type", "value")
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible hash train/test split over the corpus — each doc keeps
+    its split across re-runs and corpus refreshes (the property seeded
+    random splits lose when data changes under them)."""
+    from .operators.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_test_split(docs, "doc_id", test_rate=0.1).select("doc_id", "split")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing into 2048-token budgets (the
+    pretraining pack): docs laid end-to-end in id order within 8 shards,
+    each doc assigned the pack where its first token lands. Pure integer
+    window arithmetic — codegen, one shuffle, no UDF."""
+    from .operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_shards=8)
+
+
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + scan roundtrip — the third columnar format next to
+    Parquet/CSV/JSON (Spark ships the ORC reader; a warehouse migration is
+    a format string, not new code). Predicate still pushes down to the ORC
+    reader."""
+    path = os.path.join(STAGE_DIR, "part_orc")
+    part = _t(spark, sf_dir, "part")
+    part.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.filter(F.col("p_size") > 25).select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+
+
+# ---------------------------------------------------------------------------
 # §2.10 UDF surface as catalog queries (round-2 promotion: these operators
 # were implemented and unit-tested in round 1 but invisible to the driver)
 # ---------------------------------------------------------------------------
@@ -1401,6 +1474,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_parse_pages": q_parse_pages,
     "q_grouped_zscore": q_grouped_zscore,
     "q_serving_radius": q_serving_radius,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_sample_stratified": q_sample_stratified,
+    "q_train_test_split": q_train_test_split,
+    "q_pack_sequences": q_pack_sequences,
+    "q_scan_orc": q_scan_orc,
     # streaming (driver-unverified in r1)
     "q_stream_hourly": q_stream_hourly,
     "q_stream_dedup": q_stream_dedup,

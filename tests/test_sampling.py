@@ -1,0 +1,89 @@
+"""Sampling / packing / clustering operator semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dataengineering_londonhousingmap_spark.operators.dedup import connected_components
+from dataengineering_londonhousingmap_spark.operators.sampling import (
+    hash_sample,
+    pack_sequences,
+    stratified_hash_sample,
+    train_test_split,
+)
+
+
+def test_hash_sample_partition_independent(spark):
+    """The surviving set must not change with partitioning — the property
+    df.sample() lacks and the reason this operator exists."""
+    df = spark.range(5000).select(F.col("id"))
+    a = {r.id for r in hash_sample(df, "id", 0.3).collect()}
+    b = {r.id for r in hash_sample(df.repartition(17), "id", 0.3).collect()}
+    assert a == b
+    # rate lands near 30% (binomial tolerance)
+    assert 0.25 < len(a) / 5000 < 0.35
+
+
+def test_stratified_rates(spark):
+    df = spark.range(6000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("cls")
+    )
+    out = stratified_hash_sample(df, "id", "cls", rates={"0": 0.1, "1": 0.5})
+    got = {r.cls: r.n for r in out.groupBy("cls").agg(F.count("*").alias("n")).collect()}
+    assert 100 < got["0"] < 300      # ~10% of 2000
+    assert 800 < got["1"] < 1200     # ~50% of 2000
+    assert got["2"] == 2000          # default rate 1.0 keeps all
+
+
+def test_train_test_split_disjoint_exhaustive_stable(spark):
+    df = spark.range(2000).select(F.col("id"))
+    s1 = train_test_split(df, "id", test_rate=0.2)
+    s2 = train_test_split(df.repartition(7), "id", test_rate=0.2)
+    rows1 = {(r.id, r.split) for r in s1.collect()}
+    rows2 = {(r.id, r.split) for r in s2.collect()}
+    assert rows1 == rows2                       # reproducible
+    assert len(rows1) == 2000                   # exhaustive, one split each
+    n_test = sum(1 for _, s in rows1 if s == "test")
+    assert 300 < n_test < 500                   # ~20%
+
+
+def test_pack_sequences_contiguous_within_shard(spark):
+    """Offsets must chain: each doc starts where the previous ended
+    (mod budget) — the concat-and-chunk invariant."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7 + 1).cast("long").alias("toks")
+    )
+    out = pack_sequences(df, "id", "toks", budget=16, n_shards=4)
+    rows = sorted(
+        ((r.shard, r.id, r.pack_id, r.pack_offset, r.toks) for r in out.collect())
+    )
+    pos: dict[int, int] = {}
+    for shard, _id, pack_id, off, toks in rows:
+        start = pos.get(shard, 0)
+        assert pack_id == start // 16
+        assert off == start % 16
+        pos[shard] = start + toks
+
+
+def test_connected_components_transitive(spark):
+    """(1-2), (2-3) chain plus an isolated vertex: one 3-cluster under the
+    min id, singleton keeps itself."""
+    verts = spark.createDataFrame([(1,), (2,), (3,), (9,)], "doc_id long")
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(verts, edges, "doc_id").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (9, 9)}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path graph needs multiple propagation rounds — exercises
+    the iteration loop, not just the first join."""
+    n = 12
+    verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    out = connected_components(verts, edges, "doc_id")
+    assert {r.cluster_id for r in out.collect()} == {0}
