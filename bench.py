@@ -53,6 +53,11 @@ HEADLINE = [
     "q_multimodal_features",
     "q_stream_hourly",
     "q_stream_sessions",
+    # round-2 shapes: gridded geo-radius serving, window-cumsum packing,
+    # hash-stratified sampling
+    "q_serving_radius",
+    "q_pack_sequences",
+    "q_sample_stratified",
 ]
 
 
