@@ -265,9 +265,18 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)  # reused every iteration
     )
-    labels = vertices.select(
-        F.col(id_col).alias("id"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=False)
+    # iterate ONLY over edge-incident vertices: at corpus scale near-dup
+    # edges touch a small fraction of documents, and dragging every
+    # isolated doc through every iteration's shuffle would dominate the
+    # cost. Isolated docs are appended as their own cluster at the end —
+    # one anti-join, no iterations.
+    labels = (
+        e.select(F.col("src").alias("id"))
+        .distinct()
+        .select(F.col("id"), F.col("id").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    converged = None
     for _ in range(max_iters):
         msgs = e.join(labels, e["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("label")
@@ -287,10 +296,19 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            return labels.select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iters} iterations — "
-        "component diameter exceeds the bound; raise max_iters"
+            converged = labels
+            break
+    if converged is None:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} iterations — "
+            "component diameter exceeds the bound; raise max_iters"
+        )
+    isolated = vertices.select(F.col(id_col).alias("id")).join(
+        converged.select("id"), "id", "left_anti"
+    ).select(F.col("id"), F.col("id").alias("label"))
+    return (
+        converged.unionByName(isolated)
+        .select(F.col("id").alias(id_col), F.col("label").alias("cluster_id"))
     )
 
 
