@@ -65,6 +65,25 @@ def test_pack_sequences_contiguous_within_shard(spark):
         pos[shard] = start + toks
 
 
+def test_hash_sample_is_narrow_no_shuffle(spark, sf_dir):
+    """The sampling claim that matters at 100 TB: a hash sample is a plain
+    filter — no Exchange in the plan, predicate evaluated at the scan."""
+    import contextlib
+    import io
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_hash_sample(
+        docs, "doc_id", "lang" if "lang" in docs.columns else "doc_id",
+        rates={}, default_rate=0.5,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_connected_components_transitive(spark):
     """(1-2), (2-3) chain plus an isolated vertex: one 3-cluster under the
     min id, singleton keeps itself."""
