@@ -212,6 +212,29 @@ def interval_join_stream(
     return l.join(r, cond, "inner")
 
 
+def start_parquet_sink(df: DataFrame, sink_dir: str, checkpoint_dir: str):
+    """Production sink wiring: append the stream to a Parquet table with a
+    ``checkpointLocation`` for exactly-once delivery, triggered
+    ``availableNow`` — process everything pending, then stop.
+
+    This is the incremental-batch pattern that subsumes the reference's
+    @monthly drop-and-reload DAG (pipeline .py:59, .py:1008-1018): run the
+    job on any schedule and the checkpoint guarantees each input file is
+    processed EXACTLY once across restarts — a crashed or re-triggered run
+    resumes from the offset log instead of double-loading (the reference's
+    executemany retry double-inserts). Returns the started query; callers
+    ``awaitTermination()``.
+    """
+    return (
+        df.writeStream.format("parquet")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,

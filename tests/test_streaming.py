@@ -179,6 +179,42 @@ def test_checkpoint_resume_is_exactly_once(spark, tmp_path):
     assert n2 == 100, f"restart duplicated rows: {n2}"
 
 
+def test_available_now_incremental_batches(spark, tmp_path):
+    """The incremental-batch pattern that subsumes the reference's @monthly
+    drop-and-reload: each availableNow run processes exactly the files that
+    arrived since the last checkpointed offset — old files are never
+    re-read, new files are never missed."""
+    import pandas as pd
+
+    from dataengineering_londonhousingmap_spark.streaming.incremental import (
+        start_parquet_sink,
+    )
+
+    src = str(tmp_path / "inc_src")
+    sink = str(tmp_path / "inc_sink")
+    cp = str(tmp_path / "inc_cp")
+
+    def land(ids):
+        pdf = pd.DataFrame({"event_id": list(ids), "value": [float(i) for i in ids]})
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema("event_id long, value double").parquet(src)
+        q = start_parquet_sink(stream, sink, cp)
+        q.awaitTermination(60)
+
+    land(range(0, 50))
+    run_once()
+    assert spark.read.parquet(sink).count() == 50
+
+    land(range(50, 80))
+    run_once()  # second scheduled run: only the 30 new rows
+    out = spark.read.parquet(sink)
+    assert out.count() == 80
+    # exactly-once: every id exactly once, none duplicated or dropped
+    assert out.select("event_id").distinct().count() == 80
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """An event arriving in a later micro-batch with event time older than
     the advanced watermark must be DROPPED from the windowed aggregate —
