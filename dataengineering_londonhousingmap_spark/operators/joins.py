@@ -262,6 +262,49 @@ def salted_join(
     return l.join(r, [key, "__salt"], how).drop("__salt")
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    value_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+) -> DataFrame:
+    """Banded range join: match each point row to every interval row with
+    ``lo ≤ value < hi`` — without the cross product Spark would otherwise
+    plan for a pure theta join.
+
+    Shape: both sides are keyed to buckets of ``bucket_width`` (intervals
+    exploded into every bucket they overlap), the join is a plain
+    equi-shuffle on bucket id, and the range predicate is only a residual
+    filter on co-bucketed candidates. Cost is |points| + |intervals| ×
+    (interval_len/width + 1) instead of |points| × |intervals| — the same
+    bucketing trick as the gridded NN join, in one dimension. Pick
+    ``bucket_width`` ≈ the typical interval length: each interval then
+    explodes into ~2 buckets. No pair can match twice (a point lives in
+    exactly one bucket), so no dedup pass is needed.
+    """
+    pb = points.withColumn(
+        "__b", F.floor(F.col(value_col) / bucket_width).cast("long")
+    )
+    ib = (
+        intervals.withColumn(
+            "__bs",
+            F.sequence(
+                F.floor(F.col(lo_col) / bucket_width).cast("long"),
+                F.floor(F.col(hi_col) / bucket_width).cast("long"),
+            ),
+        )
+        .withColumn("__b", F.explode("__bs"))
+        .drop("__bs")
+    )
+    return (
+        pb.join(ib, "__b")
+        .filter((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
+        .drop("__b")
+    )
+
+
 def zip_join(left: DataFrame, right: DataFrame, order_left: list[str], order_right: list[str]) -> DataFrame:
     """J5 — positional concat (``pd.concat(axis=1)``, google_maps_api.ipynb
     cell 13). Spark has no row order, so the fragile positional semantics are

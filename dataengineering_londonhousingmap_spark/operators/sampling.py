@@ -79,6 +79,47 @@ def train_test_split(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    salt: str = "mixture",
+) -> tuple[DataFrame, dict[str, int]]:
+    """Target-mixture downsampling: keep the LARGEST corpus whose source
+    shares match ``weights`` (the de-facto corpus-mixing step before
+    pretraining — e.g. cap English at 40% without discarding a single row
+    of the binding low-resource source).
+
+    Math: T = min over sources of N_s / w_s is the largest total honoring
+    every share with what exists; source s keeps w_s·T rows via a hash
+    rate. Sources absent from ``weights`` are dropped.
+
+    Two passes: a per-source count aggregate whose k-row result is
+    collected (k = |sources|, the same only-tiny-things-reach-the-driver
+    rule as IVF centroids), then ONE narrow hash filter — no shuffle of
+    the data itself at any corpus size. Returns (sampled df, the bucket
+    thresholds used) so callers can log/audit the realized rates.
+    """
+    counts = {
+        r[source_col]: r["n"]
+        for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()
+        if r[source_col] in weights
+    }
+    missing = set(weights) - set(counts)
+    if missing:
+        raise ValueError(f"weighted sources absent from data: {sorted(missing)}")
+    t = min(counts[s] / w for s, w in weights.items())
+    buckets = {s: int(weights[s] * t / counts[s] * _BUCKETS) for s in counts}
+    thresh: Column = F.lit(-1)  # unweighted sources match nothing
+    for s in sorted(buckets):
+        thresh = F.when(F.col(source_col) == s, F.lit(buckets[s])).otherwise(thresh)
+    return (
+        df.filter(_hash_bucket(F.col(id_col), salt) < thresh),
+        buckets,
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

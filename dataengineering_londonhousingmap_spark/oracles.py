@@ -91,6 +91,16 @@ _DOT = (
 
 _BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# mixture-sampling rate arithmetic — single source of truth in queries.py
+from .queries import _MIXTURE_WEIGHTS  # noqa: E402
+
+_MIX_LANGS = ", ".join(f"'{s}'" for s in sorted(_MIXTURE_WEIGHTS))
+_MIX_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{s}' THEN {w!r}e0" for s, w in sorted(_MIXTURE_WEIGHTS.items()))
+    + " END"
+)
+
 # ---------------------------------------------------------------------------
 # the oracle map
 # ---------------------------------------------------------------------------
@@ -965,6 +975,35 @@ ORACLES: dict[str, str] = {
               < CASE WHEN event_type = 'view' THEN 5000
                      WHEN event_type = 'click' THEN 2500
                      ELSE 10000 END
+    """,
+    # identical rate arithmetic as operators/sampling.py:mixture_sample,
+    # generated from the SAME weights dict (queries._MIXTURE_WEIGHTS) so the
+    # two sides cannot drift; e-notation keeps literals DOUBLE
+    "q_sample_mixture": f"""
+        WITH counts AS (
+            SELECT lang, CAST(count(*) AS DOUBLE) AS n
+            FROM documents
+            WHERE lang IN ({_MIX_LANGS})
+            GROUP BY lang
+        ),
+        tmin AS (SELECT min(n / {_MIX_CASE}) AS t FROM counts),
+        rates AS (
+            SELECT lang,
+                   CAST(floor({_MIX_CASE} * (SELECT t FROM tmin) / n * 10000)
+                        AS BIGINT) AS b
+            FROM counts
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates r ON d.lang = r.lang
+        WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'mixture'), 1, 8)
+                   AS BIGINT) % 10000 < r.b
+    """,
+    "q_join_range": """
+        SELECT e.event_id, s.s_suppkey AS band_id
+        FROM events e
+        JOIN supplier s
+          ON e.value >= CAST(s.s_suppkey AS DOUBLE) * 10e0
+         AND e.value <  CAST(s.s_suppkey AS DOUBLE) * 10e0 + 25e0
     """,
     "q_train_test_split": """
         SELECT doc_id,

@@ -49,6 +49,7 @@ from .operators.joins import (
     broadcast_map_join,
     nearest_join,
     nearest_join_gridded,
+    range_join,
     salted_join,
     zip_join,
 )
@@ -1314,6 +1315,41 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, "doc_id", "n_tokens", budget=2048, n_shards=8)
 
 
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture corpus sampling: cap English at 40% and split the
+    rest evenly — the largest corpus honoring those shares, kept via
+    deterministic hash rates derived from per-language counts (only the
+    k-row count table reaches the driver). Oracle recomputes the identical
+    rate arithmetic in SQL."""
+    from .operators.sampling import mixture_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out, _ = mixture_sample(docs, "doc_id", "lang", weights=_MIXTURE_WEIGHTS)
+    return out.select("doc_id", "lang")
+
+
+# shared by the Spark query and the generated oracle so the rate arithmetic
+# can never drift; e-notation keeps the SQL literals DOUBLE (bare 0.4 parses
+# as DECIMAL in both engines)
+_MIXTURE_WEIGHTS = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+
+
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join (operators/joins.py:range_join): every event value
+    matched to the supplier-derived bands [s·10, s·10+25) that contain it —
+    an equi-join on value buckets with the range predicate as residual,
+    never the |points|×|intervals| cross product a theta join plans as.
+    Oracle: the plain theta join."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "value")
+    bands = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("band_id"),
+        (F.col("s_suppkey").cast("double") * 10.0).alias("lo"),
+        (F.col("s_suppkey").cast("double") * 10.0 + 25.0).alias("hi"),
+    )
+    out = range_join(ev, bands, "value", "lo", "hi", bucket_width=25.0)
+    return out.select("event_id", "band_id")
+
+
 def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + scan roundtrip — the third columnar format next to
     Parquet/CSV/JSON (Spark ships the ORC reader; a warehouse migration is
@@ -1476,8 +1512,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_serving_radius": q_serving_radius,
     "q_dedup_clusters": q_dedup_clusters,
     "q_sample_stratified": q_sample_stratified,
+    "q_sample_mixture": q_sample_mixture,
     "q_train_test_split": q_train_test_split,
     "q_pack_sequences": q_pack_sequences,
+    "q_join_range": q_join_range,
     "q_scan_orc": q_scan_orc,
     # streaming (driver-unverified in r1)
     "q_stream_hourly": q_stream_hourly,

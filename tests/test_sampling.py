@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from dataengineering_londonhousingmap_spark.operators.dedup import connected_components
 from dataengineering_londonhousingmap_spark.operators.sampling import (
     hash_sample,
+    mixture_sample,
     pack_sequences,
     stratified_hash_sample,
     train_test_split,
@@ -63,6 +64,66 @@ def test_pack_sequences_contiguous_within_shard(spark):
         assert pack_id == start // 16
         assert off == start % 16
         pos[shard] = start + toks
+
+
+def test_mixture_sample_hits_target_shares(spark):
+    """2000 'big' + 500 'small' rows, target 50/50: small is the binding
+    source (kept whole), big downsamples to ~500 — realized shares land on
+    the target within hash tolerance, and unweighted sources vanish."""
+    import pyspark.sql.functions as Fn
+
+    df = spark.range(3000).select(
+        Fn.col("id"),
+        Fn.when(Fn.col("id") < 2000, "big")
+        .when(Fn.col("id") < 2500, "small")
+        .otherwise("junk")
+        .alias("src"),
+    )
+    out, buckets = mixture_sample(df, "id", "src", {"big": 0.5, "small": 0.5})
+    got = {r.src: r.n for r in out.groupBy("src").agg(Fn.count("*").alias("n")).collect()}
+    assert "junk" not in got
+    assert got["small"] == 500                   # binding source kept whole
+    assert 420 < got["big"] < 580                # ~500 of 2000
+    assert buckets["small"] == 10000
+
+
+def test_mixture_sample_missing_source_raises(spark):
+    import pyspark.sql.functions as Fn
+
+    df = spark.range(10).select(Fn.col("id"), Fn.lit("a").alias("src"))
+    try:
+        mixture_sample(df, "id", "src", {"a": 0.5, "ghost": 0.5})
+        raise AssertionError("expected ValueError for absent source")
+    except ValueError:
+        pass
+
+
+def test_range_join_matches_theta_join(spark):
+    """Bucketed range join must equal the naive theta join — including
+    intervals spanning multiple buckets and points on bucket boundaries."""
+    import pyspark.sql.functions as Fn
+
+    from dataengineering_londonhousingmap_spark.operators.joins import range_join
+
+    pts = spark.range(200).select(
+        Fn.col("id").alias("pid"), (Fn.col("id") * 0.7).alias("v")
+    )
+    iv = spark.range(30).select(
+        Fn.col("id").alias("iid"),
+        (Fn.col("id") * 4.0).alias("lo"),
+        (Fn.col("id") * 4.0 + 11.0).alias("hi"),  # spans >2 buckets at width 5
+    )
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(pts, iv, "v", "lo", "hi", bucket_width=5.0).collect()
+    }
+    want = {
+        (r.pid, r.iid)
+        for r in pts.crossJoin(iv)
+        .filter((Fn.col("v") >= Fn.col("lo")) & (Fn.col("v") < Fn.col("hi")))
+        .collect()
+    }
+    assert got == want and len(want) > 0
 
 
 def test_hash_sample_is_narrow_no_shuffle(spark, sf_dir):
