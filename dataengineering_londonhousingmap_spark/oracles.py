@@ -1031,6 +1031,35 @@ ORACLES: dict[str, str] = {
                start % 2048 AS pack_offset, n_tokens
         FROM cum
     """,
+    "q_profile": """
+        SELECT 'o_orderkey' AS col_name,
+               CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_nulls,
+               CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+               CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(count(*) FILTER (o_orderstatus IS NULL) AS BIGINT),
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+               CAST(min(o_orderstatus) AS VARCHAR),
+               CAST(max(o_orderstatus) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(count(*) FILTER (o_totalprice IS NULL) AS BIGINT),
+               CAST(count(DISTINCT o_totalprice) AS BIGINT),
+               CAST(min(o_totalprice) AS VARCHAR),
+               CAST(max(o_totalprice) AS VARCHAR)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               CAST(count(*) FILTER (o_orderpriority IS NULL) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               CAST(min(o_orderpriority) AS VARCHAR),
+               CAST(max(o_orderpriority) AS VARCHAR)
+        FROM orders
+    """,
     "q_scan_orc": """
         SELECT p_partkey, p_brand, p_size, p_retailprice
         FROM part WHERE p_size > 25

@@ -1350,6 +1350,18 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "band_id")
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile (operators/profiling.py): per-column null
+    count, exact distinct count, min/max — the engine's version of the
+    reference's scattered isnull()/nunique() probes, as one aggregation."""
+    from .operators.profiling import profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile(
+        orders, ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    )
+
+
 def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink + scan roundtrip — the third columnar format next to
     Parquet/CSV/JSON (Spark ships the ORC reader; a warehouse migration is
@@ -1516,6 +1528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_train_test_split": q_train_test_split,
     "q_pack_sequences": q_pack_sequences,
     "q_join_range": q_join_range,
+    "q_profile": q_profile,
     "q_scan_orc": q_scan_orc,
     # streaming (driver-unverified in r1)
     "q_stream_hourly": q_stream_hourly,
