@@ -1031,6 +1031,19 @@ ORACLES: dict[str, str] = {
                start % 2048 AS pack_offset, n_tokens
         FROM cum
     """,
+    "q_join_nn_topk": """
+        WITH ranked AS (
+            SELECT c.c_custkey, s.s_suppkey,
+                   abs(c.c_acctbal - s.s_acctbal) AS d,
+                   row_number() OVER (
+                       PARTITION BY c.c_custkey
+                       ORDER BY abs(c.c_acctbal - s.s_acctbal), s.s_suppkey
+                   ) AS rn
+            FROM customer c CROSS JOIN supplier s
+        )
+        SELECT c_custkey, s_suppkey AS near_suppkey, round(d, 6) AS dist
+        FROM ranked WHERE rn <= 3
+    """,
     "q_profile": """
         SELECT 'o_orderkey' AS col_name,
                CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_nulls,

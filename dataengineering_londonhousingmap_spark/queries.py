@@ -527,6 +527,28 @@ def q_join_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_nn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 at k>1: the 3 nearest suppliers per customer — the windowed-rank
+    path of nearest_join (k=1 uses min(struct); k>1 ranks the candidates),
+    with the same deterministic tiebreak. Serves the 'show the user the
+    three closest stations' query the k=1 serving shape can't."""
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    out = nearest_join(
+        customer,
+        supplier,
+        distance=lambda l, r: F.abs(l["c_acctbal"] - r["s_acctbal"]),
+        left_key="c_custkey",
+        tiebreak=["s_suppkey"],
+        k=3,
+    )
+    return out.select(
+        "c_custkey",
+        F.col("s_suppkey").alias("near_suppkey"),
+        F.round("__dist", 6).alias("dist"),
+    )
+
+
 def q_join_nn_gridded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 at scale: grid-bucketed NN join — equi-join on spatial cells
     replaces the cross product (SURVEY §4.3.1). Synthetic lat/lon derived
@@ -1528,6 +1550,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_train_test_split": q_train_test_split,
     "q_pack_sequences": q_pack_sequences,
     "q_join_range": q_join_range,
+    "q_join_nn_topk": q_join_nn_topk,
     "q_profile": q_profile,
     "q_scan_orc": q_scan_orc,
     # streaming (driver-unverified in r1)
