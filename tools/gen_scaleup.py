@@ -37,6 +37,8 @@ SCALEUP_SET = [
     "q_dedup_minhash",
     "q_corpus_curation",
     "q_serving_radius",
+    "q_join_range",
+    "q_pack_sequences",
 ]
 
 
