@@ -309,7 +309,13 @@ def zip_join(left: DataFrame, right: DataFrame, order_left: list[str], order_rig
     """J5 — positional concat (``pd.concat(axis=1)``, google_maps_api.ipynb
     cell 13). Spark has no row order, so the fragile positional semantics are
     made explicit: both sides are ranked by a caller-chosen sort and joined
-    on rank. Deterministic where the reference was accidentally so."""
+    on rank. Deterministic where the reference was accidentally so.
+    Estimated-large inputs are refused rather than silently serialized
+    through the single-partition rank (guard_global_sort)."""
+    from .util import guard_global_sort
+
+    guard_global_sort(left, "zip_join (left)")
+    guard_global_sort(right, "zip_join (right)")
     wl = Window.orderBy(*[F.col(c) for c in order_left])
     wr = Window.orderBy(*[F.col(c) for c in order_right])
     ln = left.withColumn("__rn", F.row_number().over(wl))

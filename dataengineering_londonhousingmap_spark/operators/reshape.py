@@ -97,7 +97,11 @@ def sessionize_by_marker(
     session. NB: the global ``Window.orderBy`` is single-partition — correct
     for the reference's page-sized streams; the scale path partitions by a
     document/page key first (see ``queries.q_split_sessions`` which
-    partitions by user).
+    partitions by user). Estimated-large inputs are refused rather than
+    silently serialized (guard_global_sort).
     """
+    from .util import guard_global_sort
+
+    guard_global_sort(df, "sessionize_by_marker")
     w = Window.orderBy(F.col(order_col)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return df.withColumn(session_name, F.sum(F.when(marker_col, 1).otherwise(0)).over(w))

@@ -38,6 +38,35 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def guard_global_sort(
+    df: DataFrame, operator: str, limit_bytes: int = 1 << 30, allow_large: bool = False
+) -> None:
+    """Refuse to run a global (unpartitioned) ``Window.orderBy`` over an
+    estimated-large input instead of silently serializing it through one
+    task. Positional operators (zip_join, whole-stream sessionization)
+    inherit the reference's row-order semantics and genuinely need a total
+    order — correct on the dimension-sized inputs they were built for,
+    pathological if someone points them at a fact table.
+
+    Uses Catalyst's optimized-plan size ESTIMATE (driver-side, no job); an
+    unavailable estimate passes (never block on a guard). ``allow_large``
+    is the explicit eyes-open override.
+    """
+    if allow_large:
+        return
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        est = int(raw if isinstance(raw, int) else str(raw))
+    except Exception:
+        return
+    if est > limit_bytes:
+        raise ValueError(
+            f"{operator}: input estimated at {est} bytes would be sorted in a "
+            f"SINGLE task (global Window.orderBy). Use the partitioned variant, "
+            f"or pass allow_large=True if the estimate is known to be wrong."
+        )
+
+
 def exact_avg_cents(col: str):
     """Engine-stable average of an exact-2-decimal column: integer-exact
     numerator (round(sum×100) is an exact integer) over the non-null count —

@@ -145,6 +145,27 @@ def test_hash_sample_is_narrow_no_shuffle(spark, sf_dir):
     assert "BatchEvalPython" not in plan
 
 
+def test_global_sort_guard_refuses_large_inputs(spark):
+    """zip_join / sessionize_by_marker single-partition-sort by semantics —
+    they must refuse estimated-large inputs instead of silently
+    serializing, with allow_large as the explicit override."""
+    import pyspark.sql.functions as Fn
+    import pytest
+
+    from dataengineering_londonhousingmap_spark.operators.joins import zip_join
+    from dataengineering_londonhousingmap_spark.operators.util import guard_global_sort
+
+    small = spark.range(10).select(Fn.col("id"))
+    big = spark.range(500_000_000).select(
+        Fn.col("id"), Fn.lit("x" * 100).alias("pay")
+    )
+    with pytest.raises(ValueError, match="SINGLE task"):
+        zip_join(big, small, ["id"], ["id"])
+    guard_global_sort(big, "t", allow_large=True)  # explicit override passes
+    # dimension-sized inputs pass the guard and join positionally
+    assert zip_join(small, small, ["id"], ["id"]).count() == 10
+
+
 def test_aqe_splits_skewed_join(spark):
     """The 100 TB skew story beyond salting: with AQE's skew-join enabled, a
     hot-key sort-merge join is split at runtime — the final adaptive plan
