@@ -88,6 +88,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # declared so round-over-round comparisons are apples-to-apples:
+        # best-of-2 measures the steady-state plan (JIT + python workers +
+        # page cache warm), not a cold driver start
+        "methodology": "best-of-2 warm, noop sink, shared session",
     }
     print(json.dumps(out))
 

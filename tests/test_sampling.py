@@ -25,6 +25,16 @@ def test_hash_sample_partition_independent(spark):
     assert 0.25 < len(a) / 5000 < 0.35
 
 
+def test_hash_sample_rate_monotone(spark):
+    """Raising the rate only ADDS rows (same salt ⇒ nested thresholds) —
+    the property that makes staged corpus scale-ups reproducible subsets
+    of each other."""
+    df = spark.range(3000).select(F.col("id"))
+    s30 = {r.id for r in hash_sample(df, "id", 0.3).collect()}
+    s60 = {r.id for r in hash_sample(df, "id", 0.6).collect()}
+    assert s30 < s60
+
+
 def test_stratified_rates(spark):
     df = spark.range(6000).select(
         F.col("id"), (F.col("id") % 3).cast("string").alias("cls")
