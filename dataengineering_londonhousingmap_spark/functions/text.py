@@ -141,6 +141,39 @@ def doc_fingerprint(col: Column | str) -> Column:
     return F.md5(normalize_text(col))
 
 
+# PII patterns — applied in order (URL first: emails/IPs inside URLs must
+# not survive as fragments after the URL token replaces the rest). Kept to
+# the regex subset with identical semantics in Java regex and RE2/DuckDB.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"https?://\S+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Training-data PII scrub: URLs, emails, and IPv4 literals replaced by
+    type tokens — pure chained ``regexp_replace`` (codegen, no UDF). The
+    standard pre-training hygiene pass; order matters and is fixed by
+    PII_PATTERNS. SQL twin: the same chain with the 'g' flag."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def bigrams(col: Column | str) -> Column:
+    """Adjacent whitespace-token pairs as an array of 'a b' strings — the
+    unit of repetition scoring. <2 tokens → empty array."""
+    t = tokens(col)
+    n = F.size(t)
+    idx = F.sequence(F.lit(1), n - 1)
+    pairs = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1))
+    )
+    return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
+
+
 def rolling_hash(col: Column | str, base: int = 31, mod: int = 1_000_000_007) -> Column:
     """Polynomial rolling hash over characters (Rabin-Karp style), computed
     with a higher-order aggregate — demonstrates order-sensitive folds as

@@ -1077,6 +1077,55 @@ ORACLES: dict[str, str] = {
         SELECT p_partkey, p_brand, p_size, p_retailprice
         FROM part WHERE p_size > 25
     """,
+    # identical replacement chain as functions/text.py:PII_PATTERNS (URL
+    # first), with DuckDB's explicit 'g' flag
+    "q_redact_pii": r"""
+        WITH planted AS (
+            SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@ex' || CAST(doc_id % 7 AS VARCHAR)
+                        || '.com or https://site' || CAST(doc_id % 5 AS VARCHAR)
+                        || '.io/p/' || CAST(doc_id AS VARCHAR)
+                        || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.' || CAST(doc_id % 100 AS VARCHAR) AS t
+            FROM documents
+        ),
+        red AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(t, 'https?://\S+', '<URL>', 'g'),
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r
+            FROM planted
+        )
+        SELECT doc_id, md5(r) AS redacted_fp,
+               CAST(len(regexp_extract_all(r, '<URL>')) AS INTEGER) AS n_urls,
+               CAST(len(regexp_extract_all(r, '<EMAIL>')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(r, '<IP>')) AS INTEGER) AS n_ips
+        FROM red
+    """,
+    "q_text_repetition": r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1])) AS bg
+            FROM tok WHERE len(t) >= 2
+        ),
+        counts AS (
+            SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_bigrams,
+               CAST(max(c) AS BIGINT) AS max_bigram,
+               round(CAST(max(c) AS BIGINT) / (1e0 * CAST(sum(c) AS BIGINT)), 6)
+                   AS rep_ratio
+        FROM counts GROUP BY doc_id
+    """,
     # -- §2.10 UDF surface (round-2 promotion) ------------------------------
     # the Spark side walks synthesized token triples through the F13 pandas
     # UDF; the oracle regenerates the same triples and CASE-walks them:

@@ -27,9 +27,11 @@ from pyspark.sql import functions as F
 from .functions.cleaning import haversine_km
 from .functions.text import (
     _BPE_ISH,
+    bigrams,
     doc_fingerprint,
     lang_id_scores,
     quality_score,
+    redact_pii,
     rolling_hash,
     token_count,
     tokens,
@@ -1372,6 +1374,54 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "band_id")
 
 
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-training PII scrub: URLs, emails, IPv4 literals → type tokens,
+    as chained codegen regexp_replace (functions/text.py:redact_pii). PII
+    is planted deterministically from doc_id so the scrub provably fires;
+    output carries the md5 of the redacted text plus per-type counts, and
+    the oracle runs the identical chain with DuckDB's 'g' flag."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@ex"), (d % 7).cast("string"),
+        F.lit(".com or https://site"), (d % 5).cast("string"),
+        F.lit(".io/p/"), d.cast("string"),
+        F.lit(" from 10.0."), (d % 256).cast("string"),
+        F.lit("."), (d % 100).cast("string"),
+    )
+    red = redact_pii(planted)
+    return docs.select(
+        "doc_id",
+        F.md5(red).alias("redacted_fp"),
+        F.size(F.regexp_extract_all(red, F.lit("<URL>"), 0)).alias("n_urls"),
+        F.size(F.regexp_extract_all(red, F.lit("<EMAIL>"), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(red, F.lit("<IP>"), 0)).alias("n_ips"),
+    )
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality signal (the Gopher-style duplicate-n-gram
+    filter): per document, the fraction of bigram mass held by the most
+    repeated bigram. explode → two hash aggregations, all codegen; docs
+    with <2 tokens have no bigrams and drop out on both sides."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.util import fan_out
+
+    bg = fan_out(docs).select("doc_id", F.explode(bigrams("text")).alias("bg"))
+    counts = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("max_bigram")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "max_bigram",
+        F.round(F.col("max_bigram") / F.col("n_bigrams"), 6).alias("rep_ratio"),
+    )
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass table profile (operators/profiling.py): per-column null
     count, exact distinct count, min/max — the engine's version of the
@@ -1552,6 +1602,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_join_range": q_join_range,
     "q_join_nn_topk": q_join_nn_topk,
     "q_profile": q_profile,
+    "q_redact_pii": q_redact_pii,
+    "q_text_repetition": q_text_repetition,
     "q_scan_orc": q_scan_orc,
     # streaming (driver-unverified in r1)
     "q_stream_hourly": q_stream_hourly,

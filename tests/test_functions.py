@@ -161,3 +161,37 @@ def test_cleaning_functions_are_ansi_proof(spark):
     ).collect()  # must not raise under ANSI
     vals = {r.a for r in out}
     assert 1200.0 in vals and None in vals
+
+
+def test_redact_pii_order_and_patterns(spark):
+    from dataengineering_londonhousingmap_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("mail a@b.com now",),
+            ("see https://x.io/a@b.com?ip=1.2.3.4 ok",),   # inside URL → one <URL>
+            ("host 10.0.0.1 and 192.168.1.255",),
+            ("clean text",),
+        ],
+        "s string",
+    )
+    got = [r.r for r in df.select(redact_pii("s").alias("r")).collect()]
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "see <URL> ok"          # URL applied first, swallows both
+    assert got[2] == "host <IP> and <IP>"
+    assert got[3] == "clean text"
+
+
+def test_bigrams_edges(spark):
+    from pyspark.sql import functions as F
+
+    from dataengineering_londonhousingmap_spark.functions.text import bigrams
+
+    df = spark.createDataFrame(
+        [("a b c",), ("one",), ("",), ("  x   y  ",)], "s string"
+    )
+    got = [r.b for r in df.select(bigrams("s").alias("b")).collect()]
+    assert got[0] == ["a b", "b c"]
+    assert got[1] == []
+    assert got[2] == []
+    assert got[3] == ["x y"]                  # whitespace-normalized pairs
