@@ -94,6 +94,53 @@ _BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 # mixture-sampling rate arithmetic — single source of truth in queries.py
 from .queries import _MIXTURE_WEIGHTS  # noqa: E402
 
+# curation chain (quality score → language gate → content-fingerprint
+# survivor), shared by q_corpus_curation and the full corpus pipeline
+_CURATION_CTES = f"""base AS (
+            SELECT doc_id, text,
+                   length(text) AS nc,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+                   len({_TOKENS}) AS ntok,
+                   len(list_filter({_TOKENS},
+                       t -> list_contains({_STOPWORDS_SQL}, lower(t)))) AS stop_hits
+            FROM documents
+        ),
+        scored AS (
+            SELECT doc_id, text,
+                   round(
+                       least(nc / 500.0, 1.0) * 0.25
+                       + (alpha / greatest(nc, 1)) * 0.25
+                       + least((stop_hits / greatest(ntok, 1)) * 5.0, 1.0) * 0.25
+                       + (CASE WHEN alpha / greatest(ntok, 1) BETWEEN 3.0 AND 12.0
+                               THEN 1.0 ELSE 0.5 END) * 0.25
+                   , 6) AS quality
+            FROM base
+        ),
+        langs AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS_DE}, t))) AS BIGINT) AS de,
+                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS_EN}, t))) AS BIGINT) AS en,
+                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS_ES}, t))) AS BIGINT) AS es,
+                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS_FR}, t))) AS BIGINT) AS fr
+            FROM (SELECT doc_id, list_transform({_TOKENS}, t -> lower(t)) AS tk FROM documents)
+        ),
+        kept AS (
+            SELECT s.doc_id, s.quality,
+                   md5(trim(regexp_replace(lower(s.text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM scored s JOIN langs l ON s.doc_id = l.doc_id
+            WHERE s.quality >= 0.6
+              AND greatest(l.de, l.en, l.es, l.fr) > 0
+              AND NOT (l.de >= l.en AND l.de >= l.es AND l.de >= l.fr)
+              AND (l.en >= l.es AND l.en >= l.fr)
+        ),
+        surv AS (
+            SELECT doc_id, fingerprint, quality FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY fingerprint ORDER BY doc_id) AS rn
+                FROM kept
+            ) WHERE rn = 1
+        )"""
+
 _MIX_LANGS = ", ".join(f"'{s}'" for s in sorted(_MIXTURE_WEIGHTS))
 _MIX_CASE = (
     "CASE lang "
@@ -792,48 +839,36 @@ ORACLES: dict[str, str] = {
         FROM hits
     """,
     "q_corpus_curation": f"""
-        WITH base AS (
-            SELECT doc_id, text,
-                   length(text) AS nc,
-                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
-                   len({_TOKENS}) AS ntok,
-                   len(list_filter({_TOKENS},
-                       t -> list_contains({_STOPWORDS_SQL}, lower(t)))) AS stop_hits
-            FROM documents
+        WITH {_CURATION_CTES}
+        SELECT doc_id, fingerprint, quality FROM surv
+    """,
+    # the curation survivors → hash train split → concat-and-chunk packing:
+    # THE full corpus-build pipeline, composed from the same verified
+    # fragments
+    "q_pipeline_corpus": f"""
+        WITH {_CURATION_CTES},
+        train AS (
+            SELECT doc_id FROM surv
+            WHERE CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8)
+                       AS BIGINT) % 10000 >= 1000
         ),
-        scored AS (
-            SELECT doc_id, text,
-                   round(
-                       least(nc / 500.0, 1.0) * 0.25
-                       + (alpha / greatest(nc, 1)) * 0.25
-                       + least((stop_hits / greatest(ntok, 1)) * 5.0, 1.0) * 0.25
-                       + (CASE WHEN alpha / greatest(ntok, 1) BETWEEN 3.0 AND 12.0
-                               THEN 1.0 ELSE 0.5 END) * 0.25
-                   , 6) AS quality
-            FROM base
+        toks AS (
+            SELECT d.doc_id,
+                   CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+                   d.doc_id % 8 AS shard
+            FROM documents d JOIN train t ON d.doc_id = t.doc_id
         ),
-        langs AS (
-            SELECT doc_id,
-                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS_DE}, t))) AS BIGINT) AS de,
-                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS_EN}, t))) AS BIGINT) AS en,
-                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS_ES}, t))) AS BIGINT) AS es,
-                   CAST(len(list_filter(tk, t -> list_contains({_LANG_LISTS_FR}, t))) AS BIGINT) AS fr
-            FROM (SELECT doc_id, list_transform({_TOKENS}, t -> lower(t)) AS tk FROM documents)
-        ),
-        kept AS (
-            SELECT s.doc_id, s.quality,
-                   md5(trim(regexp_replace(lower(s.text), '\\s+', ' ', 'g'))) AS fingerprint
-            FROM scored s JOIN langs l ON s.doc_id = l.doc_id
-            WHERE s.quality >= 0.6
-              AND greatest(l.de, l.en, l.es, l.fr) > 0
-              AND NOT (l.de >= l.en AND l.de >= l.es AND l.de >= l.fr)
-              AND (l.en >= l.es AND l.en >= l.fr)
+        cum AS (
+            SELECT doc_id, shard, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) - n_tokens AS start
+            FROM toks
         )
-        SELECT doc_id, fingerprint, quality FROM (
-            SELECT *, row_number() OVER (
-                       PARTITION BY fingerprint ORDER BY doc_id) AS rn
-            FROM kept
-        ) WHERE rn = 1
+        SELECT doc_id, shard, start // 2048 AS pack_id,
+               start % 2048 AS pack_offset, n_tokens
+        FROM cum
     """,
     "q_fingerprint": r"""
         SELECT doc_id,

@@ -1374,6 +1374,25 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "band_id")
 
 
+def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE full training-data corpus build, end-to-end in one declarative
+    plan: quality score → language gate → content-fingerprint dedup (the
+    q_corpus_curation chain) → reproducible hash train-split → concat-and-
+    chunk packing into 2048-token sequences. Every stage is an
+    independently-verified operator; this entry verifies their COMPOSITION
+    against the composed SQL, which is what a user actually runs."""
+    from .operators.sampling import pack_sequences, train_test_split
+
+    surv = q_corpus_curation(spark, sf_dir).select("doc_id")
+    split = train_test_split(surv, "doc_id", test_rate=0.1)
+    train = split.filter(F.col("split") == "train").select("doc_id")
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.join(train, "doc_id").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    return pack_sequences(toks, "doc_id", "n_tokens", budget=2048, n_shards=8)
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training PII scrub: URLs, emails, IPv4 literals → type tokens,
     as chained codegen regexp_replace (functions/text.py:redact_pii). PII
@@ -1604,6 +1623,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_profile": q_profile,
     "q_redact_pii": q_redact_pii,
     "q_text_repetition": q_text_repetition,
+    "q_pipeline_corpus": q_pipeline_corpus,
     "q_scan_orc": q_scan_orc,
     # streaming (driver-unverified in r1)
     "q_stream_hourly": q_stream_hourly,
