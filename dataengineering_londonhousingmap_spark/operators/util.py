@@ -59,6 +59,11 @@ def guard_global_sort(
         est = int(raw if isinstance(raw, int) else str(raw))
     except Exception:
         return
+    if est >= (1 << 63) - 1:
+        # Long.MaxValue is Catalyst's UNKNOWN-size sentinel
+        # (spark.sql.defaultSizeInBytes default), not a real estimate —
+        # never block on it
+        return
     if est > limit_bytes:
         raise ValueError(
             f"{operator}: input estimated at {est} bytes would be sorted in a "
