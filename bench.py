@@ -54,10 +54,11 @@ HEADLINE = [
     "q_stream_hourly",
     "q_stream_sessions",
     # round-2 shapes: gridded geo-radius serving, window-cumsum packing,
-    # hash-stratified sampling
+    # hash-stratified sampling, and the full corpus-build composite
     "q_serving_radius",
     "q_pack_sequences",
     "q_sample_stratified",
+    "q_pipeline_corpus",
 ]
 
 
