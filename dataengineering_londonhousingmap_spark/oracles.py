@@ -784,6 +784,26 @@ ORACLES: dict[str, str] = {
               / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
                  * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})) >= 0.42
     """,
+    "q_dedup_semantic": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+                  / (sqrt({_DOT.format(a='a.embedding', b='a.embedding')})
+                     * sqrt({_DOT.format(a='b.embedding', b='b.embedding')})) >= 0.42
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src
+        )
+        SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
     # q_dedup_embed: intentionally no oracle (LSH-candidate subset is
     # approximate by design; q_dedup_embed_exact is the exact twin)
     # q_embed_ann_lsh: intentionally no oracle (approximate by design)

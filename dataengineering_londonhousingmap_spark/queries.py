@@ -1302,6 +1302,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(docs.select("doc_id"), edges, "doc_id")
 
 
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters: exact embedding-cosine near-dup pairs
+    (≥0.42) → connected components — the embedding-space twin of
+    q_dedup_clusters, collapsing transitive chains of near-identical
+    meaning to one survivor. Same iterative min-label engine, same
+    recursive-CTE oracle shape, cosine edges instead of Jaccard."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(emb, threshold=0.42).select("id_a", "id_b")
+    return connected_components(emb.select("vec_id"), pairs, "vec_id")
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified downsampling (class rebalance): clicks kept
     at 25%, views at 50%, everything else whole — by md5 hash of the stable
@@ -1614,6 +1625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_grouped_zscore": q_grouped_zscore,
     "q_serving_radius": q_serving_radius,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_semantic": q_dedup_semantic,
     "q_sample_stratified": q_sample_stratified,
     "q_sample_mixture": q_sample_mixture,
     "q_train_test_split": q_train_test_split,
