@@ -56,7 +56,6 @@ from .operators.joins import (
     zip_join,
 )
 from .operators.multimodal import extract_features, frame_sample_plan, synthesize_media
-from .operators.reshape import sessionize_by_marker
 from .operators.util import exact_avg_cents
 from .operators.similarity import (
     ann_topk_bruteforce,
