@@ -116,3 +116,52 @@ def test_sub_values_model(spark, s):
     got = df.select(sub_values(F.col("s")).alias("v")).collect()[0].v
     want = [item.strip() for line in s.split("\n") if line != "" for item in line.split("-")]
     assert got == want, (s, got, want)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_connected_components_invariants(spark, edges):
+    """On arbitrary graphs over 15 vertices: every edge's endpoints land in
+    the same cluster, and every cluster id is the minimum of its members."""
+    from dataengineering_londonhousingmap_spark.operators.dedup import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(15)], "doc_id long")
+    if edges:
+        e = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+        )
+    else:
+        e = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(verts, e, "doc_id").collect()
+    }
+    assert set(got) == set(range(15))
+    for a, b in edges:
+        assert got[a] == got[b], (a, b, got)
+    members: dict[int, list[int]] = {}
+    for v, c in got.items():
+        members.setdefault(c, []).append(v)
+    for c, vs in members.items():
+        assert c == min(vs)
+
+
+@settings(max_examples=15, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="ab @./:h1", min_size=0, max_size=24), min_size=1, max_size=6))
+def test_redact_pii_idempotent(spark, values):
+    """Redacting twice equals redacting once — type tokens contain no PII
+    patterns, so the scrub is a fixpoint (safe to re-run over a partially
+    cleaned corpus)."""
+    from dataengineering_londonhousingmap_spark.functions.text import redact_pii
+
+    df = spark.createDataFrame([(v,) for v in values], "s string")
+    once = [r.r for r in df.select(redact_pii("s").alias("r")).collect()]
+    df2 = spark.createDataFrame([(v,) for v in once], "s string")
+    twice = [r.r for r in df2.select(redact_pii("s").alias("r")).collect()]
+    assert once == twice
