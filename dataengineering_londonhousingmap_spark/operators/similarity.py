@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.vectors import cosine_similarity, cosine_similarity_batched
+from ..functions.vectors import (
+    cosine_similarity,
+    cosine_similarity_batched,
+    dot_product,
+    l2_norm,
+)
 from .util import fan_out
 
 
@@ -224,9 +229,16 @@ def embedding_near_dup(
         pairs = candidates.join(a, "id_a").join(b, "id_b")
         cos = cosine_similarity_batched(F.col("__va"), F.col("__vb"))
     else:
-        # exact baseline: sequential-fold cosine (bit-stable vs the SQL oracle)
-        pairs = fan_out(a).crossJoin(F.broadcast(b)).filter(F.col("id_a") < F.col("id_b"))
-        cos = cosine_similarity(F.col("__va"), F.col("__vb"))
+        # exact baseline: sequential-fold cosine (bit-stable vs the SQL
+        # oracle). Norms are folded once per VECTOR before the cross join —
+        # each pair then costs one interpreted fold (the a·b dot), not
+        # three; na·nb is the identical double product the per-pair form
+        # computed, so results stay bit-identical.
+        an = a.withColumn("__na", l2_norm(F.col("__va")))
+        bn = b.withColumn("__nb", l2_norm(F.col("__vb")))
+        pairs = fan_out(an).crossJoin(F.broadcast(bn)).filter(F.col("id_a") < F.col("id_b"))
+        denom = F.col("__na") * F.col("__nb")
+        cos = F.when(denom > 0, dot_product(F.col("__va"), F.col("__vb")) / denom)
     return (
         pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
