@@ -60,14 +60,25 @@ def ann_topk_bruteforce(
     """Exact cosine top-k per query. Returns
     (query_id, match_id, cosine, rank); ties broken by match_id ascending
     (deterministic — required for oracle-exact comparison)."""
-    q = F.broadcast(_query_frame(queries, query_id, query_vec))
+    # norms folded once per vector on each side (same bit-identical-factor
+    # argument as embedding_near_dup): each corpus×query pair costs one
+    # interpreted fold, not three
+    q = F.broadcast(
+        _query_frame(queries, query_id, query_vec).withColumn(
+            "__qn", l2_norm(F.col("__qvec"))
+        )
+    )
     # |corpus|×|queries| dot products happen before the first shuffle —
     # spread a narrow corpus scan across cores first
-    joined = fan_out(corpus).crossJoin(q).filter(F.col(id_col) != F.col("query_id"))
+    corpus_n = fan_out(corpus).withColumn("__cn", l2_norm(F.col(vec_col)))
+    joined = corpus_n.crossJoin(q).filter(F.col(id_col) != F.col("query_id"))
+    denom = F.col("__cn") * F.col("__qn")
     scored = joined.select(
         F.col("query_id"),
         F.col(id_col).alias("match_id"),
-        cosine_similarity(F.col(vec_col), F.col("__qvec")).alias("cosine"),
+        F.when(denom > 0, dot_product(F.col(vec_col), F.col("__qvec")) / denom).alias(
+            "cosine"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
     return (
