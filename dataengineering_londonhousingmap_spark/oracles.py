@@ -1086,6 +1086,28 @@ ORACLES: dict[str, str] = {
                start % 2048 AS pack_offset, n_tokens
         FROM cum
     """,
+    "q_gap_fill": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   round(CAST(round(sum(value) * 100, 0) AS BIGINT)
+                         / (100e0 * count(value)), 6) AS observed
+            FROM events WHERE event_id % 3 = 0
+            GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(min(hour), max(hour),
+                          INTERVAL 1 HOUR)) AS hour
+            FROM hourly GROUP BY event_type
+        )
+        SELECT s.event_type, s.hour, h.observed,
+               last_value(h.observed IGNORE NULLS) OVER (
+                   PARTITION BY s.event_type ORDER BY s.hour
+                   ROWS UNBOUNDED PRECEDING
+               ) AS filled
+        FROM spine s
+        LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+    """,
     "q_join_nn_topk": """
         WITH ranked AS (
             SELECT c.c_custkey, s.s_suppkey,

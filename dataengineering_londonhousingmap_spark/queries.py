@@ -1451,6 +1451,46 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill for the hourly rollup (the A4 upgrade the
+    reference never had — its API gaps just became 0s, pipeline .py:747):
+    per event_type, an hour spine spans [min, max] observed hour
+    (sequence+explode), missing hours join as NULL, and a forward fill
+    carries the last observation (last ignorenulls over an ordered
+    window). Events are deterministically thinned so real gaps exist.
+    One agg + one window shuffle, all codegen."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"), "value")
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.round(exact_avg_cents("value"), 6).alias("observed")
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        "observed",
+        F.last("observed", ignorenulls=True).over(w).alias("filled"),
+    )
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass table profile (operators/profiling.py): per-column null
     count, exact distinct count, min/max — the engine's version of the
@@ -1629,6 +1669,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pack_sequences": q_pack_sequences,
     "q_join_range": q_join_range,
     "q_join_nn_topk": q_join_nn_topk,
+    "q_gap_fill": q_gap_fill,
     "q_profile": q_profile,
     "q_redact_pii": q_redact_pii,
     "q_text_repetition": q_text_repetition,
