@@ -1086,6 +1086,58 @@ ORACLES: dict[str, str] = {
                start % 2048 AS pack_offset, n_tokens
         FROM cum
     """,
+    "q_window_range": """
+        SELECT event_id, event_type, ts,
+               CAST(round(sum(value) OVER w * 100, 0) AS BIGINT) / 100e0
+                   AS trailing_sum,
+               count(value) OVER w AS trailing_n
+        FROM events
+        WINDOW w AS (
+            PARTITION BY event_type ORDER BY epoch_us(ts)
+            RANGE BETWEEN 10800000000 PRECEDING AND CURRENT ROW
+        )
+    """,
+    "q_interpolate": """
+        WITH hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   round(CAST(round(sum(value) * 100, 0) AS BIGINT)
+                         / (100e0 * count(value)), 6) AS observed
+            FROM events WHERE event_id % 3 = 0
+            GROUP BY 1, 2
+        ),
+        spine AS (
+            SELECT event_type,
+                   unnest(generate_series(min(hour), max(hour),
+                          INTERVAL 1 HOUR)) AS hour
+            FROM hourly GROUP BY event_type
+        ),
+        g AS (
+            SELECT s.event_type, s.hour, h.observed,
+                   last_value(h.observed IGNORE NULLS) OVER fwd AS prev_v,
+                   first_value(h.observed IGNORE NULLS) OVER bwd AS next_v,
+                   last_value(CASE WHEN h.observed IS NOT NULL THEN s.hour END
+                              IGNORE NULLS) OVER fwd AS prev_h,
+                   first_value(CASE WHEN h.observed IS NOT NULL THEN s.hour END
+                               IGNORE NULLS) OVER bwd AS next_h
+            FROM spine s
+            LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
+            WINDOW fwd AS (PARTITION BY s.event_type ORDER BY s.hour
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                   bwd AS (PARTITION BY s.event_type ORDER BY s.hour
+                           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT event_type, hour, observed,
+               CASE WHEN observed IS NOT NULL THEN observed
+                    WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                    -- floor(x*1e6 + 0.5)/1e6, not round(x, 6): identical
+                    -- double arithmetic on both engines (see queries.py)
+                    THEN floor((prev_v + (next_v - prev_v)
+                               * ((epoch_us(hour) - epoch_us(prev_h))
+                                  / (1e0 * (epoch_us(next_h) - epoch_us(prev_h)))))
+                               * 1e6 + 0.5) / 1e6
+               END AS interpolated
+        FROM g
+    """,
     "q_gap_fill": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS hour,

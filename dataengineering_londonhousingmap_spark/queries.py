@@ -1491,6 +1491,85 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-interval window frame: trailing 3-hour sum/count per event —
+    the time-based frame ROWS can't express (rows at irregular spacing).
+    Ordered by exact epoch-microseconds (integer on both engines, no
+    truncation mismatch at frame boundaries); the sum uses the
+    integer-cents trick so accumulation order can't flip a bit."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3 * 3600 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        (F.round(F.sum("value").over(w) * 100, 0).cast("long") / F.lit(100.0)).alias(
+            "trailing_sum"
+        ),
+        F.count("value").over(w).alias("trailing_n"),
+    )
+
+
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation across interior gaps of the hourly series (the
+    gap-fill upgrade past carry-forward): each missing hour gets
+    prev + (next − prev) · elapsed/gap_span from the nearest observations
+    on both sides, via forward and backward ignorenulls windows. Edge gaps
+    (no neighbor on one side) stay NULL — interpolation never invents data
+    beyond the observed range."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % 3 == 0)
+        .select("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"), "value")
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(
+        F.round(exact_avg_cents("value"), 6).alias("observed")
+    )
+    spine = (
+        hourly.groupBy("event_type")
+        .agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    g = spine.join(hourly, ["event_type", "hour"], "left")
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("observed").isNotNull(), F.col("hour"))
+    prev_v = F.last("observed", ignorenulls=True).over(fwd)
+    next_v = F.first("observed", ignorenulls=True).over(bwd)
+    prev_h = F.last(obs_hour, ignorenulls=True).over(fwd)
+    next_h = F.first(obs_hour, ignorenulls=True).over(bwd)
+    span = F.unix_micros(next_h) - F.unix_micros(prev_h)
+    frac = (F.unix_micros(F.col("hour")) - F.unix_micros(prev_h)) / span
+    # rounding via floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): interpolated
+    # values hit repeating-decimal ties (…6665) where Spark's BigDecimal
+    # HALF_UP and DuckDB's multiply-and-round disagree by 1e-6; the floor
+    # form is pure double arithmetic — bit-identical in any engine
+    raw = prev_v + (next_v - prev_v) * frac
+    stable = F.floor(raw * 1e6 + 0.5) / F.lit(1e6)
+    interp = (
+        F.when(F.col("observed").isNotNull(), F.col("observed"))
+        .when(prev_v.isNotNull() & next_v.isNotNull(), stable)
+    )
+    return g.select("event_type", "hour", "observed", interp.alias("interpolated"))
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass table profile (operators/profiling.py): per-column null
     count, exact distinct count, min/max — the engine's version of the
@@ -1670,6 +1749,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_join_range": q_join_range,
     "q_join_nn_topk": q_join_nn_topk,
     "q_gap_fill": q_gap_fill,
+    "q_window_range": q_window_range,
+    "q_interpolate": q_interpolate,
     "q_profile": q_profile,
     "q_redact_pii": q_redact_pii,
     "q_text_repetition": q_text_repetition,
