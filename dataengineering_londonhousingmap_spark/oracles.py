@@ -1138,6 +1138,34 @@ ORACLES: dict[str, str] = {
                END AS interpolated
         FROM g
     """,
+    # q_approx_sketches: intentionally no oracle (HLL++/KLL are
+    # engine-specific sketches; q_count_distinct / q_percentiles are the
+    # exact twins and unit tests bound the error)
+    "q_funnel": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t_signup
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+            GROUP BY e.user_id
+        )
+        SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+               CASE WHEN s3.t_purchase IS NOT NULL THEN 3
+                    WHEN s2.t_click IS NOT NULL THEN 2
+                    ELSE 1 END AS reached_step
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
     "q_gap_fill": """
         WITH hourly AS (
             SELECT event_type, date_trunc('hour', ts) AS hour,

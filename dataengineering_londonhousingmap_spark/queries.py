@@ -1570,6 +1570,58 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("event_type", "hour", "observed", interp.alias("interpolated"))
 
 
+def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch surface as a driver entry (rows-only by design): HLL++
+    approximate distinct users and KLL-style approximate percentiles per
+    event_type — single-pass, mergeable, fixed-size state, the 100 TB
+    substitutes for q_count_distinct / q_percentiles when exactness is
+    traded for one shuffle of sketch bytes. The exact twins carry the
+    correctness burden; the rows-only check pins schema and cardinality,
+    and unit tests bound the error vs exact."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10_000).alias("approx_median"),
+        F.percentile_approx("value", 0.9, 10_000).alias("approx_p90"),
+    )
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel signup → click → purchase per user: step 2
+    counts only clicks AFTER the user's first signup, step 3 only purchases
+    after that click — correlated mins as two staged aggregate+join rounds
+    (the standard funnel shape; a cross-step window can't express the
+    strictly-after condition). Output: per-user step timestamps and the
+    furthest step reached."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    out = s1.join(s2, "user_id", "left").join(s3, "user_id", "left")
+    step = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return out.select("user_id", "t_signup", "t_click", "t_purchase", step.alias("reached_step"))
+
+
 def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-pass table profile (operators/profiling.py): per-column null
     count, exact distinct count, min/max — the engine's version of the
@@ -1751,6 +1803,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gap_fill": q_gap_fill,
     "q_window_range": q_window_range,
     "q_interpolate": q_interpolate,
+    "q_funnel": q_funnel,
+    "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,
     "q_redact_pii": q_redact_pii,
     "q_text_repetition": q_text_repetition,

