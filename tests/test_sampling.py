@@ -271,3 +271,33 @@ def test_approx_sketches_within_error_of_exact(spark, sf_dir):
     for t, r in got.items():
         assert abs(r.a_users - r.e_users) <= max(2, 0.05 * r.e_users), t
         assert abs(r.a_med - r.e_med) <= max(0.5, 0.05 * abs(r.e_med)), t
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """Runtime partition pruning: a partitioned fact joined to a FILTERED
+    dim must scan only the dim-selected partitions — the plan carries a
+    dynamicpruningexpression in PartitionFilters. At 100 TB this is the
+    difference between scanning the partitions a dashboard filter selects
+    and scanning the table."""
+    import contextlib
+    import io
+
+    import pyspark.sql.functions as Fn
+
+    d = str(tmp_path / "dpp_fact")
+    ev = spark.range(50_000).select(
+        (Fn.col("id") % 7).alias("k"),
+        Fn.col("id").alias("v"),
+        (Fn.col("id") % 5).cast("string").alias("part"),
+    )
+    ev.write.partitionBy("part").mode("overwrite").parquet(d)
+    fact = spark.read.parquet(d)
+    dim = spark.range(5).select(
+        Fn.col("id").cast("string").alias("part"), (Fn.col("id") % 2).alias("flag")
+    )
+    j = fact.join(dim.filter(Fn.col("flag") == 1), "part")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    assert "dynamicpruning" in buf.getvalue().lower()
+    assert j.count() > 0
