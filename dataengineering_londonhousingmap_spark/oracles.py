@@ -1262,6 +1262,35 @@ ORACLES: dict[str, str] = {
                CAST(len(regexp_extract_all(r, '<IP>')) AS INTEGER) AS n_ips
         FROM red
     """,
+    "q_chunk_docs": f"""
+        WITH tok AS (
+            SELECT doc_id, {_TOKENS} AS t FROM documents
+        ),
+        starts AS (
+            SELECT doc_id, t,
+                   unnest(generate_series(1, greatest(len(t), 1), 48)) AS start
+            FROM tok
+        )
+        SELECT doc_id, CAST(start AS INTEGER) AS start,
+               CAST(len(list_slice(t, start, start + 63)) AS INTEGER) AS chunk_tokens,
+               array_to_string(list_slice(t, start, start + 63), ' ') AS chunk_text
+        FROM starts
+        WHERE len(list_slice(t, start, start + 63)) > 0
+    """,
+    "q_decontaminate": f"""
+        WITH sh AS ({_SHINGLES}),
+        collisions AS (
+            SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS n_shared
+            FROM sh c JOIN sh b ON c.shingle = b.shingle
+            WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+            GROUP BY c.doc_id, b.doc_id
+            HAVING count(*) >= 5
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bench_matches,
+               CAST(max(n_shared) AS BIGINT) AS max_overlap
+        FROM collisions GROUP BY doc_id
+    """,
     "q_text_repetition": r"""
         WITH tok AS (
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

@@ -1403,6 +1403,58 @@ def q_pipeline_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(toks, "doc_id", "n_tokens", budget=2048, n_shards=8)
 
 
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping document chunking (the RAG / training-window prep):
+    64-token chunks on a 48-token stride per document, as pure array
+    expressions — sequence over chunk starts, explode, slice, concat. No
+    UDF, no shuffle (a narrow map over the scan); empty docs emit no
+    chunks."""
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(48))
+    out = (
+        docs.select("doc_id", t.alias("__t"), F.explode(starts).alias("start"))
+        .select(
+            "doc_id",
+            "start",
+            F.slice(F.col("__t"), F.col("start"), 64).alias("__chunk"),
+        )
+        .filter(F.size("__chunk") > 0)
+    )
+    return out.select(
+        "doc_id",
+        "start",
+        F.size("__chunk").alias("chunk_tokens"),
+        F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥5 distinct
+    char-8 shingles with any held-out benchmark document (docs with
+    doc_id%50==0 stand in for the benchmark set). The standard eval-hygiene
+    sweep before training — shuffle-on-shingle equi-join, never
+    corpus×benchmark pairwise. Output: contaminated doc, how many benchmark
+    docs it collides with, and the worst overlap."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", w=8)
+    bench = sh.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    corpus = sh.filter(F.col("doc_id") % 50 != 0)
+    overlaps = (
+        corpus.join(bench, "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+    return overlaps.groupBy("doc_id").agg(
+        F.count("*").alias("n_bench_matches"),
+        F.max("n_shared").alias("max_overlap"),
+    )
+
+
 def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-training PII scrub: URLs, emails, IPv4 literals → type tokens,
     as chained codegen regexp_replace (functions/text.py:redact_pii). PII
@@ -1808,6 +1860,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_profile": q_profile,
     "q_redact_pii": q_redact_pii,
     "q_text_repetition": q_text_repetition,
+    "q_chunk_docs": q_chunk_docs,
+    "q_decontaminate": q_decontaminate,
     "q_pipeline_corpus": q_pipeline_corpus,
     "q_scan_orc": q_scan_orc,
     # streaming (driver-unverified in r1)
