@@ -13,6 +13,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def dir_bytes(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
@@ -47,3 +48,71 @@ def compact(
     n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
     spark.read.parquet(src_dir).repartition(n).write.mode("overwrite").parquet(dst_dir)
     return n
+
+
+def purge_keys(
+    spark: SparkSession,
+    path: str,
+    keys,
+    key_col: str,
+    partition_col: str,
+) -> list:
+    """Targeted row deletion (the GDPR / right-to-be-forgotten job) from a
+    Hive-partitioned Parquet table, rewriting ONLY the partitions that
+    contain matching rows.
+
+    ``keys`` is either a small Python list (broadcast ``isin``) or a
+    DataFrame of keys (anti-join — the scale path when the deletion set is
+    itself large). The affected-partition list is discovered first (a
+    partition-pruned probe; at most one value per partition is collected),
+    then each affected partition's survivors are rewritten under dynamic
+    partition overwrite — untouched partitions' files are never read or
+    rewritten, so the job's cost is bounded by the purge's blast radius,
+    not the table size.
+
+    The survivors are ``localCheckpoint``-materialized before the write:
+    Spark (correctly) refuses to overwrite a path its plan is still
+    reading, and the checkpoint both severs that lineage and bounds the
+    re-read to the affected partitions only. Returns the affected
+    partition values (empty = nothing to do).
+    """
+    from pyspark.sql import DataFrame as _DF
+
+    df = spark.read.parquet(path)
+    if isinstance(keys, _DF):
+        key_df = F.broadcast(keys.select(F.col(keys.columns[0]).alias(key_col)).distinct())
+        hit = df.join(key_df, key_col, "left_semi")
+    else:
+        hit = df.filter(F.col(key_col).isin(list(keys)))
+    affected = [r[0] for r in hit.select(partition_col).distinct().collect()]
+    if not affected:
+        return affected
+
+    scoped = df.filter(F.col(partition_col).isin(affected))  # partition-pruned
+    if isinstance(keys, _DF):
+        survivors = scoped.join(key_df, key_col, "left_anti")
+    else:
+        survivors = scoped.filter(~F.col(key_col).isin(list(keys)))
+    survivors = survivors.localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            survivors.write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # dynamic overwrite only replaces partitions PRESENT in the written
+    # data — a partition whose every row was purged must be dropped
+    # explicitly or its old files survive.
+    kept = {r[0] for r in survivors.select(partition_col).distinct().collect()}
+    jvm = spark._jvm
+    for part in set(affected) - kept:
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={part}")
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    return affected

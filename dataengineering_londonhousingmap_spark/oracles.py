@@ -1291,6 +1291,119 @@ ORACLES: dict[str, str] = {
                CAST(max(n_shared) AS BIGINT) AS max_overlap
         FROM collisions GROUP BY doc_id
     """,
+    "q_text_search": f"""
+        WITH dl AS (
+            SELECT doc_id, len({_TOKENS}) AS dl FROM documents
+        ),
+        stats AS (
+            SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM (SELECT doc_id, unnest({_TOKENS}) AS term FROM documents)
+            WHERE term IN ('spark', 'merge', 'window')
+            GROUP BY doc_id, term
+        ),
+        dft AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        )
+        SELECT doc_id,
+               floor(sum(
+                   ln((n_docs - df + 0.5e0) / (df + 0.5e0) + 1e0)
+                   * tf * 2.2e0
+                   / (tf + 1.2e0 * (1e0 - 0.75e0 + 0.75e0 * dl / avgdl))
+               ) * 1e6 + 0.5e0) / 1e6 AS bm25
+        FROM tf
+        JOIN dft USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY doc_id
+    """,
+    "q_merge_upsert": """
+        WITH u AS (
+            SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                   floor(o_totalprice * 1.05e0 * 1e2 + 0.5e0) / 1e2 AS o_totalprice,
+                   0 AS pri
+            FROM orders WHERE o_orderkey % 2 = 0
+        ),
+        b AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS pri
+            FROM orders WHERE o_orderkey % 3 <> 0
+        ),
+        allrows AS (SELECT * FROM u UNION ALL SELECT * FROM b)
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               CASE WHEN pri = 0 THEN 'update' ELSE 'base' END AS src
+        FROM allrows
+        QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY pri) = 1
+    """,
+    "q_scd2": """
+        WITH ordered AS (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                   lag(o_orderpriority) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS prev
+            FROM orders
+        ),
+        chg AS (
+            SELECT * FROM ordered
+            WHERE prev IS NULL OR o_orderpriority <> prev
+        )
+        SELECT o_custkey, o_orderpriority,
+               o_orderdate AS effective_from,
+               lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS effective_to,
+               (lead(o_orderdate) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) IS NULL) AS is_current
+        FROM chg
+    """,
+    "q_purge_partitioned": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS value_cents
+        FROM events
+        WHERE user_id % 97 <> 0
+        GROUP BY event_type
+    """,
+    "q_zorder": """
+        WITH base AS (
+            SELECT l_orderkey, l_linenumber,
+                   l_partkey % 1024 AS p, l_suppkey % 1024 AS s
+            FROM lineitem
+        ),
+        z0 AS (
+            SELECT l_orderkey, l_linenumber, p, s,
+                   p & 65535 AS xa, s & 65535 AS xb
+            FROM base
+        ),
+        z1 AS (
+            SELECT l_orderkey, l_linenumber, p, s,
+                   (xa | (xa << 8)) & 16711935 AS xa,
+                   (xb | (xb << 8)) & 16711935 AS xb
+            FROM z0
+        ),
+        z2 AS (
+            SELECT l_orderkey, l_linenumber, p, s,
+                   (xa | (xa << 4)) & 252645135 AS xa,
+                   (xb | (xb << 4)) & 252645135 AS xb
+            FROM z1
+        ),
+        z3 AS (
+            SELECT l_orderkey, l_linenumber, p, s,
+                   (xa | (xa << 2)) & 858993459 AS xa,
+                   (xb | (xb << 2)) & 858993459 AS xb
+            FROM z2
+        ),
+        z4 AS (
+            SELECT l_orderkey, l_linenumber, p, s,
+                   (xa | (xa << 1)) & 1431655765 AS xa,
+                   (xb | (xb << 1)) & 1431655765 AS xb
+            FROM z3
+        )
+        SELECT l_orderkey, l_linenumber, p, s, xa | (xb << 1) AS zkey
+        FROM z4
+    """,
     "q_text_repetition": r"""
         WITH tok AS (
             SELECT doc_id, string_split_regex(trim(text), '\s+') AS t

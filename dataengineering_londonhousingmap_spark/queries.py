@@ -55,6 +55,8 @@ from .operators.joins import (
     salted_join,
     zip_join,
 )
+from .operators.layout import morton_key
+from .operators.maintenance import purge_keys
 from .operators.multimodal import extract_features, frame_sample_plan, synthesize_media
 from .operators.util import exact_avg_cents
 from .operators.similarity import (
@@ -1829,6 +1831,148 @@ def q_serving_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §2.12 warehouse & layout ops
+# ---------------------------------------------------------------------------
+
+def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 full-text search over an inverted index built from the corpus:
+    explode tokens → per-(doc, term) tf, per-term df, global (N, avgdl) —
+    the classic Okapi BM25 (k1=1.2, b=0.75) entirely in codegen
+    expressions. df and the global stats are tiny post-agg frames and are
+    broadcast; the only data-sized shuffles are the tf groupBy and the
+    doc-length join, both keyed on doc_id. Scores use floor-form rounding
+    (floor(x*1e6+0.5)/1e6) for bit-identical Spark/DuckDB doubles."""
+    docs = _t(spark, sf_dir, "documents")
+    terms = ["spark", "merge", "window"]
+    t = tokens(F.col("text"))
+    dl = docs.select("doc_id", F.size(t).alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    tf = (
+        docs.select("doc_id", F.explode(t).alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dft = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(F.broadcast(dft), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log((F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1.0)),
+        )
+        .withColumn(
+            "s",
+            F.col("idf") * F.col("tf") * F.lit(2.2)
+            / (
+                F.col("tf")
+                + F.lit(1.2)
+                * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(F.sum("s").alias("raw"))
+    return out.select(
+        "doc_id", (F.floor(F.col("raw") * 1e6 + 0.5) / F.lit(1e6)).alias("bm25")
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert semantics (SCD type 1): an updates batch (even order
+    keys, repriced +5%, status 'U') merged over a base table (keys not
+    divisible by 3) — matched rows take the update, unmatched base rows
+    survive, unmatched updates insert. One union + one windowed
+    first-by-priority per key: a single shuffle on the merge key, no full
+    outer join materializing both sides wide. This is the batch-engine
+    MERGE INTO shape; the write-path twin (dynamic partition overwrite)
+    is sources/ddl.py:load_fact."""
+    orders = _t(spark, sf_dir, "orders")
+    upd = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("U").alias("o_orderstatus"),
+        (F.floor(F.col("o_totalprice") * F.lit(1.05) * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias("o_totalprice"),
+        F.lit(0).alias("__pri"),
+    )
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("__pri")
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("__pri")
+    merged = (
+        upd.unionByName(base)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+    )
+    return merged.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(F.col("__pri") == 0, F.lit("update")).otherwise(F.lit("base")).alias("src"),
+    )
+
+
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 build from a change log: per
+    customer ordered by (o_orderdate, o_orderkey), keep rows where
+    o_orderpriority changed, then effective_from/effective_to from
+    lead() — the versioned-dimension table every warehouse maintains.
+    Two windows over the same partitioning (one shuffle; the second
+    window reuses the sort), no self-join."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        orders.withColumn("__prev", F.lag("o_orderpriority").over(w))
+        .filter(F.col("__prev").isNull() | (F.col("o_orderpriority") != F.col("__prev")))
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    versioned = chg.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("effective_from"),
+        F.lead("o_orderdate").over(w2).alias("effective_to"),
+    )
+    return versioned.withColumn("is_current", F.col("effective_to").isNull())
+
+
+def q_purge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted deletion with a bounded blast radius: stage events as a
+    Hive-partitioned table, purge every user_id divisible by 97 via
+    operators.maintenance.purge_keys (anti-join path; only partitions
+    containing matches are rewritten, fully-purged partitions are
+    dropped), then re-scan and aggregate the survivors. Value sums use
+    integer cents so the check is accumulation-order-proof."""
+    path = os.path.join(STAGE_DIR, "events_purged")
+    ev = _t(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    keys = ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    purge_keys(spark, path, keys, key_col="user_id", partition_col="event_type")
+    out = spark.read.parquet(path)
+    return out.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.floor(F.col("value") * F.lit(100.0)).cast("long")).alias("value_cents"),
+    )
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key: interleave the bits of two scan
+    dimensions (l_partkey, l_suppkey mod 1024) into one layout key — pure
+    integer mask-and-shift codegen (operators/layout.py), no UDF. The
+    clustered writer (layout.zorder_write) range-partitions on this key so
+    box predicates on either dimension prune most files via footer
+    min/max; the file-skipping win is asserted in tests/test_maintenance.py."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_partkey") % 1024).alias("p"),
+        (F.col("l_suppkey") % 1024).alias("s"),
+    )
+    return base.withColumn("zkey", morton_key(F.col("p"), F.col("s")))
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1862,6 +2006,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_repetition": q_text_repetition,
     "q_chunk_docs": q_chunk_docs,
     "q_decontaminate": q_decontaminate,
+    "q_text_search": q_text_search,
+    "q_merge_upsert": q_merge_upsert,
+    "q_scd2": q_scd2,
+    "q_purge_partitioned": q_purge_partitioned,
+    "q_zorder": q_zorder,
     "q_pipeline_corpus": q_pipeline_corpus,
     "q_scan_orc": q_scan_orc,
     # streaming (driver-unverified in r1)

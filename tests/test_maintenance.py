@@ -1,12 +1,18 @@
-"""Small-files compaction semantics."""
+"""Small-files compaction, targeted purge, and layout-clustering semantics."""
 
 from __future__ import annotations
 
 import glob
+import os
 
 from pyspark.sql import functions as F
 
-from dataengineering_londonhousingmap_spark.operators.maintenance import compact, dir_bytes
+from dataengineering_londonhousingmap_spark.operators.layout import morton_key, zorder_write
+from dataengineering_londonhousingmap_spark.operators.maintenance import (
+    compact,
+    dir_bytes,
+    purge_keys,
+)
 
 
 def test_compact_collapses_small_files(spark, tmp_path):
@@ -28,3 +34,92 @@ def test_compact_collapses_small_files(spark, tmp_path):
     b = {(r.id, r.s) for r in spark.read.parquet(dst).collect()}
     assert a == b
     assert dir_bytes(spark, dst) > 0
+
+
+def _part_df(spark):
+    rows = [(i, "A" if i < 10 else ("B" if i < 20 else "C"), float(i)) for i in range(30)]
+    return spark.createDataFrame(rows, "k long, part string, v double")
+
+
+def test_purge_rewrites_only_affected_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _part_df(spark).write.partitionBy("part").parquet(path)
+    untouched = {f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=C/*.parquet")}
+    assert untouched
+
+    affected = purge_keys(spark, path, [0, 1, 2, 15], "k", "part")
+    assert sorted(affected) == ["A", "B"]
+    # partition C's files were never rewritten
+    assert untouched == {
+        f: os.path.getmtime(f) for f in glob.glob(f"{path}/part=C/*.parquet")
+    }
+    survivors = {r.k for r in spark.read.parquet(path).collect()}
+    assert survivors == set(range(30)) - {0, 1, 2, 15}
+
+
+def test_purge_drops_fully_purged_partition(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _part_df(spark).write.partitionBy("part").parquet(path)
+
+    affected = purge_keys(spark, path, list(range(10)), "k", "part")  # all of A
+    assert affected == ["A"]
+    assert not glob.glob(f"{path}/part=A/*.parquet")  # dir gone, not stale files
+    survivors = {r.k for r in spark.read.parquet(path).collect()}
+    assert survivors == set(range(10, 30))
+
+
+def test_purge_accepts_dataframe_keys_and_noops_on_miss(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _part_df(spark).write.partitionBy("part").parquet(path)
+    keys = spark.createDataFrame([(5,), (25,)], "k long")
+    assert sorted(purge_keys(spark, path, keys, "k", "part")) == ["A", "C"]
+    assert {r.k for r in spark.read.parquet(path).collect()} == set(range(30)) - {5, 25}
+    # no matching keys -> nothing rewritten at all
+    assert purge_keys(spark, path, [999], "k", "part") == []
+
+
+def _interleave16(a: int, b: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_morton_key_matches_bitwise_reference(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (3, 5), (1023, 1), (65535, 65535), (40000, 123)]
+    df = spark.createDataFrame(rows, "a long, b long").withColumn(
+        "z", morton_key(F.col("a"), F.col("b"))
+    )
+    for r in df.collect():
+        assert r.z == _interleave16(r.a, r.b), (r.a, r.b)
+
+
+def test_zorder_layout_prunes_files(spark, tmp_path):
+    # 64x64 grid of (a, b) points, one row each
+    grid = spark.range(4096).select(
+        (F.col("id") % 64).alias("a"), (F.col("id") / 64).cast("long").alias("b")
+    )
+    flat, zed = str(tmp_path / "flat"), str(tmp_path / "zed")
+    # baseline: hash-scattered layout, same file count
+    grid.repartition(16).write.mode("overwrite").parquet(flat)
+    zorder_write(grid, zed, "a", "b", n_files=16)
+
+    def files_with_matches(path):
+        n = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            hit = (
+                spark.read.parquet(f)
+                .filter((F.col("a") < 8) & (F.col("b") < 8))
+                .count()
+            )
+            n += 1 if hit else 0
+        return n
+
+    n_flat = files_with_matches(flat)
+    n_zed = files_with_matches(zed)
+    # the 8x8 box is 1/64 of the key space: a clustered layout confines it
+    # to ~1 file; a scattered layout hits (essentially) all of them
+    assert n_zed <= 2 < n_flat
+    # content preserved
+    assert spark.read.parquet(zed).count() == 4096
