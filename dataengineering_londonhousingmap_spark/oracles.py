@@ -1366,6 +1366,64 @@ ORACLES: dict[str, str] = {
         WHERE user_id % 97 <> 0
         GROUP BY event_type
     """,
+    "q_fk_audit": """
+        WITH a AS (
+            SELECT 'lineitem->orders' AS relation,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+            FROM lineitem l
+            LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+              ON l.l_orderkey = o.o_orderkey
+        ),
+        b AS (
+            SELECT 'orders->customer' AS relation,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+            FROM orders ord
+            LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+              ON ord.o_custkey = c.c_custkey
+        )
+        SELECT * FROM a UNION ALL SELECT * FROM b
+    """,
+    "q_retention": """
+        WITH uw AS (
+            SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+            FROM events
+        ),
+        coh AS (
+            SELECT user_id, week,
+                   min(week) OVER (PARTITION BY user_id) AS cohort_week
+            FROM uw
+        )
+        SELECT cohort_week,
+               CAST(datediff('day', cohort_week, week) // 7 AS INTEGER) AS week_offset,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM coh
+        GROUP BY cohort_week, week_offset
+    """,
+    "q_incremental_rollup": """
+        -- full recompute: the Spark side merges stored state with delta
+        -- partials, so a green hash proves merge(state, delta) == truth
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS cents,
+               CAST(min(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS vmin_cents,
+               CAST(max(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS vmax_cents
+        FROM events
+        GROUP BY event_type
+    """,
+    "q_histogram": """
+        WITH b AS (
+            SELECT CAST(floor(o_totalprice / 25000e0) AS INTEGER) AS bucket
+            FROM orders
+        )
+        SELECT bucket,
+               CAST(bucket AS DOUBLE) * 25000e0 AS lo,
+               CAST(bucket + 1 AS DOUBLE) * 25000e0 AS hi,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM b
+        GROUP BY bucket
+    """,
     "q_zorder": """
         WITH base AS (
             SELECT l_orderkey, l_linenumber,

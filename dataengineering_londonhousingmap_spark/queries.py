@@ -1955,6 +1955,112 @@ def q_purge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan counts
+    for lineitem→orders and orders→customer, each as a left join against
+    the distinct parent keys + a null-flag conditional sum — one shuffle
+    per relation, no anti-join-then-count double scan. The data-quality
+    gate a 100 TB fact load runs before publishing."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+
+    def audit(child: DataFrame, fk: str, parent: DataFrame, pk: str, name: str) -> DataFrame:
+        j = child.select(F.col(fk).alias("__fk")).join(
+            parent.select(F.col(pk).alias("__pk")).distinct(),
+            F.col("__fk") == F.col("__pk"),
+            "left",
+        )
+        return j.agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("__pk").isNull(), 1).otherwise(0)).alias("n_orphans"),
+        ).select(F.lit(name).alias("relation"), "n_rows", "n_orphans")
+
+    return audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders").unionByName(
+        audit(orders, "o_custkey", cust, "c_custkey", "orders->customer")
+    )
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, counted
+    per week-offset of later activity — the product-analytics staple.
+    Distinct (user, week) first (one shuffle), cohort via a min-window
+    over the same user partitioning, then a count-distinct per
+    (cohort_week, offset). All date arithmetic is date_trunc('week') +
+    day-diff div 7, identical in both engines."""
+    ev = _t(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    j = uw.withColumn("cohort_week", F.min("week").over(w))
+    off = j.select(
+        "user_id",
+        "cohort_week",
+        F.expr("datediff(week, cohort_week) div 7").cast("int").alias("week_offset"),
+    )
+    return off.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+
+
+def q_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a stored per-event_type summary built
+    from history (ts < 2024-01-20) is MERGED with partial aggregates of
+    the new arrivals rather than recomputed — counts add, integer-cent
+    sums add, min/max fold. The oracle recomputes from scratch, so the
+    green hash IS the proof that merge(state, delta) ≡ full recompute.
+    At 100 TB this is the difference between touching one day and
+    touching the table; every agg here is mergeable (no avg/median in
+    state — derived downstream)."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * F.lit(100.0)).cast("long")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"),
+            F.sum(cents).alias("cents"),
+            F.min(cents).alias("vmin_cents"),
+            F.max(cents).alias("vmax_cents"),
+        )
+
+    split = "2024-01-20"
+    state = partials(ev.filter(F.col("ts") < split))       # the stored summary
+    delta = partials(ev.filter(F.col("ts") >= split))      # the new partition
+    return (
+        state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("cents").alias("cents"),
+            F.min("vmin_cents").alias("vmin_cents"),
+            F.max("vmax_cents").alias("vmax_cents"),
+        )
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: fixed £25k buckets over
+    [0, 600k) as one floor-divide + groupBy — a single shuffle whose
+    cardinality is the bucket count, the shape data profiling wants at
+    any scale. Fixed literal bounds keep the binning bit-identical
+    across engines (data-dependent bounds would put bucket edges on
+    computed floats)."""
+    orders = _t(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / F.lit(25000.0)).cast("int")
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_orders"))
+        .select(
+            "bucket",
+            (F.col("bucket").cast("double") * 25000.0).alias("lo"),
+            ((F.col("bucket") + 1).cast("double") * 25000.0).alias("hi"),
+            "n_orders",
+        )
+    )
+
+
 def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key: interleave the bits of two scan
     dimensions (l_partkey, l_suppkey mod 1024) into one layout key — pure
@@ -2011,6 +2117,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scd2": q_scd2,
     "q_purge_partitioned": q_purge_partitioned,
     "q_zorder": q_zorder,
+    "q_fk_audit": q_fk_audit,
+    "q_retention": q_retention,
+    "q_incremental_rollup": q_incremental_rollup,
+    "q_histogram": q_histogram,
     "q_pipeline_corpus": q_pipeline_corpus,
     "q_scan_orc": q_scan_orc,
     # streaming (driver-unverified in r1)
