@@ -235,6 +235,79 @@ def start_parquet_sink(df: DataFrame, sink_dir: str, checkpoint_dir: str):
     )
 
 
+def start_upsert_sink(
+    df: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    partition_col: str,
+    order_col: str | None = None,
+):
+    """Streaming CDC apply: upsert each micro-batch into a Hive-partitioned
+    Parquet table via ``foreachBatch`` — the change-data-capture landing
+    pattern (new key → insert, existing key → latest batch wins).
+
+    Per batch: only the partitions PRESENT in the batch are read back
+    (partition-pruned), merged with the batch under a first-by-priority
+    window (batch rows rank above stored rows), ``localCheckpoint``-ed to
+    sever the self-read lineage, and rewritten under dynamic partition
+    overwrite — cost scales with the batch's blast radius, not the table.
+    The checkpoint log makes delivery exactly-once across restarts, and a
+    retried batch re-merges idempotently (same keys, same winners).
+    ``order_col`` breaks ties when one batch carries several rows for a
+    key (highest wins — pass the event-time column for latest-wins CDC);
+    without it, same-key rows within one batch are broken arbitrarily, so
+    suppliers of multi-row-per-key batches should always pass it.
+    Returns the started query; callers ``awaitTermination()``.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if not batch.columns or batch.isEmpty():
+            return
+        cols = batch.columns
+        affected = [r[0] for r in batch.select(partition_col).distinct().collect()]
+        new = batch.withColumn("__pri", F.lit(0))
+        try:
+            existing = (
+                spark.read.parquet(table_dir)
+                .filter(F.col(partition_col).isin(affected))
+                .select(cols)
+                .withColumn("__pri", F.lit(1))
+            )
+            merged = new.unionByName(existing)
+        except Exception:  # first batch: table does not exist yet
+            merged = new
+        order = [F.col("__pri").asc()]
+        if order_col is not None:
+            order.append(F.col(order_col).desc())
+        w = Window.partitionBy(key_col).orderBy(*order)
+        winners = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(cols)
+            .localCheckpoint(eager=True)
+        )
+        # per-write option, NOT a session conf: foreachBatch executes on a
+        # CLONED SparkSession, so session-conf toggles set here (or on the
+        # outer session) don't reach this write — the writer option does.
+        (
+            winners.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(table_dir)
+        )
+
+    return (
+        df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame,
     name: str,

@@ -266,3 +266,47 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert got.get("2024-01-01 10:00:00") == 1, got
     # the 12:00 window holds both on-time events
     assert got.get("2024-01-01 12:00:00") == 2, got
+
+
+def test_upsert_sink_applies_cdc_per_partition(spark, tmp_path):
+    """foreachBatch CDC apply: latest batch wins per key, inserts land, and
+    partitions absent from a batch are never rewritten."""
+    import glob
+    import os
+
+    import pandas as pd
+
+    from dataengineering_londonhousingmap_spark.streaming.incremental import (
+        start_upsert_sink,
+    )
+
+    src = str(tmp_path / "cdc_src")
+    table = str(tmp_path / "cdc_table")
+    cp = str(tmp_path / "cdc_cp")
+
+    def land(rows):
+        pdf = pd.DataFrame(rows, columns=["k", "part", "v", "seq"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "k long, part string, v double, seq long"
+        ).parquet(src)
+        q = start_upsert_sink(stream, table, cp, key_col="k", partition_col="part", order_col="seq")
+        q.awaitTermination(60)
+
+    land([(1, "A", 1.0, 1), (2, "A", 2.0, 1), (3, "B", 3.0, 1)])
+    run_once()
+    got = {(r.k, r.part, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, "A", 1.0), (2, "A", 2.0), (3, "B", 3.0)}
+
+    b_files = {f: os.path.getmtime(f) for f in glob.glob(f"{table}/part=B/*.parquet")}
+    # update k=1, insert k=4 (both partition A); B untouched; within-batch
+    # duplicate for k=4 resolved by seq (latest wins)
+    land([(1, "A", 10.0, 2), (4, "A", 4.0, 2), (4, "A", 40.0, 3)])
+    run_once()
+    got = {(r.k, r.part, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, "A", 10.0), (2, "A", 2.0), (3, "B", 3.0), (4, "A", 40.0)}
+    assert b_files == {
+        f: os.path.getmtime(f) for f in glob.glob(f"{table}/part=B/*.parquet")
+    }
