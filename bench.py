@@ -59,6 +59,13 @@ HEADLINE = [
     "q_pack_sequences",
     "q_sample_stratified",
     "q_pipeline_corpus",
+    # round-2b shapes: inverted-index BM25, windowed MERGE, shingle-join
+    # decontamination, chunking (narrow map fan-out), cohort retention
+    "q_text_search",
+    "q_merge_upsert",
+    "q_decontaminate",
+    "q_chunk_docs",
+    "q_retention",
 ]
 
 

@@ -1366,6 +1366,53 @@ ORACLES: dict[str, str] = {
         WHERE user_id % 97 <> 0
         GROUP BY event_type
     """,
+    "q_impute": """
+        WITH base AS (
+            SELECT event_id, event_type,
+                   CASE WHEN event_id % 13 <> 0
+                        THEN CAST(floor(value * 1e2) AS BIGINT) END AS cents
+            FROM events
+        )
+        SELECT event_id, event_type,
+               CAST(coalesce(cents,
+                    CAST(floor(CAST(sum(cents) OVER w AS DOUBLE) / count(cents) OVER w
+                               + 0.5e0) AS BIGINT)) AS BIGINT) AS value_cents,
+               (cents IS NULL) AS was_imputed
+        FROM base
+        WINDOW w AS (PARTITION BY event_type)
+    """,
+    "q_heavy_hitters": f"""
+        WITH counts AS (
+            SELECT source, term, count(*) AS n
+            FROM (SELECT source, unnest({_TOKENS}) AS term FROM documents)
+            GROUP BY source, term
+        )
+        SELECT source, CAST(rank AS INTEGER) AS rank, term, CAST(n AS BIGINT) AS n
+        FROM (
+            SELECT source, term, n,
+                   row_number() OVER (PARTITION BY source ORDER BY n DESC, term ASC) AS rank
+            FROM counts
+        )
+        WHERE rank <= 3
+    """,
+    "q_join_full_outer": """
+        WITH agg AS (
+            SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+        )
+        SELECT coalesce(c_custkey, o_custkey) AS custkey, c_name,
+               CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+               (c_custkey IS NOT NULL) AS in_customer,
+               (o_custkey IS NOT NULL) AS has_orders
+        FROM customer FULL JOIN agg ON c_custkey = o_custkey
+    """,
+    "q_array_hof": f"""
+        SELECT doc_id,
+               CAST(len({_TOKENS}) AS INTEGER) AS n_tokens,
+               CAST(len(list_filter({_TOKENS}, x -> length(x) > 4)) AS INTEGER) AS n_long,
+               CAST(coalesce(list_sum(list_transform({_TOKENS}, x -> length(x))), 0)
+                    AS INTEGER) AS total_chars
+        FROM documents
+    """,
     "q_fk_audit": """
         WITH a AS (
             SELECT 'lineitem->orders' AS relation,

@@ -1955,6 +1955,92 @@ def q_purge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-mean imputation (the ML-prep null repair): knock out a
+    deterministic slice of values (event_id % 13 — the testdata has no
+    natural nulls), then fill each hole with its event_type's mean. The
+    mean is computed as exact integer-cent sum / count over one window
+    partitioning (accumulation-order-proof), and the fill is
+    round-half-up back to cents — no float aggregation anywhere."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_id") % 13 != 0, F.floor(F.col("value") * F.lit(100.0)).cast("long")
+    )
+    w = Window.partitionBy("event_type")
+    base = ev.select("event_id", "event_type", cents.alias("cents"))
+    mean = F.sum("cents").over(w).cast("double") / F.count("cents").over(w)
+    return base.select(
+        "event_id",
+        "event_type",
+        F.coalesce(F.col("cents"), F.floor(mean + F.lit(0.5)).cast("long")).alias(
+            "value_cents"
+        ),
+        F.col("cents").isNull().alias("was_imputed"),
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group heavy hitters: the 3 most frequent tokens per document
+    source — explode → count per (source, term) → windowed rank with a
+    total-order tiebreak (count desc, term asc). Two shuffles (count agg,
+    rank window), both keyed on source; the explode never leaves the map
+    side unaggregated thanks to partial counts."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("source", "rank", "term", "n")
+    )
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (completing the join surface next to left / semi /
+    anti / broadcast / salted / asof / range): customers ⟗ their order
+    rollup, with coalesced keys and explicit matched-side flags — the
+    reconciliation shape (both-sides audit) rather than a lossy inner."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    j = cust.select("c_custkey", "c_name").join(
+        agg, F.col("c_custkey") == F.col("o_custkey"), "full_outer"
+    )
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        "c_name",
+        F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+        F.col("c_custkey").isNotNull().alias("in_customer"),
+        F.col("o_custkey").isNotNull().alias("has_orders"),
+    )
+
+
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function surface over array columns: per-doc token
+    lengths via transform, long-token filter, and a fold (aggregate) for
+    total characters — the array-programming API a document pipeline
+    leans on. HOF lambdas are interpreted (not codegen), so this is the
+    DEMO of the surface; hot paths elsewhere use native exprs or Arrow
+    UDFs (similarity.py). Unary lambdas only — a two-param PySpark HOF
+    lambda is silently (element, index)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.filter(t, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform(t, lambda x: F.length(x)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+    )
+
+
 def q_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the star schema: orphan counts
     for lineitem→orders and orders→customer, each as a left join against
@@ -2121,6 +2207,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_retention": q_retention,
     "q_incremental_rollup": q_incremental_rollup,
     "q_histogram": q_histogram,
+    "q_impute": q_impute,
+    "q_heavy_hitters": q_heavy_hitters,
+    "q_join_full_outer": q_join_full_outer,
+    "q_array_hof": q_array_hof,
     "q_pipeline_corpus": q_pipeline_corpus,
     "q_scan_orc": q_scan_orc,
     # streaming (driver-unverified in r1)
