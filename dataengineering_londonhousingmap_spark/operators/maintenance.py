@@ -116,3 +116,64 @@ def purge_keys(
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(jpath, True)
     return affected
+
+
+def build_manifest(spark: SparkSession, path: str, stat_col: str):
+    """File-level data-skipping manifest — the poor man's Delta/Iceberg
+    stats log: per Parquet file, its row count, row-group count, and the
+    min/max of ``stat_col`` folded across row-group footers.
+
+    Footer reads are DISTRIBUTED: the file list (driver-side, analyzed
+    plan only — never a data scan) fans out as a one-column DataFrame and
+    each task opens only footers via pyarrow (a few KB per file, not the
+    data pages). At 100 TB / millions of files this is the exact shape a
+    table-format stats collection job runs; a planner (or an ad-hoc
+    query) can then prune files with a manifest lookup instead of
+    touching the table. Pairs with layout.zorder_write — clustered
+    layouts make these min/max ranges tight.
+    """
+    from urllib.parse import urlparse
+
+    import pandas as pd
+
+    files = spark.read.parquet(path).inputFiles()
+    fdf = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        max(1, min(len(files), spark.sparkContext.defaultParallelism))
+    )
+    schema = (
+        f"file string, n_row_groups int, n_rows long, "
+        f"{stat_col}_min long, {stat_col}_max long"
+    )
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for uri in pdf["path"]:
+                local = urlparse(uri).path or uri
+                md = pq.ParquetFile(local).metadata
+                idx = next(
+                    i for i in range(md.num_columns)
+                    if md.schema.column(i).name == stat_col
+                )
+                stats = [
+                    md.row_group(g).column(idx).statistics
+                    for g in range(md.num_row_groups)
+                ]
+                rows.append(
+                    (
+                        local.rsplit("/", 1)[-1],
+                        md.num_row_groups,
+                        md.num_rows,
+                        min(s.min for s in stats),
+                        max(s.max for s in stats),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["file", "n_row_groups", "n_rows",
+                         f"{stat_col}_min", f"{stat_col}_max"],
+            )
+
+    return fdf.mapInPandas(read_footers, schema)

@@ -17,9 +17,16 @@ twins (q_embed_topk) carry the correctness burden.
 
 from __future__ import annotations
 
+import os
+
 # ---------------------------------------------------------------------------
 # shared SQL fragments
 # ---------------------------------------------------------------------------
+
+# mirrors queries.STAGE_DIR — the manifest oracle reads the SAME staged
+# files the Spark query wrote (layout-dependent stats can't be derived
+# from the logical table content)
+_STAGE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stage")
 
 # whitespace tokens of trimmed text; '' → empty list (mirrors functions.text.tokens)
 _TOKENS = (
@@ -1365,6 +1372,26 @@ ORACLES: dict[str, str] = {
         FROM events
         WHERE user_id % 97 <> 0
         GROUP BY event_type
+    """,
+    "q_manifest": f"""
+        WITH fm AS (
+            SELECT file_name, num_row_groups, num_rows
+            FROM parquet_file_metadata('{_STAGE_DIR}/orders_manifest/*.parquet')
+        ),
+        rg AS (
+            SELECT file_name,
+                   CAST(stats_min_value AS BIGINT) AS mn,
+                   CAST(stats_max_value AS BIGINT) AS mx
+            FROM parquet_metadata('{_STAGE_DIR}/orders_manifest/*.parquet')
+            WHERE path_in_schema = 'o_orderkey'
+        )
+        SELECT regexp_extract(fm.file_name, '[^/]+$') AS file,
+               CAST(fm.num_row_groups AS INTEGER) AS n_row_groups,
+               CAST(fm.num_rows AS BIGINT) AS n_rows,
+               CAST(min(rg.mn) AS BIGINT) AS o_orderkey_min,
+               CAST(max(rg.mx) AS BIGINT) AS o_orderkey_max
+        FROM fm JOIN rg ON fm.file_name = rg.file_name
+        GROUP BY fm.file_name, fm.num_row_groups, fm.num_rows
     """,
     "q_impute": """
         WITH base AS (

@@ -56,7 +56,7 @@ from .operators.joins import (
     zip_join,
 )
 from .operators.layout import morton_key
-from .operators.maintenance import purge_keys
+from .operators.maintenance import build_manifest, purge_keys
 from .operators.multimodal import extract_features, frame_sample_plan, synthesize_media
 from .operators.util import exact_avg_cents
 from .operators.similarity import (
@@ -1955,6 +1955,19 @@ def q_purge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping manifest build: stage orders as an 8-file Parquet
+    table, then collect per-file (rows, row groups, o_orderkey min/max)
+    by reading ONLY footers, distributed via mapInPandas over the file
+    list (operators/maintenance.py:build_manifest). The DuckDB oracle
+    recomputes the same stats from parquet_metadata() on the identical
+    staged files — byte-level agreement between two independent footer
+    readers."""
+    path = os.path.join(STAGE_DIR, "orders_manifest")
+    _t(spark, sf_dir, "orders").repartition(8).write.mode("overwrite").parquet(path)
+    return build_manifest(spark, path, "o_orderkey")
+
+
 def q_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-mean imputation (the ML-prep null repair): knock out a
     deterministic slice of values (event_id % 13 — the testdata has no
@@ -2208,6 +2221,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_incremental_rollup": q_incremental_rollup,
     "q_histogram": q_histogram,
     "q_impute": q_impute,
+    "q_manifest": q_manifest,
     "q_heavy_hitters": q_heavy_hitters,
     "q_join_full_outer": q_join_full_outer,
     "q_array_hof": q_array_hof,
