@@ -969,6 +969,16 @@ ORACLES: dict[str, str] = {
          AND l.event_type = 'click' AND r.event_type = 'view'
          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
     """,
+    # CDC apply lands arg-max-by-event_id per user (order_col=event_id,
+    # latest-wins) — the upsert table IS this window query
+    "q_stream_cdc": """
+        SELECT event_id, user_id, event_type, value
+        FROM (SELECT event_id, user_id, event_type, value,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY event_id DESC) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
     # -- training-data: multimodal -----------------------------------------
     "q_multimodal_features": """
         SELECT doc_id AS asset_id,

@@ -1264,6 +1264,38 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC apply (streaming/incremental.py:start_upsert_sink): the
+    event stream replayed as a change feed keyed by user_id, upserted into a
+    Hive-partitioned Parquet table via foreachBatch with a partition-scoped
+    merge — per batch only the touched partitions are rewritten (dynamic
+    partition overwrite), so apply cost tracks the batch's blast radius,
+    not table size. order_col=event_id makes latest-wins deterministic, so
+    the landed table is exactly arg-max-by-event_id per user — an exact
+    batch oracle."""
+    import shutil
+
+    from .streaming.incremental import read_events_stream, start_upsert_sink
+
+    base = os.path.join(STAGE_DIR, "cdc_apply")
+    shutil.rmtree(base, ignore_errors=True)  # fresh checkpoint → full replay
+    ev = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = start_upsert_sink(
+        ev,
+        table_dir=os.path.join(base, "table"),
+        checkpoint_dir=os.path.join(base, "cp"),
+        key_col="user_id",
+        partition_col="event_type",
+        order_col="event_id",
+    )
+    q.awaitTermination()
+    return spark.read.parquet(os.path.join(base, "table")).select(
+        "event_id", "user_id", F.col("event_type").cast("string").alias("event_type"), "value"
+    )
+
+
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True analytic windows (lag + bounded moving frame) over the event
     time series — the upgrade SURVEY §2.5 flags: the reference has no
@@ -1554,7 +1586,9 @@ def q_window_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
-        .orderBy(F.unix_micros(F.col("ts")))
+        # ts arrives as TIMESTAMP_NTZ from parquet (Spark 4 NTZ inference);
+        # unix_micros wants TIMESTAMP — exact under the pinned-UTC session
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
         .rangeBetween(-3 * 3600 * 1_000_000, 0)
     )
     return ev.select(
@@ -1609,8 +1643,10 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     next_v = F.first("observed", ignorenulls=True).over(bwd)
     prev_h = F.last(obs_hour, ignorenulls=True).over(fwd)
     next_h = F.first(obs_hour, ignorenulls=True).over(bwd)
-    span = F.unix_micros(next_h) - F.unix_micros(prev_h)
-    frac = (F.unix_micros(F.col("hour")) - F.unix_micros(prev_h)) / span
+    # hour may be TIMESTAMP_NTZ (parquet NTZ inference) — cast for unix_micros
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    span = us(next_h) - us(prev_h)
+    frac = (us(F.col("hour")) - us(prev_h)) / span
     # rounding via floor(x·1e6 + 0.5)/1e6, NOT round(x, 6): interpolated
     # values hit repeating-decimal ties (…6665) where Spark's BigDecimal
     # HALF_UP and DuckDB's multiply-and-round disagree by 1e-6; the floor
@@ -2232,6 +2268,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_dedup": q_stream_dedup,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_join": q_stream_join,
+    "q_stream_cdc": q_stream_cdc,
     # training-data: text (driver-unverified in r1)
     "q_token_count": q_token_count,
     "q_text_quality": q_text_quality,

@@ -70,10 +70,14 @@ def read_json(
 def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Load one driver testdata table with its declared schema.
 
-    ``events.parquet`` is written with nanosecond timestamps, which Spark's
-    vectorized Parquet reader rejects (PARQUET_TYPE_ILLEGAL); read the nanos
-    as long and rebuild the timestamp at microsecond precision (the data has
-    no sub-µs component — verified, and DuckDB agrees on the instant).
+    ``events.parquet`` timestamps have shipped in two vintages: INT64
+    nanoseconds (round-1 data — Spark's vectorized reader rejects NANOS as
+    TimestampType, so it lands as long under the nanosAsLong legacy conf and
+    is rebuilt at µs precision) and plain µs timestamps (current data —
+    arrives as TIMESTAMP_NTZ, which matches DuckDB's naive-timestamp
+    semantics exactly and is returned untouched). Consumers that need epoch
+    arithmetic cast ``ts`` to TIMESTAMP locally (exact under the session's
+    pinned UTC zone).
     """
     if table not in TESTDATA_TABLES:
         raise KeyError(f"unknown testdata table {table!r}")
@@ -81,7 +85,9 @@ def read_testdata(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            from ..streaming.incremental import _ts_from_epoch_long
+
+            df = df.withColumn("ts", _ts_from_epoch_long(F.col("ts")))
         return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 

@@ -28,18 +28,31 @@ from pyspark.sql import types as T
 
 from ..operators.util import exact_avg_cents
 
-# events.parquet carries nanosecond timestamps (unreadable as TimestampType
-# by Spark's parquet reader) — stream reads them as long and rebuilds µs
+# events.parquet has carried INT64 timestamps at nanosecond (round-1 data,
+# unreadable as TimestampType by Spark's parquet reader) or microsecond
+# (current data) precision — the stream reads the raw long and rebuilds a
+# µs timestamp either way (see _ts_from_epoch_long)
 EVENTS_RAW_NANOS = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # ns since epoch
+        T.StructField("ts", T.LongType()),  # ns or µs since epoch
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
+
+# epoch-unit watershed: 1e17 µs ≈ year 5138, 1e17 ns ≈ 1973 — any epoch in
+# between 1973 and 5138 classifies unambiguously by magnitude
+_NS_THRESHOLD = 10**17
+
+
+def _ts_from_epoch_long(col):
+    """Rebuild a µs TimestampType from an epoch INT64 of either unit."""
+    return F.timestamp_micros(
+        F.when(col > _NS_THRESHOLD, (col / 1000).cast("long")).otherwise(col)
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -51,7 +64,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", _ts_from_epoch_long(F.col("ts")))
 
 
 def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

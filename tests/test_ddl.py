@@ -24,7 +24,11 @@ def db(spark):
 
 def test_bootstrap_creates_all_six_tables(spark, db):
     bootstrap_schema(spark, database=db)
-    tables = {t.name for t in spark.catalog.listTables(db)}
+    # listTables also returns session temp views (e.g. memory-sink tables
+    # leaked by streaming tests in the shared session) — filter to managed
+    tables = {
+        t.name for t in spark.catalog.listTables(db) if t.tableType != "TEMPORARY"
+    }
     assert tables == set(FACT_TABLES) | set(DIM_TABLES)
 
 
