@@ -1155,6 +1155,43 @@ ORACLES: dict[str, str] = {
                END AS interpolated
         FROM g
     """,
+    "q_window_ranks": """
+        SELECT c_custkey, c_nationkey,
+               ntile(4) OVER w AS quartile,
+               rank() OVER w AS rnk,
+               floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+               floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    # identical SQL string on both engines (queries.py:_SQL_GROUPING_SETS)
+    "q_grouping_sets": """
+        SELECT coalesce(l_returnflag, '<all>') AS rflag,
+               coalesce(l_linestatus, '<all>') AS lstatus,
+               count(*) AS n,
+               round(sum(l_extendedprice), 2) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    "q_winsorize": """
+        WITH pct AS (
+            SELECT l_returnflag,
+                   percentile_cont(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS p05,
+                   percentile_cont(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+               round(least(p.p95, greatest(p.p05, l.l_extendedprice)), 6) AS price_w
+        FROM lineitem l JOIN pct p USING (l_returnflag)
+    """,
+    # the Spark side computes rank-under-md5 in two shard levels; shard is
+    # a PREFIX of the sort key so (shard, md5) order == global md5 order
+    "q_shuffle_corpus": """
+        SELECT doc_id,
+               row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS shuffle_pos
+        FROM documents
+    """,
     # q_approx_sketches: intentionally no oracle (HLL++/KLL are
     # engine-specific sketches; q_count_distinct / q_percentiles are the
     # exact twins and unit tests bound the error)

@@ -1660,6 +1660,99 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select("event_type", "hour", "observed", interp.alias("interpolated"))
 
 
+def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-function surface in one pass: quartile (ntile), rank,
+    percent_rank and cume_dist per nation by account balance — the
+    distribution-position features the zscore/percentile ops don't cover.
+    Tiebreak on c_custkey makes every function deterministic; the
+    floor(x·1e6+0.5) rounding sidesteps HALF_UP divergence on the two
+    ratio functions (both are in [0, 1])."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.rank().over(w).alias("rnk"),
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+    )
+
+
+_SQL_GROUPING_SETS = """
+    SELECT coalesce(l_returnflag, '<all>') AS rflag,
+           coalesce(l_linestatus, '<all>') AS lstatus,
+           count(*) AS n,
+           round(sum(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the aggregation lattice between q_rollup's
+    drill-down and q_cube's full cross: per-flag totals, per-status totals
+    and the grand total in ONE Expand+HashAggregate pass (three separate
+    groupBys would scan the fact three times). The SQL string runs
+    verbatim on Spark and DuckDB; labels are coalesced because grouped
+    NULLs and super-aggregate NULLs are indistinguishable downstream
+    (both grouping columns are non-null in this data)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_SQL_GROUPING_SETS)
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized price (the ML-prep outlier clamp): per-returnflag exact
+    interpolated p05/p95 from one aggregate pass, broadcast back onto the
+    fact, values clamped into the band. Two scans total, no sort of the
+    fact; at 100 TB the percentile agg shuffles only (flag, two doubles)
+    and the clamp is a broadcast-join map stage. Oracle parity of Spark
+    ``percentile`` with DuckDB ``percentile_cont`` is already pinned by
+    q_percentiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    pct = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    return li.join(F.broadcast(pct), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round(
+            F.least(F.col("p95"), F.greatest(F.col("p05"), F.col("l_extendedprice"))), 6
+        ).alias("price_w"),
+    )
+
+
+def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle (reproducible training order):
+    position = rank under md5(doc_id). Computed scale-correctly in two
+    levels — rank within 256 md5-prefix shards (partitioned window, no
+    global sort) plus broadcast per-shard offsets; because the shard IS a
+    prefix of the sort key, (shard, md5) order equals global md5 order, so
+    a single global row_number is an exact oracle. The reference's
+    analog would be pandas sample(frac=1, random_state) — irreproducible
+    across engines; hash order is engine-independent."""
+    docs = _t(spark, sf_dir, "documents")
+    key = F.md5(F.col("doc_id").cast("string"))
+    sharded = docs.select(
+        "doc_id",
+        key.alias("k"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    pos = sharded.select("doc_id", "shard", F.row_number().over(w).alias("pos"))
+    counts = sharded.groupBy("shard").agg(F.count("*").alias("n"))
+    woff = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "shard", F.coalesce(F.sum("n").over(woff), F.lit(0)).alias("off")
+    )
+    return pos.join(F.broadcast(offsets), "shard").select(
+        "doc_id", (F.col("off") + F.col("pos")).alias("shuffle_pos")
+    )
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch surface as a driver entry (rows-only by design): HLL++
     approximate distinct users and KLL-style approximate percentiles per
@@ -2240,6 +2333,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_gap_fill": q_gap_fill,
     "q_window_range": q_window_range,
     "q_interpolate": q_interpolate,
+    "q_window_ranks": q_window_ranks,
+    "q_grouping_sets": q_grouping_sets,
+    "q_winsorize": q_winsorize,
+    "q_shuffle_corpus": q_shuffle_corpus,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,
