@@ -1192,6 +1192,23 @@ ORACLES: dict[str, str] = {
                    AS shuffle_pos
         FROM documents
     """,
+    "q_domain_cap": """
+        SELECT doc_id, source
+        FROM (SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                                 doc_id) AS r
+              FROM documents)
+        WHERE r <= 40
+    """,
+    "q_scan_evolved": """
+        SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority,
+               1 AS batch
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, o_orderpriority, 2 AS batch
+        FROM orders WHERE o_orderkey % 2 = 1
+    """,
     # q_approx_sketches: intentionally no oracle (HLL++/KLL are
     # engine-specific sketches; q_count_distinct / q_percentiles are the
     # exact twins and unit tests bound the error)

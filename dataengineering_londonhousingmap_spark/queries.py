@@ -1753,6 +1753,47 @@ def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (corpus curation: no source may contribute
+    more than N docs): rank within source under md5(doc_id) — a
+    deterministic lottery, not first-N-in-file-order which would bias
+    toward early crawl batches — and keep rank ≤ 40. One partitioned
+    window, no global sort; at 100 TB the shuffle key is the domain and
+    AQE's skew split handles mega-domains."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("r"))
+        .filter(F.col("r") <= 40)
+        .select("doc_id", "source")
+    )
+
+
+def q_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution scan: two file batches of the same table, the later
+    one carrying a column the earlier lacks (the live-pipeline reality the
+    reference's fixed DDL can't absorb, SQL:5-66). mergeSchema unions the
+    footers; old files surface the new column as NULL. Batches land as
+    hive-style subdirs so the batch id is a partition column — scans
+    filtered to one batch prune the other entirely."""
+    base = os.path.join(STAGE_DIR, "orders_evolved")
+    o = _t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice")
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(os.path.join(base, "batch=1"))
+    v2.write.mode("overwrite").parquet(os.path.join(base, "batch=2"))
+    return spark.read.option("mergeSchema", "true").parquet(base).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.col("batch").cast("int").alias("batch"),
+    )
+
+
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch surface as a driver entry (rows-only by design): HLL++
     approximate distinct users and KLL-style approximate percentiles per
@@ -2337,6 +2378,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_grouping_sets": q_grouping_sets,
     "q_winsorize": q_winsorize,
     "q_shuffle_corpus": q_shuffle_corpus,
+    "q_domain_cap": q_domain_cap,
+    "q_scan_evolved": q_scan_evolved,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,
