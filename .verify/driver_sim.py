@@ -25,7 +25,7 @@ print(f"{len(qs)} queries, {len(oracles)} oracles")
 
 sys.path.insert(0, "/root/repo/tests")
 from oracle_harness import compare, duck_connection
-SF = "/root/testdata/sf0.01"
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 con = duck_connection(SF)
 fails = []
 for name in sorted(qs):

@@ -140,6 +140,59 @@ def repartition_by_bytes(assets: DataFrame, target_partition_mb: int = 128, est_
     return assets.repartition(int(parts))
 
 
+RESIZED = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("resized_mean", T.DoubleType(), False),
+    ]
+)
+
+
+def resize_images(
+    assets: DataFrame,
+    out_w: int = 4,
+    out_h: int = 4,
+    src_w: int = 16,
+    src_h: int = 8,
+) -> DataFrame:
+    """Nearest-neighbour resize over binary payloads via ``mapInPandas`` —
+    the decode → transform → summarize shape of a real thumbnailing stage.
+    The payload is interpreted as a ``src_h×src_w`` byte matrix (the layout
+    of :func:`synthesize_media` fixtures: 8 repeats of the 16-byte md5
+    digest); a real pipeline swaps the ``np.frombuffer`` line for a codec
+    decode and keeps everything else — Arrow batching, numpy index-gather
+    kernel (one vectorized op per image, no per-pixel Python), typed output
+    schema — unchanged."""
+    import numpy as np
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ri = (np.arange(out_h) * src_h) // out_h
+        ci = (np.arange(out_w) * src_w) // out_w
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                if len(b) < src_w * src_h:
+                    b = b.ljust(src_w * src_h, b"\x00")
+                m = np.frombuffer(b[: src_w * src_h], dtype=np.uint8).reshape(
+                    src_h, src_w
+                )
+                resized = m[np.ix_(ri, ci)]
+                rows.append(
+                    {
+                        "asset_id": asset_id,
+                        "out_w": out_w,
+                        "out_h": out_h,
+                        "resized_mean": float(resized.mean()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED.fields])
+
+    return assets.select("asset_id", "payload").mapInPandas(_resize, RESIZED)
+
+
 def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: explode each video asset into the frame
     timestamps a decoder would extract (the decode itself is the stub).

@@ -969,6 +969,13 @@ ORACLES: dict[str, str] = {
          AND l.event_type = 'click' AND r.event_type = 'view'
          AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
     """,
+    "q_stream_enrich": """
+        SELECT c.c_nationkey, count(*) AS n,
+               CAST(round(sum(e.value) * 100, 0) AS BIGINT)
+                   / (100e0 * count(e.value)) AS avg_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_nationkey
+    """,
     # CDC apply lands arg-max-by-event_id per user (order_col=event_id,
     # latest-wins) — the upsert table IS this window query
     "q_stream_cdc": """
@@ -988,6 +995,20 @@ ORACLES: dict[str, str] = {
                        i -> CAST('0x' || substring(md5(text), 2 * CAST(i AS INTEGER) - 1, 2) AS BIGINT)
                    )) AS DOUBLE) / 16.0
                , 6) AS byte_mean
+        FROM documents
+    """,
+    # 4×4 nearest-neighbour resize of the 8×16 fixture matrix: column
+    # stride 4 samples digest bytes {0,4,8,12} (payload is row-repeated),
+    # so hex pairs at 1-based positions {1,9,17,25} of md5(text)
+    "q_multimodal_resize": """
+        SELECT doc_id AS asset_id,
+               CAST(4 AS INTEGER) AS out_w,
+               CAST(4 AS INTEGER) AS out_h,
+               round(
+                   CAST(list_sum(list_transform([1, 9, 17, 25],
+                       i -> CAST('0x' || substring(md5(text), CAST(i AS INTEGER), 2) AS BIGINT)
+                   )) AS DOUBLE) / 4.0
+               , 6) AS resized_mean
         FROM documents
     """,
     # -- training-data: clustering / sampling / packing (round 2) -----------

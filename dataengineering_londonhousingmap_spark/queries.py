@@ -57,7 +57,12 @@ from .operators.joins import (
 )
 from .operators.layout import morton_key
 from .operators.maintenance import build_manifest, purge_keys
-from .operators.multimodal import extract_features, frame_sample_plan, synthesize_media
+from .operators.multimodal import (
+    extract_features,
+    frame_sample_plan,
+    resize_images,
+    synthesize_media,
+)
 from .operators.util import exact_avg_cents
 from .operators.similarity import (
     ann_topk_bruteforce,
@@ -1180,6 +1185,21 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("asset_id", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"))
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize stage (operators/multimodal.py:resize_images): 8×16
+    fixture matrices → 4×4 nearest-neighbour thumbnails, one numpy gather
+    per image inside Arrow batches. Oracle: with a 4× column stride the
+    sampled indices hit digest bytes {0,4,8,12} regardless of row (the
+    payload is row-repeated), so the resized mean is reproducible from the
+    md5 hex in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    assets = synthesize_media(docs, "doc_id", "text")
+    resized = resize_images(assets, out_w=4, out_h=4)
+    return resized.select(
+        "asset_id", "out_w", "out_h", F.round("resized_mean", 6).alias("resized_mean")
+    )
+
+
 def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan: each video asset explodes into the frame
     timestamps a decoder would pull (1 fps here) — the explode-then-decode
@@ -1262,6 +1282,30 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return out
+
+
+def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined per micro-batch to
+    the static customer dimension (broadcast — carries NO stream state,
+    unlike stream-stream joins) and rolled up per nation. The canonical
+    "enrich the feed with warehouse dims" shape; at scale the dim refreshes
+    per batch, so slowly-changing attributes stay current without restart.
+    Batch-equivalent on finite input → exact oracle."""
+    from .streaming.incremental import read_events_stream, run_stream_to_memory
+
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    rollup = (
+        ev.join(F.broadcast(cust), "user_id")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n"),
+            exact_avg_cents("value").alias("avg_value"),
+        )
+    )
+    return run_stream_to_memory(rollup, "q_stream_enrich_sink", "complete")
 
 
 def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2408,6 +2452,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_dedup": q_stream_dedup,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_join": q_stream_join,
+    "q_stream_enrich": q_stream_enrich,
     "q_stream_cdc": q_stream_cdc,
     # training-data: text (driver-unverified in r1)
     "q_token_count": q_token_count,
@@ -2426,6 +2471,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embed_ann_ivf_trained": q_embed_ann_ivf_trained,
     # training-data: multimodal (driver-unverified in r1)
     "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_resize": q_multimodal_resize,
     "q_multimodal_frames": q_multimodal_frames,
     # iterative cluster dedup — the priciest never-verified entries run LAST
     # within the unverified block, so a mid-block driver budget cut still

@@ -131,6 +131,23 @@ def test_multimodal_plumbing(spark):
     assert decode_image(b"\x01\x02\x03\x04", fake=True) == [[1, 2], [3, 4]]
 
 
+def test_resize_images_nearest_neighbour_gather(spark):
+    from dataengineering_londonhousingmap_spark.operators.multimodal import resize_images
+
+    # payload = bytes 0..127 as an 8×16 matrix: value at (r, c) = 16r + c.
+    # 4×4 nearest-neighbour → rows {0,2,4,6}, cols {0,4,8,12}; mean of the
+    # 16 sampled values = mean(16r) + mean(4c) for those index sets = 54.0
+    payload = bytes(range(128))
+    assets = spark.createDataFrame(
+        [(1, payload), (2, None)], "asset_id long, payload binary"
+    )
+    got = {r.asset_id: r for r in resize_images(assets).collect()}
+    assert got[1].resized_mean == 54.0
+    assert (got[1].out_w, got[1].out_h) == (4, 4)
+    # NULL payload zero-fills rather than erroring (dirty-corpus reality)
+    assert got[2].resized_mean == 0.0
+
+
 def test_mapinpandas_page_parser(spark):
     pages = spark.createDataFrame(
         [("1|£100,000|E1\n2|£200,000|E2",), ("3|£300,000|E3",)], "html string"
