@@ -1213,6 +1213,33 @@ ORACLES: dict[str, str] = {
                    AS shuffle_pos
         FROM documents
     """,
+    # Simpson index from exact integer char counts: one IEEE division —
+    # bit-identical with no rounding needed
+    "q_char_diversity": """
+        WITH chars AS (
+            SELECT doc_id,
+                   substring(text, CAST(i AS INTEGER), 1) AS ch
+            FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+            WHERE length(text) >= 1
+        ),
+        counts AS (
+            SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch
+        )
+        SELECT doc_id,
+               1.0 - CAST(sum(c * c) AS DOUBLE) / CAST(sum(c) * sum(c) AS DOUBLE)
+                   AS diversity,
+               count(*) AS distinct_chars
+        FROM counts GROUP BY doc_id
+    """,
+    "q_dedup_windowed": """
+        SELECT event_id, user_id, event_type, value
+        FROM (SELECT event_id, user_id, event_type, value,
+                     row_number() OVER (
+                         PARTITION BY user_id, event_type, date_trunc('hour', ts)
+                         ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
     "q_domain_cap": """
         SELECT doc_id, source
         FROM (SELECT doc_id, source,

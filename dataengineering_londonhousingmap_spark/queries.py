@@ -1797,6 +1797,56 @@ def q_shuffle_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-diversity quality signal: Simpson index 1 − Σc²/n² over
+    the per-doc character distribution (low diversity = keyboard-mash /
+    repeated-char spam; complements q_text_repetition's n-gram measure).
+    Simpson instead of Shannon entropy on purpose: Σc² and n are exact
+    integers, so the score is ONE IEEE division — bit-identical across
+    engines — where entropy's ln() differs between JVM and libm in the
+    last ulp. Shape: explode to (doc, char) counts, re-aggregate per doc —
+    two keyed shuffles, no HOF lambdas (interpreted, ~len evals/row), no
+    Python."""
+    from .operators.util import fan_out
+
+    # fan_out: the single-file doc scan would otherwise run the ×len(text)
+    # char explode as ONE task
+    docs = fan_out(_t(spark, sf_dir, "documents").filter(F.length("text") >= 1))
+    chars = (
+        docs.select(
+            "doc_id", "text", F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i")
+        )
+        .select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    return counts.groupBy("doc_id").agg(
+        (
+            F.lit(1.0)
+            - F.sum(F.col("c") * F.col("c")) / (F.sum("c") * F.sum("c")).cast("double")
+        ).alias("diversity"),
+        F.count("*").alias("distinct_chars"),
+    )
+
+
+def q_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded dedup — the batch twin of the streaming
+    dropDuplicatesWithinWatermark (q_stream_dedup): first event per
+    (user, event_type) within each 1-hour tumbling bucket, argmin by
+    (ts, event_id) so re-deliveries and retries inside the hour collapse
+    deterministically. One shuffle on the dedup key + bucket; at 100 TB
+    the bucket bound is what keeps state finite — same reasoning as the
+    stream's watermark."""
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).alias("bucket")
+    w = Window.partitionBy("user_id", "event_type", "bucket").orderBy("ts", "event_id")
+    return (
+        ev.select("event_id", "user_id", "event_type", "value", "ts", hour)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (corpus curation: no source may contribute
     more than N docs): rank within source under md5(doc_id) — a
@@ -2424,6 +2474,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_shuffle_corpus": q_shuffle_corpus,
     "q_domain_cap": q_domain_cap,
     "q_scan_evolved": q_scan_evolved,
+    "q_char_diversity": q_char_diversity,
+    "q_dedup_windowed": q_dedup_windowed,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,
