@@ -66,6 +66,14 @@ HEADLINE = [
     "q_decontaminate",
     "q_chunk_docs",
     "q_retention",
+    # round-2c shapes: winsorize (percentile broadcast-clamp), two-level
+    # deterministic shuffle, Simpson char diversity, grouping-sets lattice,
+    # streaming CDC upsert apply
+    "q_winsorize",
+    "q_shuffle_corpus",
+    "q_char_diversity",
+    "q_grouping_sets",
+    "q_stream_cdc",
 ]
 
 

@@ -304,6 +304,33 @@ def test_no_rowwise_python_or_accidental_cartesian(spark, sf_dir):
     assert not offenders, offenders
 
 
+def test_round2c_plan_shapes(spark, sf_dir):
+    """Scale-shape assertions for the round-2c operators: winsorize clamps
+    via a BROADCAST join of the tiny percentile side (no fact shuffle for
+    the clamp); the deterministic corpus shuffle never range-partitions
+    (= no global sort of the data — the shard windows sort within hash
+    partitions); char diversity aggregates partial+final JVM-side."""
+    import contextlib
+    import io
+
+    from dataengineering_londonhousingmap_spark.queries import QUERIES
+
+    def plan_of(name: str) -> str:
+        df = QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    p = plan_of("q_winsorize")
+    assert "BroadcastHashJoin" in p, p
+    p = plan_of("q_shuffle_corpus")
+    assert "rangepartitioning" not in p.lower(), p
+    p = plan_of("q_char_diversity")
+    assert "HashAggregate" in p, p
+    assert "BatchEvalPython" not in p, p
+
+
 def test_cluster_conf_is_consistent():
     from dataengineering_londonhousingmap_spark.session import cluster_conf
 
