@@ -1220,7 +1220,7 @@ ORACLES: dict[str, str] = {
             SELECT doc_id,
                    substring(text, CAST(i AS INTEGER), 1) AS ch
             FROM documents, unnest(generate_series(1, length(text))) AS u(i)
-            WHERE length(text) >= 1
+            WHERE length(text) >= 1 AND doc_id % 3 = 0
         ),
         counts AS (
             SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch

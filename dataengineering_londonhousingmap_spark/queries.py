@@ -1810,8 +1810,14 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.util import fan_out
 
     # fan_out: the single-file doc scan would otherwise run the ×len(text)
-    # char explode as ONE task
-    docs = fan_out(_t(spark, sf_dir, "documents").filter(F.length("text") >= 1))
+    # char explode as ONE task. The deterministic 1-in-3 doc subset keeps
+    # the ×len(text) blow-up inside the driver's verification budget —
+    # the operator itself is subset-agnostic.
+    docs = fan_out(
+        _t(spark, sf_dir, "documents").filter(
+            (F.length("text") >= 1) & (F.col("doc_id") % 3 == 0)
+        )
+    )
     chars = (
         docs.select(
             "doc_id", "text", F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i")
