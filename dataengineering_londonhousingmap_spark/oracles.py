@@ -1231,6 +1231,29 @@ ORACLES: dict[str, str] = {
                count(*) AS distinct_chars
         FROM counts GROUP BY doc_id
     """,
+    # gaps-and-islands, all sessions (no watermark clause — batch twin of
+    # q_stream_sessions' oracle)
+    "q_sessions_batch": """
+        WITH marked AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        numbered AS (
+            SELECT *, sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess
+            FROM marked
+        )
+        SELECT user_id,
+               min(ts) AS session_start, max(ts) AS session_end,
+               count(*) AS n_events,
+               round(sum(coalesce(value, 0)), 6) AS total_value
+        FROM numbered GROUP BY user_id, sess
+    """,
     "q_dedup_windowed": """
         SELECT event_id, user_id, event_type, value
         FROM (SELECT event_id, user_id, event_type, value,

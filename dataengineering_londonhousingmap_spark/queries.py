@@ -1853,6 +1853,37 @@ def q_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch (gaps-and-islands): per user, a
+    new session starts when >30 minutes separate consecutive events —
+    the batch twin of q_stream_sessions (which must additionally model
+    watermark emission) and the time-gap complement of the marker-based
+    q_split_sessions. One shuffle on user_id reused by both windows and
+    the final aggregate. Session boundaries depend only on the sorted
+    multiset of timestamps, so same-ts ties can't destabilize the
+    result."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL 30 MINUTES")), 1
+    ).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    numbered = ev.withColumn("sess", F.sum(new_sess).over(wsum))
+    return (
+        numbered.groupBy("user_id", "sess")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 6).alias("total_value"),
+        )
+        .drop("sess")
+    )
+
+
 def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain document cap (corpus curation: no source may contribute
     more than N docs): rank within source under md5(doc_id) — a
@@ -2482,6 +2513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_evolved": q_scan_evolved,
     "q_char_diversity": q_char_diversity,
     "q_dedup_windowed": q_dedup_windowed,
+    "q_sessions_batch": q_sessions_batch,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,
