@@ -279,22 +279,24 @@ def connected_components(
     converged = None
     for _ in range(max_iters):
         msgs = e.join(labels, e["src"] == labels["id"]).select(
-            F.col("dst").alias("id"), F.col("label")
+            F.col("dst").alias("id"), F.col("label"), F.lit(None).cast("long").alias("old")
         )
+        # carry the previous label through the min-aggregate (labels
+        # contributes exactly one row per id, so max(old) IS the old label):
+        # convergence then reads off the aggregated frame itself — a filter
+        # over the just-checkpointed blocks instead of a second join of two
+        # label tables per iteration
         new_labels = (
-            labels.unionByName(msgs)
+            labels.select("id", "label", F.col("label").alias("old"))
+            .unionByName(msgs)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+            .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
+            new_labels.filter(F.col("label") < F.col("old")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "label")
         if changed == 0:
             converged = labels
             break
