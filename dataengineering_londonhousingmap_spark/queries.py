@@ -1144,8 +1144,11 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (content fingerprint, min-id survivor). Everything stays in codegen
     until the single dedup shuffle of (fingerprint, id, quality) triples —
     the text column never moves past the scan. Thresholds compare ROUNDED
-    quality so the cut is engine-stable."""
-    docs = _t(spark, sf_dir, "documents")
+    quality so the cut is engine-stable. fan_out: the regex-heavy scoring
+    would otherwise run as one task over the single-file doc scan."""
+    from .operators.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     enriched = docs.select(
         "doc_id",
         "text",
