@@ -1231,6 +1231,11 @@ ORACLES: dict[str, str] = {
                count(*) AS distinct_chars
         FROM counts GROUP BY doc_id
     """,
+    # hint-invariant semantics: the plain join is the oracle
+    "q_join_hinted": """
+        SELECT o.o_orderkey, c.c_custkey, c.c_nationkey, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
     # gaps-and-islands, all sessions (no watermark clause — batch twin of
     # q_stream_sessions' oracle)
     "q_sessions_batch": """

@@ -1856,6 +1856,21 @@ def q_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_hinted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Physical-join control surface: the orders⋈customer equi-join pinned
+    to SHUFFLE_HASH via a join hint. The case for the override: a
+    medium-cardinality dim that exceeds the broadcast threshold but whose
+    hash table fits executor memory — sort-merge would sort BOTH sides for
+    nothing. Catalyst honors the hint when legal (plan-asserted in
+    tests); semantics are hint-invariant, so the plain join is an exact
+    oracle."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").hint("shuffle_hash")
+    return orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_orderkey", "c_custkey", "c_nationkey", "o_totalprice"
+    )
+
+
 def q_sessions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization in batch (gaps-and-islands): per user, a
     new session starts when >30 minutes separate consecutive events —
@@ -2517,6 +2532,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_char_diversity": q_char_diversity,
     "q_dedup_windowed": q_dedup_windowed,
     "q_sessions_batch": q_sessions_batch,
+    "q_join_hinted": q_join_hinted,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,

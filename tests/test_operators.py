@@ -329,6 +329,9 @@ def test_round2c_plan_shapes(spark, sf_dir):
     p = plan_of("q_char_diversity")
     assert "HashAggregate" in p, p
     assert "BatchEvalPython" not in p, p
+    # the join hint must actually reach the physical plan
+    p = plan_of("q_join_hinted")
+    assert "ShuffledHashJoin" in p, p
 
 
 def test_cluster_conf_is_consistent():
