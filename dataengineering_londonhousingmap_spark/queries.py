@@ -2509,7 +2509,30 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # verification signal reaches the whole catalog; the 50 rows already
     # green in CORRECTNESS_r01.json follow.
     # ------------------------------------------------------------------
-    # round-2 additions (never driver-verified)
+    # GROUP 1 — the 19 queries that existed in round 1 but never received a
+    # driver CORRECTNESS row (VERDICT.md's top ask): they run absolutely
+    # first, cheapest first, so ANY budget cut ≥ ~25s still closes the
+    # round-1 verification gap completely.
+    "q_token_count": q_token_count,
+    "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_frames": q_multimodal_frames,
+    "q_text_quality": q_text_quality,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_embed_topk": q_embed_topk,
+    "q_embed_ann_lsh": q_embed_ann_lsh,
+    "q_dedup_embed_exact": q_dedup_embed_exact,
+    "q_stream_hourly": q_stream_hourly,
+    "q_stream_dedup": q_stream_dedup,
+    "q_embed_ann_ivf": q_embed_ann_ivf,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_dedup_embed": q_dedup_embed,
+    "q_stream_sessions": q_stream_sessions,
+    "q_stream_join": q_stream_join,
+    "q_embed_ann_ivf_trained": q_embed_ann_ivf_trained,
+    "q_corpus_curation": q_corpus_curation,
+    # GROUP 2 — round-2 additions (new this round, no prior row to protect)
     "q_closest_line": q_closest_line,
     "q_parse_pages": q_parse_pages,
     "q_grouped_zscore": q_grouped_zscore,
@@ -2556,32 +2579,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_array_hof": q_array_hof,
     "q_pipeline_corpus": q_pipeline_corpus,
     "q_scan_orc": q_scan_orc,
-    # streaming (driver-unverified in r1)
-    "q_stream_hourly": q_stream_hourly,
-    "q_stream_dedup": q_stream_dedup,
-    "q_stream_sessions": q_stream_sessions,
-    "q_stream_join": q_stream_join,
     "q_stream_enrich": q_stream_enrich,
     "q_stream_cdc": q_stream_cdc,
-    # training-data: text (driver-unverified in r1)
-    "q_token_count": q_token_count,
-    "q_text_quality": q_text_quality,
-    "q_lang_id": q_lang_id,
-    "q_fingerprint": q_fingerprint,
-    "q_corpus_curation": q_corpus_curation,
-    # training-data: dedup/similarity tail (driver-unverified in r1)
-    "q_dedup_simhash": q_dedup_simhash,
-    "q_ngram_jaccard": q_ngram_jaccard,
-    "q_dedup_embed_exact": q_dedup_embed_exact,
-    "q_dedup_embed": q_dedup_embed,
-    "q_embed_topk": q_embed_topk,
-    "q_embed_ann_lsh": q_embed_ann_lsh,
-    "q_embed_ann_ivf": q_embed_ann_ivf,
-    "q_embed_ann_ivf_trained": q_embed_ann_ivf_trained,
-    # training-data: multimodal (driver-unverified in r1)
-    "q_multimodal_features": q_multimodal_features,
     "q_multimodal_resize": q_multimodal_resize,
-    "q_multimodal_frames": q_multimodal_frames,
     # iterative cluster dedup — the priciest never-verified entries run LAST
     # within the unverified block, so a mid-block driver budget cut still
     # verifies the maximum number of queries
