@@ -1231,6 +1231,12 @@ ORACLES: dict[str, str] = {
                count(*) AS distinct_chars
         FROM counts GROUP BY doc_id
     """,
+    # bucketing is a layout property, not a semantic one
+    "q_agg_bucketed": """
+        SELECT o_custkey, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_spend
+        FROM orders GROUP BY o_custkey
+    """,
     # hint-invariant semantics: the plain join is the oracle
     "q_join_hinted": """
         SELECT o.o_orderkey, c.c_custkey, c.c_nationkey, o.o_totalprice

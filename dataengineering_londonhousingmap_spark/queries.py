@@ -640,6 +640,32 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-free aggregation on a bucketed table: orders bucketed on
+    o_custkey, then a per-customer aggregate — the bucket spec satisfies
+    the grouping distribution, so the plan carries NO Exchange before the
+    aggregate (plan-asserted in tests). The lakehouse payoff bucketing
+    buys beyond co-located joins: at 100 TB, every recurring
+    per-entity rollup on the bucket key skips its shuffle entirely."""
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    (
+        orders.write.bucketBy(16, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .option("path", os.path.join(STAGE_DIR, "bucketed", "b_orders_cust"))
+        .format("parquet")
+        .saveAsTable("b_orders_cust")
+    )
+    return (
+        spark.table("b_orders_cust")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+    )
+
+
 def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi + left-anti joins (the EXISTS / NOT EXISTS shapes): one
     row per customer, flagged by whether they have any open order. Semi and
@@ -2556,6 +2582,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_windowed": q_dedup_windowed,
     "q_sessions_batch": q_sessions_batch,
     "q_join_hinted": q_join_hinted,
+    "q_agg_bucketed": q_agg_bucketed,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,

@@ -332,6 +332,10 @@ def test_round2c_plan_shapes(spark, sf_dir):
     # the join hint must actually reach the physical plan
     p = plan_of("q_join_hinted")
     assert "ShuffledHashJoin" in p, p
+    # bucketed aggregation must carry NO exchange before the aggregate
+    p = plan_of("q_agg_bucketed")
+    assert "Exchange" not in p, p
+    assert "HashAggregate" in p, p
 
 
 def test_cluster_conf_is_consistent():
