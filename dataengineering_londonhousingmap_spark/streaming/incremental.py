@@ -347,3 +347,4 @@ def run_stream_to_memory(
         q.stop()
         q.awaitTermination(30)
     return spark.table(name)
+
