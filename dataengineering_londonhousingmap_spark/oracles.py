@@ -1231,6 +1231,29 @@ ORACLES: dict[str, str] = {
                count(*) AS distinct_chars
         FROM counts GROUP BY doc_id
     """,
+    "q_pivot_agg": """
+        SELECT c.c_nationkey,
+               round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS "1-URGENT",
+               round(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN o_totalprice END), 2) AS "2-HIGH",
+               round(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN o_totalprice END), 2) AS "3-MEDIUM",
+               round(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN o_totalprice END), 2) AS "4-NOT SPECIFIED",
+               round(sum(CASE WHEN o_orderpriority = '5-LOW' THEN o_totalprice END), 2) AS "5-LOW"
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    """,
+    # integer-cents numerator and denominator: one IEEE division per row
+    "q_share_of_total": """
+        WITH per_nation AS (
+            SELECT c.c_nationkey,
+                   CAST(round(sum(o.o_totalprice) * 100, 0) AS BIGINT) AS cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
+        )
+        SELECT c_nationkey,
+               cents / 100e0 AS nation_spend,
+               CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE) AS share
+        FROM per_nation
+    """,
     # bucketing is a layout property, not a semantic one
     "q_agg_bucketed": """
         SELECT o_custkey, count(*) AS n_orders,

@@ -640,6 +640,44 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True value pivot (the step past R1/R2's one-hot encoding): order
+    spend per customer-nation pivoted by priority class into measure
+    columns. The values list is EXPLICIT — at scale a dynamic pivot runs
+    an extra distinct scan just to discover the output schema, and
+    unioned vintages can silently change it."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    pris = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    joined = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        joined.groupBy("c_nationkey")
+        .pivot("o_orderpriority", pris)
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+
+
+def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of global spend — a window
+    over an AGGREGATED frame (sum over the 25-row result, not the fact),
+    the two-level shape that keeps the global total off the fact scan.
+    Integer-cents numerator over integer-cents denominator: one IEEE
+    division, engine-stable without rounding games."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    per_nation = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("cents"))
+    )
+    w = Window.partitionBy()
+    return per_nation.select(
+        "c_nationkey",
+        (F.col("cents") / F.lit(100.0)).alias("nation_spend"),
+        (F.col("cents") / F.sum("cents").over(w).cast("double")).alias("share"),
+    )
+
+
 def q_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free aggregation on a bucketed table: orders bucketed on
     o_custkey, then a per-customer aggregate — the bucket spec satisfies
@@ -2583,6 +2621,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessions_batch": q_sessions_batch,
     "q_join_hinted": q_join_hinted,
     "q_agg_bucketed": q_agg_bucketed,
+    "q_pivot_agg": q_pivot_agg,
+    "q_share_of_total": q_share_of_total,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,
