@@ -1180,6 +1180,9 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (X10): whitespace tokens + a BPE-ish regex tokenizer
+    count per document — both pure codegen expressions (functions/text.py),
+    NULL-guarded, no shuffle at all (narrow map over the scan)."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -1189,6 +1192,9 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (X11): length/punctuation/stopword-ratio composite
+    per document (functions/text.py:quality_score) — pure codegen, rounded
+    on both engines so the threshold cut is stable."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
@@ -1198,6 +1204,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID (X12): marker-lexicon scores per language with a
+    sort_array tiebreak (functions/text.py:lang_id_scores) — deterministic
+    argmax, no UDF, no shuffle."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", lang_id_scores("text").alias("lang_pred"))
 
