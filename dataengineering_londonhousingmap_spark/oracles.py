@@ -1231,6 +1231,33 @@ ORACLES: dict[str, str] = {
                count(*) AS distinct_chars
         FROM counts GROUP BY doc_id
     """,
+    # three schema-identical staged copies of the dim, tagged by format
+    "q_multi_source_union": """
+        SELECT r_regionkey, r_name, 'csv' AS src_format FROM region
+        UNION ALL
+        SELECT r_regionkey, r_name, 'json' AS src_format FROM region
+        UNION ALL
+        SELECT r_regionkey, r_name, 'parquet' AS src_format FROM region
+    """,
+    # first-failed-rule precedence mirrors the CASE chain exactly
+    "q_rejects_audit": """
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               CASE WHEN o_totalprice <= 0 THEN 'nonpositive_price'
+                    WHEN NOT (o_orderstatus IN ('O', 'F', 'P')) THEN 'unknown_status'
+                    WHEN NOT (o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                                                  '4-NOT SPECIFIED', '5-LOW'))
+                         THEN 'unknown_priority'
+                    WHEN o_totalprice > 400000 THEN 'price_outlier'
+               END AS reject_reason
+        FROM orders
+        WHERE CASE WHEN o_totalprice <= 0 THEN 'nonpositive_price'
+                   WHEN NOT (o_orderstatus IN ('O', 'F', 'P')) THEN 'unknown_status'
+                   WHEN NOT (o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                                                 '4-NOT SPECIFIED', '5-LOW'))
+                        THEN 'unknown_priority'
+                   WHEN o_totalprice > 400000 THEN 'price_outlier'
+              END IS NOT NULL
+    """,
     "q_pivot_agg": """
         SELECT c.c_nationkey,
                round(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice END), 2) AS "1-URGENT",

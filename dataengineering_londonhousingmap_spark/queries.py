@@ -640,6 +640,57 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format ingestion unified (the reference's literal shape: three
+    scrapers land CSV/JSON that one loader consumes): the region dim staged
+    as CSV, JSON and Parquet, each scanned with the SAME declared schema
+    (never inferSchema), tagged with its source format, and unioned by
+    name. At scale each format is a separate landing feed; unionByName
+    keeps the pipeline schema-stable while feeds evolve independently."""
+    src = _t(spark, sf_dir, "region")
+    csv_p = os.path.join(STAGE_DIR, "ms_region_csv")
+    json_p = os.path.join(STAGE_DIR, "ms_region_json")
+    pq_p = os.path.join(STAGE_DIR, "ms_region_pq")
+    write_csv(src, csv_p)
+    write_json(src, json_p)
+    write_parquet(src, pq_p)
+    parts = [
+        read_csv(spark, csv_p, REGION).withColumn("src_format", F.lit("csv")),
+        read_json(spark, json_p, REGION).withColumn("src_format", F.lit("json")),
+        spark.read.parquet(pq_p).withColumn("src_format", F.lit("parquet")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_rejects_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validity split with reasons — the dead-letter side of the reference's
+    silent validity-skip predicates (P7, pipeline .py:448-462): every
+    order failing a quality rule lands in an audit table with the FIRST
+    failed rule named (deterministic reason precedence), instead of
+    vanishing. One narrow filter+map over the scan; the rejects table is
+    what re-ingestion and upstream bug reports need."""
+    orders = _t(spark, sf_dir, "orders")
+    reason = (
+        F.when(F.col("o_totalprice") <= 0, F.lit("nonpositive_price"))
+        .when(F.col("o_orderstatus").isin("O", "F", "P") == False, F.lit("unknown_status"))  # noqa: E712
+        .when(
+            F.col("o_orderpriority").isin(
+                "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+            )
+            == False,  # noqa: E712
+            F.lit("unknown_priority"),
+        )
+        .when(F.col("o_totalprice") > 400000, F.lit("price_outlier"))
+    )
+    return (
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice", reason.alias("reject_reason"))
+        .filter(F.col("reject_reason").isNotNull())
+    )
+
+
 def q_pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True value pivot (the step past R1/R2's one-hot encoding): order
     spend per customer-nation pivoted by priority class into measure
@@ -2632,6 +2683,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_agg_bucketed": q_agg_bucketed,
     "q_pivot_agg": q_pivot_agg,
     "q_share_of_total": q_share_of_total,
+    "q_multi_source_union": q_multi_source_union,
+    "q_rejects_audit": q_rejects_audit,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,
