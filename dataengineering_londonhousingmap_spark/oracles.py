@@ -1539,6 +1539,36 @@ ORACLES: dict[str, str] = {
         FROM allrows
         QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY pri) = 1
     """,
+    # PIT lookup: the SCD2 CTE joined on key + validity range (contiguous
+    # [from, next_from) ranges → at most one match per event)
+    "q_scd2_lookup": """
+        WITH ordered AS (
+            SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,
+                   lag(o_orderpriority) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS prev
+            FROM orders
+        ),
+        chg AS (
+            SELECT * FROM ordered
+            WHERE prev IS NULL OR o_orderpriority <> prev
+        ),
+        dim AS (
+            SELECT o_custkey, o_orderpriority,
+                   o_orderdate AS effective_from,
+                   lead(o_orderdate) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS effective_to
+            FROM chg
+        )
+        SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS d,
+               d.o_orderpriority AS priority_asof, d.effective_from
+        FROM events e
+        LEFT JOIN dim d
+          ON e.user_id = d.o_custkey
+         AND CAST(e.ts AS DATE) >= d.effective_from
+         AND (d.effective_to IS NULL OR CAST(e.ts AS DATE) < d.effective_to)
+    """,
     "q_scd2": """
         WITH ordered AS (
             SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority,

@@ -2379,6 +2379,33 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return versioned.withColumn("is_current", F.col("effective_to").isNull())
 
 
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) lookup against the SCD2 dimension q_scd2
+    builds: each event resolves the attribute version in force at its
+    event date. Equi-join on the key with the validity range as a
+    RESIDUAL predicate — the range filter rides the key join, never a
+    cross join — and the contiguous [from, next_from) ranges guarantee at
+    most one match, so a left join keeps pre-history events with NULL
+    attribution. The lookup every warehouse fact load runs against its
+    versioned dims."""
+    dim = q_scd2(spark, sf_dir)
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("d")
+    )
+    cond = (
+        (ev.user_id == dim.o_custkey)
+        & (ev.d >= dim.effective_from)
+        & (dim.effective_to.isNull() | (ev.d < dim.effective_to))
+    )
+    return ev.join(dim, cond, "left").select(
+        "event_id",
+        "user_id",
+        "d",
+        F.col("o_orderpriority").alias("priority_asof"),
+        "effective_from",
+    )
+
+
 def q_purge_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Targeted deletion with a bounded blast radius: stage events as a
     Hive-partitioned table, purge every user_id divisible by 97 via
@@ -2685,6 +2712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_share_of_total": q_share_of_total,
     "q_multi_source_union": q_multi_source_union,
     "q_rejects_audit": q_rejects_audit,
+    "q_scd2_lookup": q_scd2_lookup,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,
