@@ -1231,6 +1231,34 @@ ORACLES: dict[str, str] = {
                count(*) AS distinct_chars
         FROM counts GROUP BY doc_id
     """,
+    # argmax by (n_chars, doc_id) per fingerprint — the best-duplicate
+    # attribution next to the min-id survivor
+    "q_survivorship": r"""
+        WITH fp AS (
+            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+                   doc_id, source, n_chars
+            FROM documents
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY fingerprint
+                                         ORDER BY n_chars DESC, doc_id DESC) AS rn
+            FROM fp
+        )
+        SELECT f.fingerprint,
+               min(f.doc_id) AS survivor_id,
+               count(*) AS n_dupes,
+               max(CASE WHEN r.rn = 1 THEN r.source END) AS best_source,
+               max(f.n_chars) AS max_chars
+        FROM fp f JOIN ranked r
+          ON f.fingerprint = r.fingerprint AND f.doc_id = r.doc_id
+        GROUP BY f.fingerprint
+    """,
+    "q_anonymize": """
+        SELECT event_id, user_id % 100 AS cohort,
+               CASE WHEN count(*) OVER (PARTITION BY user_id % 100, event_type) < 100
+                    THEN 'OTHER' ELSE event_type END AS event_type_anon
+        FROM events
+    """,
     # three schema-identical staged copies of the dim, tagged by format
     "q_multi_source_union": """
         SELECT r_regionkey, r_name, 'csv' AS src_format FROM region

@@ -640,6 +640,57 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship (the MDM step past min-id dedup): per
+    content fingerprint, the surviving id is the smallest, but each
+    ATTRIBUTE is taken from the best duplicate — longest text wins the
+    source attribution (argmax by (n_chars, doc_id), deterministic
+    tiebreak) — one hash-aggregate pass, no self-join. The distinction
+    matters when duplicates carry complementary metadata."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        doc_fingerprint(F.col("text")).alias("fingerprint"),
+        "doc_id",
+        "source",
+        "n_chars",
+    )
+    best = F.max(F.struct("n_chars", "doc_id", "source")).alias("b")
+    return (
+        fp.groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("survivor_id"),
+            F.count("*").alias("n_dupes"),
+            best,
+        )
+        .select(
+            "fingerprint",
+            "survivor_id",
+            "n_dupes",
+            F.col("b.source").alias("best_source"),
+            F.col("b.n_chars").alias("max_chars"),
+        )
+    )
+
+
+def q_anonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity generalization (the privacy companion to PII redaction):
+    events keyed by the quasi-identifier (user cohort, event_type); any
+    combination backed by fewer than k=100 rows has its event_type
+    generalized to 'OTHER' so no rare behavioral signature survives.
+    One window count over the quasi-identifier — no second scan, no
+    driver-side group list."""
+    ev = _t(spark, sf_dir, "events")
+    cohort = (F.col("user_id") % 100).alias("cohort")
+    w = Window.partitionBy("cohort", "event_type")
+    return ev.select("event_id", cohort, "event_type").select(
+        "event_id",
+        "cohort",
+        F.when(F.count("*").over(w) < 100, F.lit("OTHER"))
+        .otherwise(F.col("event_type"))
+        .alias("event_type_anon"),
+    )
+
+
 def q_multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-format ingestion unified (the reference's literal shape: three
     scrapers land CSV/JSON that one loader consumes): the region dim staged
@@ -2713,6 +2764,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multi_source_union": q_multi_source_union,
     "q_rejects_audit": q_rejects_audit,
     "q_scd2_lookup": q_scd2_lookup,
+    "q_survivorship": q_survivorship,
+    "q_anonymize": q_anonymize,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,
