@@ -1231,6 +1231,22 @@ ORACLES: dict[str, str] = {
                count(*) AS distinct_chars
         FROM counts GROUP BY doc_id
     """,
+    # sequential left folds mirror Spark's F.aggregate accumulation order
+    # exactly — same op sequence, bit-identical doubles
+    "q_embed_norms": """
+        SELECT vec_id,
+               len(embedding) AS dim,
+               floor(sqrt(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                   (a, b) -> a + b)) * 1e6 + 0.5) / 1e6 AS l2_norm,
+               floor(list_reduce(
+                   list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(embedding, x -> CAST(x AS DOUBLE))),
+                   (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS component_sum
+        FROM embeddings
+    """,
     # argmax by (n_chars, doc_id) per fingerprint — the best-duplicate
     # attribution next to the min-id survivor
     "q_survivorship": r"""

@@ -640,6 +640,33 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-math HOF surface under an EXACT oracle (the ANN queries
+    exercise it rows-only): per embedding, the L2 norm and the dot product
+    against a broadcast unit direction — both as sequential left folds
+    (functions/vectors.py), whose accumulation order DuckDB's list_reduce
+    reproduces exactly, so no tolerance is needed. Everything codegen-side;
+    floor-form rounding guards the output boundary."""
+    emb = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    s = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double")),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    r6 = lambda c: F.floor(c * 1e6 + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),  # DuckDB len() is BIGINT
+        r6(F.sqrt(sq)).alias("l2_norm"),
+        r6(s).alias("component_sum"),
+    )
+
+
 def q_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Golden-record survivorship (the MDM step past min-id dedup): per
     content fingerprint, the surviving id is the smallest, but each
@@ -2766,6 +2793,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scd2_lookup": q_scd2_lookup,
     "q_survivorship": q_survivorship,
     "q_anonymize": q_anonymize,
+    "q_embed_norms": q_embed_norms,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,
