@@ -1231,6 +1231,29 @@ ORACLES: dict[str, str] = {
                count(*) AS distinct_chars
         FROM counts GROUP BY doc_id
     """,
+    # sum/count division: one IEEE division per cell, stable without games
+    "q_drift_report": """
+        WITH prev AS (
+            SELECT source, lang, count(*) AS prev_docs,
+                   floor(sum(n_chars) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                       AS prev_mean_chars
+            FROM documents WHERE doc_id % 10 <> 0 GROUP BY source, lang
+        ),
+        curr AS (
+            SELECT source, lang, count(*) AS curr_docs,
+                   floor(sum(n_chars) / CAST(count(*) AS DOUBLE) * 1e6 + 0.5) / 1e6
+                       AS curr_mean_chars
+            FROM documents GROUP BY source, lang
+        )
+        SELECT coalesce(p.source, c.source) AS source,
+               coalesce(p.lang, c.lang) AS lang,
+               coalesce(p.prev_docs, 0) AS prev_docs,
+               coalesce(c.curr_docs, 0) AS curr_docs,
+               coalesce(c.curr_docs, 0) - coalesce(p.prev_docs, 0) AS delta_docs,
+               p.prev_mean_chars, c.curr_mean_chars
+        FROM prev p FULL OUTER JOIN curr c
+          ON p.source = c.source AND p.lang = c.lang
+    """,
     # sequential left folds mirror Spark's F.aggregate accumulation order
     # exactly — same op sequence, bit-identical doubles
     "q_embed_norms": """

@@ -640,6 +640,42 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset drift report — the monitoring query a continuously-refreshed
+    corpus needs: per (source, lang) cell, document count and mean length
+    for the previous snapshot (here the deterministic doc_id%10!=0 subset)
+    versus the current one, with deltas. Two partial-aggregated scans and
+    one full-outer on the tiny cell grid; at 100 TB both sides pre-aggregate
+    before anything joins, so the report costs two scans regardless of
+    cell-count."""
+    docs = _t(spark, sf_dir, "documents")
+
+    def snap(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("source", "lang").agg(
+            F.count("*").alias(f"{tag}_docs"),
+            # floor-form: integer-ratio means can land on .5e-6 boundaries
+            # where round() HALF_UP diverges between engines
+            (
+                F.floor(F.sum("n_chars") / F.count("*").cast("double") * 1e6 + 0.5)
+                / F.lit(1e6)
+            ).alias(f"{tag}_mean_chars"),
+        )
+
+    prev = snap(docs.filter(F.col("doc_id") % 10 != 0), "prev")
+    curr = snap(docs, "curr")
+    return prev.join(curr, ["source", "lang"], "full_outer").select(
+        "source",
+        "lang",
+        F.coalesce("prev_docs", F.lit(0)).alias("prev_docs"),
+        F.coalesce("curr_docs", F.lit(0)).alias("curr_docs"),
+        (F.coalesce("curr_docs", F.lit(0)) - F.coalesce("prev_docs", F.lit(0))).alias(
+            "delta_docs"
+        ),
+        "prev_mean_chars",
+        "curr_mean_chars",
+    )
+
+
 def q_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The vector-math HOF surface under an EXACT oracle (the ANN queries
     exercise it rows-only): per embedding, the L2 norm and the dot product
@@ -2794,6 +2830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_survivorship": q_survivorship,
     "q_anonymize": q_anonymize,
     "q_embed_norms": q_embed_norms,
+    "q_drift_report": q_drift_report,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,
