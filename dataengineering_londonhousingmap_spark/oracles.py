@@ -1231,6 +1231,40 @@ ORACLES: dict[str, str] = {
                count(*) AS distinct_chars
         FROM counts GROUP BY doc_id
     """,
+    # top-1000 bigrams by (count desc, bigram asc) — total order, so the
+    # common set is identical on both engines; scores are integer ratios
+    "q_corpus_stats_score": r"""
+        WITH tok AS (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1])) AS bg
+            FROM tok WHERE len(t) >= 2
+        ),
+        top AS (
+            SELECT bg FROM (
+                SELECT bg, count(*) AS c,
+                       row_number() OVER (ORDER BY count(*) DESC, bg) AS rn
+                FROM bg GROUP BY bg
+            ) WHERE rn <= 1000
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_bigrams FROM bg GROUP BY doc_id
+        ),
+        common AS (
+            SELECT doc_id, count(*) AS n_common
+            FROM bg WHERE bg IN (SELECT bg FROM top)
+            GROUP BY doc_id
+        )
+        SELECT p.doc_id, p.n_bigrams,
+               coalesce(c.n_common, 0) AS n_common,
+               floor(coalesce(c.n_common, 0) / CAST(p.n_bigrams AS DOUBLE) * 1e6 + 0.5)
+                   / 1e6 AS coverage
+        FROM per_doc p LEFT JOIN common c ON p.doc_id = c.doc_id
+    """,
     # sum/count division: one IEEE division per cell, stable without games
     "q_drift_report": """
         WITH prev AS (

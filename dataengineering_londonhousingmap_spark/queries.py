@@ -640,6 +640,53 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_stats_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality scoring (the 2-pass global pattern the
+    doc-local q_text_quality can't express): pass 1 computes the corpus's
+    1000 most frequent bigrams (count desc, bigram asc tiebreak — total
+    order); pass 2 scores each doc by the fraction of its bigram
+    occurrences covered by that common set (a left-semi join against the
+    broadcast top list). Low coverage = out-of-distribution or garbled
+    text — the frequency-based cousin of an LM perplexity filter, with
+    only integer ratios so the score is engine-stable. At 100 TB pass 1
+    is one shuffle on bigram with map-side partial counts, and the top-K
+    list (≤1000 rows) broadcasts."""
+    from .operators.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    bg = docs.select("doc_id", F.explode(bigrams("text")).alias("bg"))
+    top = (
+        bg.groupBy("bg")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), F.col("bg"))
+        .limit(1000)
+        .select("bg")
+    )
+    per_doc = bg.groupBy("doc_id").agg(F.count("*").alias("n_bigrams"))
+    common = (
+        bg.join(F.broadcast(top), "bg", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        per_doc.join(common, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            (
+                F.floor(
+                    F.coalesce("n_common", F.lit(0))
+                    / F.col("n_bigrams").cast("double")
+                    * 1e6
+                    + 0.5
+                )
+                / F.lit(1e6)
+            ).alias("coverage"),
+        )
+    )
+
+
 def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dataset drift report — the monitoring query a continuously-refreshed
     corpus needs: per (source, lang) cell, document count and mean length
@@ -2831,6 +2878,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_anonymize": q_anonymize,
     "q_embed_norms": q_embed_norms,
     "q_drift_report": q_drift_report,
+    "q_corpus_stats_score": q_corpus_stats_score,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,
