@@ -1231,6 +1231,29 @@ ORACLES: dict[str, str] = {
                count(*) AS distinct_chars
         FROM counts GROUP BY doc_id
     """,
+    # md5-uniform vs quality: /2^32 is exact, comparison bit-identical
+    "q_sample_weighted": f"""
+        WITH {_CURATION_CTES}
+        SELECT s.doc_id, s.quality,
+               CAST('0x' || substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   AS u_int
+        FROM scored s
+        WHERE CAST('0x' || substring(md5(CAST(s.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                  / 4294967296e0
+              < s.quality
+    """,
+    # append mode emits a window exactly once, when the watermark
+    # (max ts − 2h after the final batch) passes its end
+    "q_stream_hourly_append": """
+        SELECT date_trunc('hour', ts) AS hour, event_type,
+               CAST(round(sum(value) * 100, 0) AS BIGINT)
+                   / (100.0 * count(value)) AS avg_value,
+               count(*) AS n
+        FROM events
+        GROUP BY 1, 2
+        HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR
+               <= (SELECT max(ts) - INTERVAL 2 HOUR FROM events)
+    """,
     # top-1000 bigrams by (count desc, bigram asc) — total order, so the
     # common set is identical on both engines; scores are integer ratios
     "q_corpus_stats_score": r"""

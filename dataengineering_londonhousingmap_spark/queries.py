@@ -640,6 +640,26 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (importance sampling for
+    corpus mixing): each doc survives with probability equal to its
+    quality score, decided by comparing an md5-derived uniform (first 8
+    hex nibbles / 2³²) against the rounded score — reproducible across
+    runs, engines and partitionings, unlike rand(seed). The division by a
+    power of two is exact, so the comparison is bit-identical on both
+    engines. Narrow map + filter, no shuffle at any scale."""
+    docs = _t(spark, sf_dir, "documents")
+    u_int = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+    )
+    q = F.round(quality_score("text"), 6)
+    return (
+        docs.select("doc_id", q.alias("quality"), u_int.alias("u_int"))
+        .filter(F.col("u_int").cast("double") / F.lit(4294967296.0) < F.col("quality"))
+    )
+
+
 def q_corpus_stats_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-statistics quality scoring (the 2-pass global pattern the
     doc-local q_text_quality can't express): pass 1 computes the corpus's
@@ -1570,6 +1590,25 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append",
     )
     return out
+
+
+def q_stream_hourly_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hourly rollup under APPEND-mode emission semantics (q_stream_hourly
+    runs complete mode): a window is emitted exactly once, when the
+    watermark passes its end — so a finite run emits precisely the windows
+    whose end precedes max(ts) − 2h, and late-arriving data for an emitted
+    window is DROPPED, not restated. That once-only contract is what lets
+    the sink be an append-only Parquet/Kafka feed at scale. The batch
+    oracle applies the same watermark cutoff."""
+    from .streaming.incremental import (
+        hourly_rollup_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    rollup = hourly_rollup_stream(events)
+    return run_stream_to_memory(rollup, "q_stream_hourly_append_sink", "append")
 
 
 def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2879,6 +2918,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embed_norms": q_embed_norms,
     "q_drift_report": q_drift_report,
     "q_corpus_stats_score": q_corpus_stats_score,
+    "q_sample_weighted": q_sample_weighted,
+    "q_stream_hourly_append": q_stream_hourly_append,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,
