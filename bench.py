@@ -74,6 +74,9 @@ HEADLINE = [
     "q_char_diversity",
     "q_grouping_sets",
     "q_stream_cdc",
+    # round-2d shapes: global-bigram coverage scoring, point-in-time SCD2
+    "q_corpus_stats_score",
+    "q_scd2_lookup",
 ]
 
 
