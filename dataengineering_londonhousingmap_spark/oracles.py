@@ -1405,6 +1405,13 @@ ORACLES: dict[str, str] = {
                CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE) AS share
         FROM per_nation
     """,
+    # footer-stat pushdown is semantics-preserving: plain agg is the oracle
+    "q_agg_pushdown": """
+        SELECT min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price,
+               count(*) AS n_orders
+        FROM orders
+    """,
     # bucketing is a layout property, not a semantic one
     "q_agg_bucketed": """
         SELECT o_custkey, count(*) AS n_orders,

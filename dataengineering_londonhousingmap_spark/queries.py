@@ -910,6 +910,29 @@ def q_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet aggregate pushdown: unfiltered MIN/MAX/COUNT answered from
+    row-group footer statistics — the scan reads metadata, not data
+    (plan-asserted: PushedAggregation in the scan node). The footer-stat
+    twin of q_manifest's data-skipping: at 100 TB this is the difference
+    between touching every page of a fact table and touching its
+    footers. Falls back transparently to a normal scan+agg wherever a
+    file lacks stats, so semantics never depend on the optimization."""
+    # pushdown needs the V2 parquet source; an isolated child session keeps
+    # the V2 toggle away from the shared session, whose bucketed-table
+    # queries depend on the V1 path. The returned frame carries its own
+    # session, so laziness is preserved.
+    s = spark.newSession()
+    s.conf.set("spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text")
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    orders = s.read.parquet(f"{sf_dir}/orders.parquet")
+    return orders.agg(
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def q_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-free aggregation on a bucketed table: orders bucketed on
     o_custkey, then a per-customer aggregate — the bucket spec satisfies
@@ -2908,6 +2931,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sessions_batch": q_sessions_batch,
     "q_join_hinted": q_join_hinted,
     "q_agg_bucketed": q_agg_bucketed,
+    "q_agg_pushdown": q_agg_pushdown,
     "q_pivot_agg": q_pivot_agg,
     "q_share_of_total": q_share_of_total,
     "q_multi_source_union": q_multi_source_union,

@@ -336,6 +336,9 @@ def test_round2c_plan_shapes(spark, sf_dir):
     p = plan_of("q_agg_bucketed")
     assert "Exchange" not in p, p
     assert "HashAggregate" in p, p
+    # min/max/count must reach the parquet footer, not the data pages
+    p = plan_of("q_agg_pushdown")
+    assert "PushedAggregation: [MIN" in p, p
 
 
 def test_cluster_conf_is_consistent():
