@@ -1231,6 +1231,12 @@ ORACLES: dict[str, str] = {
                count(*) AS distinct_chars
         FROM counts GROUP BY doc_id
     """,
+    "q_text_normalize": r"""
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> text AS changed
+        FROM documents
+    """,
     # md5-uniform vs quality: /2^32 is exact, comparison bit-identical
     "q_sample_weighted": f"""
         WITH {_CURATION_CTES}

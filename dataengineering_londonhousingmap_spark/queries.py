@@ -30,6 +30,7 @@ from .functions.text import (
     bigrams,
     doc_fingerprint,
     lang_id_scores,
+    normalize_text,
     quality_score,
     redact_pii,
     rolling_hash,
@@ -637,6 +638,22 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization as a first-class output (the transform the
+    fingerprint/dedup family applies internally, surfaced for pipelines
+    that LAND the canonical form): lowercase, collapse whitespace runs,
+    trim — plus a changed flag so incremental runs can write back only
+    rows the cleanup touched. Narrow map, no shuffle; the regex subset
+    behaves identically in Java regex and DuckDB's RE2."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        norm.alias("text_norm"),
+        (norm != F.col("text")).alias("changed"),
     )
 
 
@@ -2944,6 +2961,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_corpus_stats_score": q_corpus_stats_score,
     "q_sample_weighted": q_sample_weighted,
     "q_stream_hourly_append": q_stream_hourly_append,
+    "q_text_normalize": q_text_normalize,
     "q_funnel": q_funnel,
     "q_approx_sketches": q_approx_sketches,
     "q_profile": q_profile,
