@@ -20,11 +20,19 @@ from pyspark.sql import functions as F
 # tokenization / counting
 # ---------------------------------------------------------------------------
 
+# Java regex \s is [ \t\n\x0b\f\r]; RE2 (the DuckDB oracle engine) \s is
+# [ \t\n\f\r] — vertical tab \x0b diverges ("vt\x0bx" is 2 tokens in Spark,
+# 1 in RE2). Every cross-engine regex spells the class explicitly; the SQL
+# twins in oracles.py use the byte-identical spelling.
+WS_RE = r"[ \t\n\f\r\x0b]+"
+NON_WS_RE = r"[^ \t\n\f\r\x0b]+"
+
+
 def tokens(col: Column | str) -> Column:
     """Whitespace tokens of trimmed text; empty text → empty array."""
     c = F.col(col) if isinstance(col, str) else col
     t = F.trim(c)
-    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, WS_RE))
 
 
 def token_count(col: Column | str) -> Column:
@@ -35,7 +43,7 @@ def token_count(col: Column | str) -> Column:
     return F.when(c.isNull(), F.lit(None).cast("int")).otherwise(F.size(tokens(c)))
 
 
-_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r\x0b]"
 
 
 def bpe_ish_token_count(col: Column | str) -> Column:
@@ -132,7 +140,7 @@ def normalize_text(col: Column | str) -> Column:
     """Canonical form for fingerprinting: lowercase, collapse whitespace,
     strip leading/trailing."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), WS_RE, " "))
 
 
 def doc_fingerprint(col: Column | str) -> Column:
@@ -145,7 +153,7 @@ def doc_fingerprint(col: Column | str) -> Column:
 # not survive as fragments after the URL token replaces the rest). Kept to
 # the regex subset with identical semantics in Java regex and RE2/DuckDB.
 PII_PATTERNS: list[tuple[str, str]] = [
-    (r"https?://\S+", "<URL>"),
+    (r"https?://" + NON_WS_RE, "<URL>"),
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 ]

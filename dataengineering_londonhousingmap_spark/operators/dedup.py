@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import doc_fingerprint
+from ..functions.text import WS_RE, doc_fingerprint
 from .util import fan_out
 
 # ---------------------------------------------------------------------------
@@ -331,7 +331,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     """
     tok = fan_out(df).select(
         F.col(id_col),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.col(text_col)), WS_RE)).alias("tok"),
     )
     # first 8 hex chars → 32-bit int (always positive in a long)
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")

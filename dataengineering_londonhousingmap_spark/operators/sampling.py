@@ -139,9 +139,13 @@ def pack_sequences(
     beyond the one window partitioning.
     """
     shard = (F.col(id_col) % n_shards).alias("shard")
+    # token_count tiebreak: ids are expected unique, but if a vintage ever
+    # carries duplicates the output MULTISET stays deterministic — rows
+    # identical in (id, count) are interchangeable, rows differing in count
+    # are fully ordered. Matches the SQL twin's ORDER BY exactly.
     w = (
         Window.partitionBy("shard")
-        .orderBy(F.col(id_col).asc())
+        .orderBy(F.col(id_col).asc(), F.col(token_count_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     start = (F.sum(token_count_col).over(w) - F.col(token_count_col)).alias("__start")

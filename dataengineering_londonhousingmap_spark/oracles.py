@@ -31,7 +31,7 @@ _STAGE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file
 # whitespace tokens of trimmed text; '' → empty list (mirrors functions.text.tokens)
 _TOKENS = (
     "CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
-    "ELSE string_split_regex(trim(text), '\\s+') END"
+    "ELSE string_split_regex(trim(text), '[ \\t\\n\\f\\r\\x0b]+') END"
 )
 
 # distinct char-8 shingles per doc (mirrors operators.dedup.char_shingles w=8)
@@ -96,7 +96,7 @@ _DOT = (
     "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
 )
 
-_BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_BPE_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\f\r\x0b]"
 
 # mixture-sampling rate arithmetic — single source of truth in queries.py
 from .queries import _MIXTURE_WEIGHTS  # noqa: E402
@@ -133,7 +133,7 @@ _CURATION_CTES = f"""base AS (
         ),
         kept AS (
             SELECT s.doc_id, s.quality,
-                   md5(trim(regexp_replace(lower(s.text), '\\s+', ' ', 'g'))) AS fingerprint
+                   md5(trim(regexp_replace(lower(s.text), '[ \\t\\n\\f\\r\\x0b]+', ' ', 'g'))) AS fingerprint
             FROM scored s JOIN langs l ON s.doc_id = l.doc_id
             WHERE s.quality >= 0.6
               AND greatest(l.de, l.en, l.es, l.fr) > 0
@@ -684,9 +684,9 @@ ORACLES: dict[str, str] = {
     # -- training-data: dedup ----------------------------------------------
     "q_dedup_exact": r"""
         SELECT min(doc_id) AS doc_id,
-               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+               md5(trim(regexp_replace(lower(text), '[ \t\n\f\r\x0b]+', ' ', 'g'))) AS fingerprint
         FROM documents
-        GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+        GROUP BY md5(trim(regexp_replace(lower(text), '[ \t\n\f\r\x0b]+', ' ', 'g')))
     """,
     "q_dedup_minhash": f"""
         WITH sh AS ({_SHINGLES}),
@@ -706,7 +706,7 @@ ORACLES: dict[str, str] = {
     "q_dedup_simhash": f"""
         WITH tok AS (
             SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+                   unnest(string_split_regex(trim(text), '[ \\t\\n\\f\\r\\x0b]+')) AS tok
             FROM documents
         ),
         h AS (
@@ -888,7 +888,7 @@ ORACLES: dict[str, str] = {
         cum AS (
             SELECT doc_id, shard, n_tokens,
                    sum(n_tokens) OVER (
-                       PARTITION BY shard ORDER BY doc_id
+                       PARTITION BY shard ORDER BY doc_id, n_tokens
                        ROWS UNBOUNDED PRECEDING
                    ) - n_tokens AS start
             FROM toks
@@ -899,7 +899,7 @@ ORACLES: dict[str, str] = {
     """,
     "q_fingerprint": r"""
         SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+               md5(trim(regexp_replace(lower(text), '[ \t\n\f\r\x0b]+', ' ', 'g'))) AS fingerprint,
                CAST(list_reduce(
                    list_prepend(CAST(0 AS BIGINT),
                        list_transform(generate_series(1, length(text)),
@@ -1115,7 +1115,7 @@ ORACLES: dict[str, str] = {
         cum AS (
             SELECT doc_id, shard, n_tokens,
                    sum(n_tokens) OVER (
-                       PARTITION BY shard ORDER BY doc_id
+                       PARTITION BY shard ORDER BY doc_id, n_tokens
                        ROWS UNBOUNDED PRECEDING
                    ) - n_tokens AS start
             FROM toks
@@ -1233,8 +1233,8 @@ ORACLES: dict[str, str] = {
     """,
     "q_text_normalize": r"""
         SELECT doc_id,
-               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm,
-               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) <> text AS changed
+               trim(regexp_replace(lower(text), '[ \t\n\f\r\x0b]+', ' ', 'g')) AS text_norm,
+               trim(regexp_replace(lower(text), '[ \t\n\f\r\x0b]+', ' ', 'g')) <> text AS changed
         FROM documents
     """,
     # md5-uniform vs quality: /2^32 is exact, comparison bit-identical
@@ -1264,7 +1264,7 @@ ORACLES: dict[str, str] = {
     # common set is identical on both engines; scores are integer ratios
     "q_corpus_stats_score": r"""
         WITH tok AS (
-            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r\x0b]+') AS t
             FROM documents
         ),
         bg AS (
@@ -1337,7 +1337,7 @@ ORACLES: dict[str, str] = {
     # attribution next to the min-id survivor
     "q_survivorship": r"""
         WITH fp AS (
-            SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+            SELECT md5(trim(regexp_replace(lower(text), '[ \t\n\f\r\x0b]+', ' ', 'g'))) AS fingerprint,
                    doc_id, source, n_chars
             FROM documents
         ),
@@ -1591,7 +1591,7 @@ ORACLES: dict[str, str] = {
             SELECT doc_id,
                    regexp_replace(
                        regexp_replace(
-                           regexp_replace(t, 'https?://\S+', '<URL>', 'g'),
+                           regexp_replace(t, 'https?://[^ \t\n\f\r\x0b]+', '<URL>', 'g'),
                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS r
             FROM planted
@@ -1901,7 +1901,7 @@ ORACLES: dict[str, str] = {
     """,
     "q_text_repetition": r"""
         WITH tok AS (
-            SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            SELECT doc_id, string_split_regex(trim(text), '[ \t\n\f\r\x0b]+') AS t
             FROM documents
         ),
         bg AS (

@@ -49,10 +49,14 @@ _NS_THRESHOLD = 10**17
 
 
 def _ts_from_epoch_long(col):
-    """Rebuild a µs TimestampType from an epoch INT64 of either unit."""
-    return F.timestamp_micros(
-        F.when(col > _NS_THRESHOLD, (col / 1000).cast("long")).otherwise(col)
-    )
+    """Rebuild a µs TimestampType from an epoch INT64 of either unit.
+
+    Exact integral division — never double ``/`` — on the ns branch: the
+    double path promotes the long through a 53-bit mantissa, and ns epochs
+    (~1.7e18) don't fit, truncating ~1.6% of values 1 µs low. decimal(20,0)
+    holds any INT64 exactly, so ``floor(decimal / 1000)`` is exact."""
+    ns_to_us = F.floor(col.cast("decimal(20,0)") / 1000).cast("long")
+    return F.timestamp_micros(F.when(col > _NS_THRESHOLD, ns_to_us).otherwise(col))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
