@@ -2002,3 +2002,213 @@ ORACLES: dict[str, str] = {
         FROM within GROUP BY station_id
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# generated ANN oracles (round 3): the LSH hyperplanes and IVF centroid
+# seeding are md5-derived and deterministic, so the exact bucket/probe/rerank
+# pipeline is reproducible in SQL — plane vectors are emitted as double
+# literals from the SAME generator the Spark operator uses
+# (operators/similarity.py:_hyperplane). Float noise between numpy's pairwise
+# summation and SQL's sequential sum is ~1e-15 — orders of magnitude inside
+# the round(·, 6) the queries apply and the driver's 9-sig-digit hashing.
+# ---------------------------------------------------------------------------
+
+from .operators.similarity import _hyperplane  # noqa: E402
+
+_DIM = 64
+
+
+def _dot_lit_sql(vec: str, plane: list[float]) -> str:
+    """Σ vec[i]·plane_i with the plane as inline double literals."""
+    return " + ".join(
+        f"CAST({vec}[{i + 1}] AS DOUBLE) * {plane[i]!r}" for i in range(_DIM)
+    )
+
+
+def _bucket_sql(vec: str, table: int, planes_per_table: int) -> str:
+    """The table's sign-bit bucket as an integer expression (mirrors
+    operators/similarity.py:_with_table_buckets bit order exactly)."""
+    bits = [
+        f"(CASE WHEN {_dot_lit_sql(vec, _hyperplane(table * 1000 + j, _DIM))} >= 0 "
+        f"THEN {2 ** j} ELSE 0 END)"
+        for j in range(planes_per_table)
+    ]
+    return " + ".join(bits)
+
+
+def _sketch_cte(planes_per_table: int, num_tables: int = 8) -> str:
+    """Per-(vector, hash-table) buckets over the embeddings table."""
+    selects = [
+        f"SELECT vec_id, {t} AS t, {_bucket_sql('embedding', t, planes_per_table)} AS b "
+        "FROM embeddings"
+        for t in range(num_tables)
+    ]
+    return " UNION ALL ".join(selects)
+
+
+_COS = (
+    "({dotab}) / (sqrt({dotaa}) * sqrt({dotbb}))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return _COS.format(
+        dotab=_DOT.format(a=a, b=b),
+        dotaa=_DOT.format(a=a, b=a),
+        dotbb=_DOT.format(a=b, b=b),
+    )
+
+
+_ANN_RERANK = """
+    SELECT query_id, match_id, round(cosine, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT query_id, match_id, cosine,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, match_id ASC
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+"""
+
+ORACLES["q_embed_ann_lsh"] = f"""
+    WITH sk AS ({_sketch_cte(planes_per_table=4)}),
+    cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS match_id
+        FROM sk c JOIN sk q ON c.t = q.t AND c.b = q.b
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+        SELECT cand.query_id, cand.match_id,
+               {_cos_sql('e.embedding', 'q.embedding')} AS cosine
+        FROM cand
+        JOIN embeddings e ON e.vec_id = cand.match_id
+        JOIN embeddings q ON q.vec_id = cand.query_id
+    )
+    {_ANN_RERANK}
+"""
+
+ORACLES["q_dedup_embed"] = f"""
+    WITH sk AS ({_sketch_cte(planes_per_table=8)}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM sk a JOIN sk b ON a.t = b.t AND a.b = b.b
+        WHERE a.vec_id < b.vec_id
+    ),
+    scored AS (
+        SELECT cand.id_a, cand.id_b,
+               {_cos_sql('ea.embedding', 'eb.embedding')} AS cosine
+        FROM cand
+        JOIN embeddings ea ON ea.vec_id = cand.id_a
+        JOIN embeddings eb ON eb.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, round(cosine, 6) AS cosine
+    FROM scored WHERE cosine >= 0.42
+"""
+
+# IVF: deterministic centroid sample (16 smallest md5(vec_id)), argmin-cosine
+# inverted-list assignment, 4 probed lists per query, exact rerank — mirrors
+# operators/similarity.py:ann_topk_ivf tie-breaks ((−sim, cid) lexicographic).
+_IVF_BODY = """
+    sims AS (
+        SELECT e.vec_id, e.embedding, c.cid, {cos_ec} AS sim
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cid ASC
+                   ) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cid FROM (
+            SELECT vec_id AS query_id, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cid ASC
+                   ) AS pr
+            FROM sims WHERE vec_id < 10
+        ) WHERE pr <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS match_id,
+               {cos_aq} AS cosine
+        FROM assigned a
+        JOIN probes p ON a.cid = p.cid
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    )
+"""
+
+ORACLES["q_embed_ann_ivf"] = f"""
+    WITH cent AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid,
+               embedding AS cvec
+        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+    ),
+    {_IVF_BODY.format(
+        cos_ec=_cos_sql('e.embedding', 'c.cvec'),
+        cos_aq=_cos_sql('a.embedding', 'q.embedding'),
+    )}
+    {_ANN_RERANK}
+"""
+
+
+def _kmeans_iter_sql(prev: str, n: int) -> str:
+    """One Lloyd iteration as CTEs: argmin-cosine assignment against {prev},
+    per-(cluster, dim) mean, empty clusters keep {prev}'s centroid — mirrors
+    operators/similarity.py:train_ivf_centroids."""
+    cos = _cos_sql("e.embedding", "c.cvec")
+    return f"""
+    a{n} AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id ORDER BY {cos} DESC, c.cid ASC
+                   ) AS rn
+            FROM embeddings e CROSS JOIN {prev} c
+        ) WHERE rn = 1
+    ),
+    m{n} AS (
+        SELECT cid, i.i AS d, avg(CAST(embedding[i.i] AS DOUBLE)) AS mu
+        FROM a{n}, (SELECT unnest(generate_series(1, {_DIM})) AS i) i
+        GROUP BY cid, i.i
+    ),
+    l{n} AS (
+        SELECT cid, list(mu ORDER BY d) AS mvec FROM m{n} GROUP BY cid
+    ),
+    c{n} AS (
+        SELECT p.cid,
+               COALESCE(l.mvec, CAST(p.cvec AS DOUBLE[])) AS cvec
+        FROM {prev} p LEFT JOIN l{n} l USING (cid)
+    )"""
+
+
+ORACLES["q_embed_ann_ivf_trained"] = f"""
+    WITH seed AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS cid,
+               embedding AS cvec
+        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+    ),
+    {_kmeans_iter_sql('seed', 1)},
+    {_kmeans_iter_sql('c1', 2)},
+    cent AS (SELECT cid + 1 AS cid, cvec FROM c2),
+    {_IVF_BODY.format(
+        cos_ec=_cos_sql('e.embedding', 'c.cvec'),
+        cos_aq=_cos_sql('a.embedding', 'q.embedding'),
+    )}
+    {_ANN_RERANK}
+"""
+
+# the sketches aren't cross-engine reproducible; the oracle checks the exact
+# distinct count and asserts the accuracy-contract flags (see the query
+# docstring) — a sketch out of tolerance turns the row red
+ORACLES["q_approx_sketches"] = """
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p90_ok
+    FROM events GROUP BY event_type
+"""

@@ -2308,18 +2308,54 @@ def q_scan_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The sketch surface as a driver entry (rows-only by design): HLL++
-    approximate distinct users and KLL-style approximate percentiles per
-    event_type — single-pass, mergeable, fixed-size state, the 100 TB
-    substitutes for q_count_distinct / q_percentiles when exactness is
-    traded for one shuffle of sketch bytes. The exact twins carry the
-    correctness burden; the rows-only check pins schema and cardinality,
-    and unit tests bound the error vs exact."""
+    """The sketch surface under an exact oracle: HLL++ approximate distinct
+    users and KLL-style approximate percentiles per event_type — single-pass,
+    mergeable, fixed-size state, the 100 TB substitutes for
+    q_count_distinct / q_percentiles when exactness is traded for one
+    shuffle of sketch bytes.
+
+    The sketches themselves aren't reproducible in another engine, so the
+    query returns what IS exactly checkable: the exact distinct count plus
+    accuracy flags — the HLL estimate within 5 % of exact (rsd=0.02 →
+    2.5σ), and each percentile estimate's EXACT rank interval intersecting
+    the target ±0.05 (KLL accuracy 10⁴ → rank error ≤ 10⁻⁴). The oracle
+    asserts the flags TRUE; a sketch drifting out of contract turns the
+    driver row red. Verification is a second fixed-state pass (broadcast
+    the 5 sketch rows back over events) — no per-group value buffering
+    anywhere, scale-safe at any corpus size."""
     ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", 0.5, 10_000).alias("approx_median"),
-        F.percentile_approx("value", 0.9, 10_000).alias("approx_p90"),
+    sk = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__hll"),
+        F.percentile_approx("value", 0.5, 10_000).alias("__p50"),
+        F.percentile_approx("value", 0.9, 10_000).alias("__p90"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    n = F.count("value")
+    def lo(est):  # exact rank interval of the sketch estimate
+        return F.sum(F.when(F.col("value") < F.col(est), 1).otherwise(0)) / n
+    def hi(est):
+        return F.sum(F.when(F.col("value") <= F.col(est), 1).otherwise(0)) / n
+    ranked = (
+        ev.join(F.broadcast(sk), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first("exact_users").alias("exact_users"),
+            F.first("__hll").alias("__hll"),
+            lo("__p50").alias("__lo50"),
+            hi("__p50").alias("__hi50"),
+            lo("__p90").alias("__lo90"),
+            hi("__p90").alias("__hi90"),
+        )
+    )
+    return ranked.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("__hll") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("hll_ok"),
+        ((F.col("__lo50") <= 0.55) & (F.col("__hi50") >= 0.45)).alias("p50_ok"),
+        ((F.col("__lo90") <= 0.95) & (F.col("__hi90") >= 0.85)).alias("p90_ok"),
     )
 
 
@@ -2893,68 +2929,13 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
-    # Ordering contract: the driver verifies queries in dict order under a
-    # bounded budget (round 1 stopped at entry #50). Families that have
-    # never received a driver CORRECTNESS row run FIRST — streaming, text,
-    # similarity, multimodal, and this round's new entries — so the hard
-    # verification signal reaches the whole catalog; the 50 rows already
-    # green in CORRECTNESS_r01.json follow.
+    # Ordering contract: the driver verifies the FIRST ~50 entries in dict
+    # order each round. Round-3 priority: (A) the 35 queries with no driver
+    # CORRECTNESS row after r01+r02, (B) the 5 r02 red rows re-verified
+    # after their fixes (exact ANN oracles, tokenizer/packing determinism),
+    # (C) new round-3 entries, then the already-green catalog.
     # ------------------------------------------------------------------
-    # GROUP 1 — the 19 queries that existed in round 1 but never received a
-    # driver CORRECTNESS row (VERDICT.md's top ask): they run absolutely
-    # first, cheapest first, so ANY budget cut ≥ ~25s still closes the
-    # round-1 verification gap completely.
-    "q_token_count": q_token_count,
-    "q_multimodal_features": q_multimodal_features,
-    "q_multimodal_frames": q_multimodal_frames,
-    "q_text_quality": q_text_quality,
-    "q_lang_id": q_lang_id,
-    "q_fingerprint": q_fingerprint,
-    "q_embed_topk": q_embed_topk,
-    "q_embed_ann_lsh": q_embed_ann_lsh,
-    "q_dedup_embed_exact": q_dedup_embed_exact,
-    "q_stream_hourly": q_stream_hourly,
-    "q_stream_dedup": q_stream_dedup,
-    "q_embed_ann_ivf": q_embed_ann_ivf,
-    "q_dedup_simhash": q_dedup_simhash,
-    "q_ngram_jaccard": q_ngram_jaccard,
-    "q_dedup_embed": q_dedup_embed,
-    "q_stream_sessions": q_stream_sessions,
-    "q_stream_join": q_stream_join,
-    "q_embed_ann_ivf_trained": q_embed_ann_ivf_trained,
-    "q_corpus_curation": q_corpus_curation,
-    # GROUP 2 — round-2 additions (new this round, no prior row to protect)
-    "q_closest_line": q_closest_line,
-    "q_parse_pages": q_parse_pages,
-    "q_grouped_zscore": q_grouped_zscore,
-    "q_serving_radius": q_serving_radius,
-    "q_sample_stratified": q_sample_stratified,
-    "q_sample_mixture": q_sample_mixture,
-    "q_train_test_split": q_train_test_split,
-    "q_pack_sequences": q_pack_sequences,
-    "q_join_range": q_join_range,
-    "q_join_nn_topk": q_join_nn_topk,
-    "q_gap_fill": q_gap_fill,
-    "q_window_range": q_window_range,
-    "q_interpolate": q_interpolate,
-    "q_window_ranks": q_window_ranks,
-    "q_grouping_sets": q_grouping_sets,
-    "q_winsorize": q_winsorize,
-    "q_shuffle_corpus": q_shuffle_corpus,
-    "q_domain_cap": q_domain_cap,
-    "q_scan_evolved": q_scan_evolved,
-    "q_char_diversity": q_char_diversity,
-    "q_dedup_windowed": q_dedup_windowed,
-    "q_sessions_batch": q_sessions_batch,
-    "q_join_hinted": q_join_hinted,
-    "q_agg_bucketed": q_agg_bucketed,
-    "q_agg_pushdown": q_agg_pushdown,
-    "q_pivot_agg": q_pivot_agg,
-    "q_share_of_total": q_share_of_total,
-    "q_multi_source_union": q_multi_source_union,
-    "q_rejects_audit": q_rejects_audit,
-    "q_scd2_lookup": q_scd2_lookup,
-    "q_survivorship": q_survivorship,
+    # GROUP A — never driver-sampled (35)
     "q_anonymize": q_anonymize,
     "q_embed_norms": q_embed_norms,
     "q_drift_report": q_drift_report,
@@ -2988,12 +2969,62 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_enrich": q_stream_enrich,
     "q_stream_cdc": q_stream_cdc,
     "q_multimodal_resize": q_multimodal_resize,
-    # iterative cluster dedup — the priciest never-verified entries run LAST
-    # within the unverified block, so a mid-block driver budget cut still
-    # verifies the maximum number of queries
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_semantic": q_dedup_semantic,
-    # scans / sinks
+    # GROUP B — r02 red rows, fixed this round: exact DuckDB oracles for
+    # the ANN family; whitespace-class + window-tiebreak fixes for packing
+    "q_embed_ann_lsh": q_embed_ann_lsh,
+    "q_embed_ann_ivf": q_embed_ann_ivf,
+    "q_embed_ann_ivf_trained": q_embed_ann_ivf_trained,
+    "q_dedup_embed": q_dedup_embed,
+    "q_pack_sequences": q_pack_sequences,
+    # GROUP C — round-3 additions go here (inside the sampled window)
+    # GROUP D — already green in CORRECTNESS_r01/r02
+    "q_token_count": q_token_count,
+    "q_multimodal_features": q_multimodal_features,
+    "q_multimodal_frames": q_multimodal_frames,
+    "q_text_quality": q_text_quality,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_embed_topk": q_embed_topk,
+    "q_dedup_embed_exact": q_dedup_embed_exact,
+    "q_stream_hourly": q_stream_hourly,
+    "q_stream_dedup": q_stream_dedup,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_stream_sessions": q_stream_sessions,
+    "q_stream_join": q_stream_join,
+    "q_corpus_curation": q_corpus_curation,
+    "q_closest_line": q_closest_line,
+    "q_parse_pages": q_parse_pages,
+    "q_grouped_zscore": q_grouped_zscore,
+    "q_serving_radius": q_serving_radius,
+    "q_sample_stratified": q_sample_stratified,
+    "q_sample_mixture": q_sample_mixture,
+    "q_train_test_split": q_train_test_split,
+    "q_join_range": q_join_range,
+    "q_join_nn_topk": q_join_nn_topk,
+    "q_gap_fill": q_gap_fill,
+    "q_window_range": q_window_range,
+    "q_interpolate": q_interpolate,
+    "q_window_ranks": q_window_ranks,
+    "q_grouping_sets": q_grouping_sets,
+    "q_winsorize": q_winsorize,
+    "q_shuffle_corpus": q_shuffle_corpus,
+    "q_domain_cap": q_domain_cap,
+    "q_scan_evolved": q_scan_evolved,
+    "q_char_diversity": q_char_diversity,
+    "q_dedup_windowed": q_dedup_windowed,
+    "q_sessions_batch": q_sessions_batch,
+    "q_join_hinted": q_join_hinted,
+    "q_agg_bucketed": q_agg_bucketed,
+    "q_agg_pushdown": q_agg_pushdown,
+    "q_pivot_agg": q_pivot_agg,
+    "q_share_of_total": q_share_of_total,
+    "q_multi_source_union": q_multi_source_union,
+    "q_rejects_audit": q_rejects_audit,
+    "q_scd2_lookup": q_scd2_lookup,
+    "q_survivorship": q_survivorship,
     "q_scan_parquet": q_scan_parquet,
     "q_scan_csv": q_scan_csv,
     "q_sink_parquet": q_sink_parquet,
@@ -3008,13 +3039,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_json": q_scan_json,
     "q_scan_corrupt": q_scan_corrupt,
     "q_create_rows": q_create_rows,
-    # projections / filters
     "q_project": q_project,
     "q_filter": q_filter,
     "q_filter_regex": q_filter_regex,
     "q_filter_contains": q_filter_contains,
     "q_conditional_update": q_conditional_update,
-    # joins
     "q_join_left": q_join_left,
     "q_join_broadcast_map": q_join_broadcast_map,
     "q_join_nn": q_join_nn,
@@ -3026,7 +3055,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_set_ops": q_set_ops,
     "q_join_bucketed": q_join_bucketed,
     "q_star_join": q_star_join,
-    # aggregations
     "q_groupby_avg": q_groupby_avg,
     "q_groupby_window_avg": q_groupby_window_avg,
     "q_count_distinct": q_count_distinct,
@@ -3036,19 +3064,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_argmin": q_argmin,
     "q_union_all": q_union_all,
     "q_null_audit": q_null_audit,
-    # windows / top-k
     "q_first_match": q_first_match,
     "q_window_analytics": q_window_analytics,
     "q_limit": q_limit,
-    # sort / dedup
     "q_sort": q_sort,
     "q_dedup": q_dedup,
     "q_dedup_key": q_dedup_key,
-    # reshape
     "q_pivot_onehot": q_pivot_onehot,
     "q_unpivot": q_unpivot,
     "q_split_sessions": q_split_sessions,
-    # training-data: dedup (head entries driver-verified in r1)
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
 }
+

@@ -32,6 +32,14 @@ def test_oracle_keys_subset_of_queries():
     assert not missing, f"oracles without queries: {missing}"
 
 
+def test_every_query_has_oracle():
+    """The driver scores a missing oracle_sql() entry as err:no_oracle —
+    a red row, not a rows-only check (VERDICT r02). No catalog entry may
+    ship without an oracle twin."""
+    missing = set(QUERIES) - set(ORACLES)
+    assert not missing, f"queries without oracles (driver-red): {sorted(missing)}"
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(name, spark, duck):
     df = QUERIES[name](spark, SF)
