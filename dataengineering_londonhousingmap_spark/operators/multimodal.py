@@ -74,20 +74,35 @@ def synthesize_media(df: DataFrame, id_col: str, seed_col: str) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
-    """Decode an image payload to pixel rows.
+try:  # real codec path when pillow is installed; this container lacks it
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # pragma: no cover - environment-dependent
+    _PILImage = None
 
-    STUB: real decoding needs PIL/opencv (not in this container). The
-    ``fake=True`` path is the deterministic stand-in used by tests — 2×2
-    "pixels" from the payload's first bytes.
+
+def decode_image(payload: bytes, fake: bool = False) -> list[list[int]]:
+    """Decode an image payload to pixel rows (grayscale ints).
+
+    Real path: PIL when available (guarded optional import — decodes any
+    PIL-supported format, converts to 8-bit grayscale, returns the pixel
+    matrix). The ``fake=True`` path is the deterministic stand-in used by
+    tests — 2×2 "pixels" from the payload's first bytes — and keeps CI
+    independent of codec libraries.
     """
-    if not fake:
+    if fake:
+        b = payload or b"\x00\x00\x00\x00"
+        return [[b[0], b[1]], [b[2] if len(b) > 2 else 0, b[3] if len(b) > 3 else 0]]
+    if _PILImage is None:
         raise NotImplementedError(
             "image codecs not available in this environment; "
-            "install pillow/opencv and replace this stub"
+            "install pillow (PIL) to enable the real decode path"
         )
-    b = payload or b"\x00\x00\x00\x00"
-    return [[b[0], b[1]], [b[2] if len(b) > 2 else 0, b[3] if len(b) > 3 else 0]]
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("L")
+    w, h = img.size
+    px = list(img.getdata())
+    return [px[r * w : (r + 1) * w] for r in range(h)]
 
 
 def extract_features(assets: DataFrame, batch_hint: int = 256) -> DataFrame:

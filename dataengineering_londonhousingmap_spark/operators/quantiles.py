@@ -1,0 +1,136 @@
+"""Scale-safe EXACT percentiles: sketch-bracketed order-statistic refinement.
+
+Spark's exact ``percentile`` aggregate buffers every value of a group in the
+aggregation buffer — at 100 TB with a handful of groups that is a straight
+OOM (VERDICT r02). This module computes the same exact interpolated
+percentile with bounded state:
+
+1. One aggregation pass computes the exact group count plus
+   ``percentile_approx`` (Greenwald-Khanna sketch, deterministic rank error
+   ≤ n/accuracy) at p ± 1 % — a VALUE bracket guaranteed to contain the
+   k-th and (k+1)-th order statistics for any group with ≥ ~120 rows
+   (margin 0.01 ≫ sketch error 1e-4). Groups smaller than 1 000 rows fall
+   back to their [min, max] — trivially correct and trivially small.
+2. The fact is filtered to the bracket — ~2 % of each group — and only that
+   slice is ranked (per-group window over the slice); global rank = rows
+   strictly below the bracket (one fixed-state count) + rank in slice.
+3. Linear interpolation ``v_k·(1-d) + v_{k+1}·d`` (d = p(n-1) - k) — the same
+   formula Spark ``percentile`` and DuckDB ``quantile_cont`` use (parity
+   pinned by q_percentiles), computed on the same doubles, so results are
+   oracle-exact.
+
+Cost: two scans + one shuffle of the ~2 % slice. State: one GK sketch per
+group (KB), never the group's values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SMALL_GROUP = 1_000  # below this, [min, max] is the bracket (exact, tiny)
+_MARGIN = 0.01
+
+
+def exact_percentiles_scalable(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Exact interpolated percentile per group for each p in ``ps``,
+    without per-group value buffering. Returns one row per group:
+    (group_col, p_0, p_1, ...) in ``ps`` order."""
+    v = F.col(value_col)
+    aggs = [
+        F.count(value_col).alias("__n"),
+        F.min(value_col).alias("__min"),
+        F.max(value_col).alias("__max"),
+    ]
+    for i, p in enumerate(ps):
+        aggs.append(
+            F.percentile_approx(
+                value_col, max(p - _MARGIN, 0.0), accuracy
+            ).alias(f"__slo{i}")
+        )
+        aggs.append(
+            F.percentile_approx(
+                value_col, min(p + _MARGIN, 1.0), accuracy
+            ).alias(f"__shi{i}")
+        )
+    br = df.groupBy(group_col).agg(*aggs)
+    small = F.col("__n") < _SMALL_GROUP
+    lo_any = F.when(
+        small, F.col("__min")
+    ).otherwise(F.least(*[F.col(f"__slo{i}") for i in range(len(ps))]))
+    hi_any = F.when(
+        small, F.col("__max")
+    ).otherwise(F.greatest(*[F.col(f"__shi{i}") for i in range(len(ps))]))
+    br = F.broadcast(
+        br.select(group_col, "__n", lo_any.alias("__lo"), hi_any.alias("__hi"))
+    )
+
+    fact = df.select(group_col, value_col).join(br, group_col)
+    below = (
+        fact.filter(v < F.col("__lo"))
+        .groupBy(group_col)
+        .agg(F.count("*").alias("__below"))
+    )
+    w = Window.partitionBy(group_col).orderBy(v.asc())
+    ranked = (
+        fact.filter((v >= F.col("__lo")) & (v <= F.col("__hi")))
+        .withColumn("__r", F.row_number().over(w))
+        .join(F.broadcast(below), group_col, "left")
+        .select(
+            group_col,
+            value_col,
+            F.col("__n"),
+            (F.col("__r") + F.coalesce(F.col("__below"), F.lit(0)) - 1).alias(
+                "__k"
+            ),
+        )
+    )
+
+    out = br.select(group_col, "__n")
+    for i, p in enumerate(ps):
+        # 0-based target position, identical arithmetic to quantile_cont
+        kpos = F.floor(F.lit(p) * (F.col("__n") - 1).cast("double")).cast("long")
+        pick = (
+            ranked.filter(
+                (F.col("__k") >= F.floor(F.lit(p) * (F.col("__n") - 1).cast("double")))
+                & (
+                    F.col("__k")
+                    <= F.floor(F.lit(p) * (F.col("__n") - 1).cast("double")) + 1
+                )
+            )
+            .groupBy(group_col)
+            .agg(
+                F.min(
+                    F.when(
+                        F.col("__k")
+                        == F.floor(F.lit(p) * (F.col("__n") - 1).cast("double")),
+                        v,
+                    )
+                ).alias(f"__vk{i}"),
+                F.min(
+                    F.when(
+                        F.col("__k")
+                        == F.floor(F.lit(p) * (F.col("__n") - 1).cast("double"))
+                        + 1,
+                        v,
+                    )
+                ).alias(f"__vk1{i}"),
+            )
+        )
+        out = out.join(F.broadcast(pick), group_col, "left")
+        pos = F.lit(p) * (F.col("__n") - 1).cast("double")
+        d = pos - kpos.cast("double")
+        # Spark Percentile.scala interpolates as lower·(1−d) + higher·d —
+        # NOT lower + d·(higher−lower); the forms differ in the last ulp
+        out = out.withColumn(
+            f"p_{i}",
+            F.col(f"__vk{i}") * (F.lit(1.0) - d)
+            + F.coalesce(F.col(f"__vk1{i}"), F.col(f"__vk{i}")) * d,
+        )
+    return out.select(group_col, *[f"p_{i}" for i in range(len(ps))])

@@ -259,23 +259,32 @@ def start_upsert_sink(
     key_col: str,
     partition_col: str,
     order_col: str | None = None,
+    keys_move_partitions: bool = False,
 ):
     """Streaming CDC apply: upsert each micro-batch into a Hive-partitioned
     Parquet table via ``foreachBatch`` — the change-data-capture landing
     pattern (new key → insert, existing key → latest batch wins).
 
-    Per batch: only the partitions PRESENT in the batch are read back
-    (partition-pruned), merged with the batch under a first-by-priority
-    window (batch rows rank above stored rows), ``localCheckpoint``-ed to
-    sever the self-read lineage, and rewritten under dynamic partition
-    overwrite — cost scales with the batch's blast radius, not the table.
-    The checkpoint log makes delivery exactly-once across restarts, and a
-    retried batch re-merges idempotently (same keys, same winners).
-    ``order_col`` breaks ties when one batch carries several rows for a
-    key (highest wins — pass the event-time column for latest-wins CDC);
-    without it, same-key rows within one batch are broken arbitrarily, so
-    suppliers of multi-row-per-key batches should always pass it.
-    Returns the started query; callers ``awaitTermination()``.
+    Per batch: the affected partitions are read back (partition-pruned),
+    merged with the batch under a first-by-priority window (batch rows rank
+    above stored rows), ``localCheckpoint``-ed to sever the self-read
+    lineage, and rewritten under dynamic partition overwrite — cost scales
+    with the batch's blast radius, not the table. The checkpoint log makes
+    delivery exactly-once across restarts, and a retried batch re-merges
+    idempotently (same keys, same winners). ``order_col`` breaks ties when
+    one batch carries several rows for a key (highest wins — pass the
+    event-time column for latest-wins CDC); without it, same-key rows
+    within one batch are broken arbitrarily, so suppliers of
+    multi-row-per-key batches should always pass it.
+
+    Affected partitions = the batch's own partitions, plus — when
+    ``keys_move_partitions`` — any partition currently holding one of the
+    batch's keys (a broadcast semi-join probe of the table), so a key whose
+    new latest row lands in a DIFFERENT partition gets its stale row
+    retired instead of surviving as a duplicate. Leave it False only when
+    the partition column is immutable per key (then the probe is pure
+    cost); a partition left empty by a move is rewritten with its remaining
+    rows. Returns the started query; callers ``awaitTermination()``.
     """
     from pyspark.sql import Window
 
@@ -288,9 +297,21 @@ def start_upsert_sink(
         affected = [r[0] for r in batch.select(partition_col).distinct().collect()]
         new = batch.withColumn("__pri", F.lit(0))
         try:
+            table = spark.read.parquet(table_dir)
+            if keys_move_partitions:
+                moved = (
+                    table.join(
+                        F.broadcast(batch.select(key_col).distinct()),
+                        key_col,
+                        "leftsemi",
+                    )
+                    .select(partition_col)
+                    .distinct()
+                    .collect()
+                )
+                affected = sorted({*affected, *[r[0] for r in moved]})
             existing = (
-                spark.read.parquet(table_dir)
-                .filter(F.col(partition_col).isin(affected))
+                table.filter(F.col(partition_col).isin(affected))
                 .select(cols)
                 .withColumn("__pri", F.lit(1))
             )

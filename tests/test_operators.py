@@ -566,3 +566,33 @@ def test_aqe_skew_join_split_fires(spark, tmp_path):
     # hot key 7: all ids where id%20 != 0 → 60000 - 3000 = 57000 rows
     assert rows[7] == 57_000
     assert sum(rows.values()) == 60_000
+
+
+def test_exact_percentiles_scalable_bit_equal(spark, sf_dir):
+    """The sketch-bracketed refinement must reproduce Spark's exact
+    ``percentile`` bit-for-bit — it replaces it in q_winsorize where the
+    full-value aggregation buffer would OOM at scale."""
+    from pyspark.sql import functions as F
+
+    from dataengineering_londonhousingmap_spark.operators.quantiles import (
+        exact_percentiles_scalable,
+    )
+    from dataengineering_londonhousingmap_spark.sources.io import read_testdata
+
+    li = read_testdata(spark, sf_dir, "lineitem")
+    got = {
+        r.l_returnflag: (r.p_0, r.p_1)
+        for r in exact_percentiles_scalable(
+            li, "l_returnflag", "l_extendedprice", [0.05, 0.95]
+        ).collect()
+    }
+    want = {
+        r.l_returnflag: (r.p05, r.p95)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert got == want

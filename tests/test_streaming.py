@@ -310,3 +310,41 @@ def test_upsert_sink_applies_cdc_per_partition(spark, tmp_path):
     assert b_files == {
         f: os.path.getmtime(f) for f in glob.glob(f"{table}/part=B/*.parquet")
     }
+
+
+def test_upsert_sink_retires_moved_key_rows(spark, tmp_path):
+    """keys_move_partitions: when a key's new latest row lands in a
+    DIFFERENT partition, the stale row in the old partition is retired
+    instead of surviving as a duplicate (ADVICE r02)."""
+    import pandas as pd
+
+    from dataengineering_londonhousingmap_spark.streaming.incremental import (
+        start_upsert_sink,
+    )
+
+    src = str(tmp_path / "mv_src")
+    table = str(tmp_path / "mv_table")
+    cp = str(tmp_path / "mv_cp")
+
+    def land(rows):
+        pdf = pd.DataFrame(rows, columns=["k", "part", "v", "seq"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "k long, part string, v double, seq long"
+        ).parquet(src)
+        q = start_upsert_sink(
+            stream, table, cp,
+            key_col="k", partition_col="part", order_col="seq",
+            keys_move_partitions=True,
+        )
+        q.awaitTermination(60)
+
+    land([(1, "A", 1.0, 1), (2, "A", 2.0, 1), (3, "B", 3.0, 1)])
+    run_once()
+    # k=1 moves partition A → B in a later batch
+    land([(1, "B", 100.0, 2)])
+    run_once()
+    got = {(r.k, r.part, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, "B", 100.0), (2, "A", 2.0), (3, "B", 3.0)}, got
