@@ -45,3 +45,36 @@ def profile(df: DataFrame, cols: list[str] | None = None, exact: bool = True) ->
             "(col_name, n_nulls, n_distinct, min_value, max_value)"
         )
     )
+
+
+def check_suite(df: DataFrame, checks: list[tuple[str, "F.Column", float]]) -> DataFrame:
+    """Deequ-style data-quality constraint suite: every check is a
+    (name, metric-aggregate-Column, threshold) triple; all metrics are
+    computed in ONE aggregation pass over the table and reshaped to a row
+    per check — (check, metric, threshold, passed).
+
+    The metric Column must be an aggregate expression evaluating to a
+    DOUBLE in [0, 1] (completeness / uniqueness / compliance ratios).
+    ``passed`` compares the ROUNDED metric (6 dp) against the threshold so
+    the verdict is bit-identical across engines regardless of partial-agg
+    accumulation order.
+
+    Scale shape: a single scan feeding one global aggregate — the same
+    partial/final HashAggregate shape as any global count; adding checks
+    adds aggregate buffers, never passes. DISTINCT-based metrics
+    (uniqueness) plan via Expand like profile(); swap to
+    approx_count_distinct at 100 TB when ±2% is acceptable.
+    """
+    aggs = [
+        F.round(m.cast("double"), 6).alias(f"__m_{i}") for i, (_, m, _) in enumerate(checks)
+    ]
+    row = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', __m_{i}, CAST({thr!r} AS DOUBLE)"
+        for i, (name, _, thr) in enumerate(checks)
+    )
+    return row.select(
+        F.expr(f"stack({len(checks)}, {stack_args}) AS (check, metric, threshold)")
+    ).select(
+        "check", "metric", "threshold", (F.col("metric") >= F.col("threshold")).alias("passed")
+    )

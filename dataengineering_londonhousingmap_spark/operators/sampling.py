@@ -161,3 +161,47 @@ def pack_sequences(
         (F.col("__start") % budget).alias("pack_offset"),
         F.col(token_count_col),
     )
+
+
+def stratified_kfold(
+    df: DataFrame, id_col: str, strata_col: str, k: int, salt: str = "kfold"
+) -> DataFrame:
+    """Exactly-balanced stratified k-fold assignment: within each stratum,
+    rows are ordered by md5(id || salt) and dealt round-robin into folds —
+    every fold gets ⌈n_s/k⌉ or ⌊n_s/k⌋ rows of stratum s (hash-mod
+    sampling is only balanced in expectation; CV wants exact balance).
+
+    Scale shape: the same two-level trick as the global corpus shuffle —
+    rank within (stratum, 256 md5-prefix shards) partitioned windows plus
+    broadcast per-shard offsets, never a single-partition-per-stratum
+    window. Because the shard is a PREFIX of the sort key, shard-local
+    rank + offset equals the stratum-global hash rank, so a plain
+    row_number-per-stratum is an exact SQL twin.
+    """
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    sharded = df.select(
+        F.col(id_col),
+        F.col(strata_col),
+        key.alias("__k"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("__shard"),
+    )
+    w = Window.partitionBy(strata_col, "__shard").orderBy("__k", id_col)
+    pos = sharded.select(
+        id_col, strata_col, "__shard", F.row_number().over(w).alias("__pos")
+    )
+    counts = sharded.groupBy(strata_col, "__shard").agg(F.count("*").alias("__n"))
+    woff = (
+        Window.partitionBy(strata_col)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        strata_col,
+        "__shard",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off"),
+    )
+    return pos.join(F.broadcast(offsets), [strata_col, "__shard"]).select(
+        F.col(id_col),
+        F.col(strata_col),
+        ((F.col("__off") + F.col("__pos") - 1) % k).cast("int").alias("fold"),
+    )

@@ -150,3 +150,48 @@ def grouped_zscore(
         return pdf
 
     return df.groupBy(key).applyInPandas(_z, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF — the table-function corner of the §2.10 surface
+# ---------------------------------------------------------------------------
+
+# whitespace class identical to functions.text.WS_RE and the oracle's
+# string_split_regex class — Python's str.split() would also split \x1c-\x1f
+# and unicode spaces, silently diverging from both engines
+_WS_CHARS = " \t\n\f\r\x0b"
+
+
+def make_sentence_udtf():
+    """Factory for the sentence-splitting Python UDTF (Spark 4 ``@udtf``):
+    one input row (doc_id, text) expands to a row per '. '-delimited
+    sentence with its position and whitespace-token count.
+
+    Row-at-a-time Python — the documented escape-hatch tier BELOW pandas
+    UDFs (SURVEY §2.10); use it only where per-row expansion logic is
+    genuinely procedural. Arrow transfer is requested (useArrow) so at
+    least serialization is batched; the hot-path equivalents stay native
+    (posexplode over split(), see q_chunk_docs)."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    ws = re.compile("[" + _WS_CHARS + "]+")
+
+    class SplitSentences:
+        def eval(self, doc_id, text):  # noqa: ANN001 - UDTF signature
+            if text is None:
+                return
+            pos = 0
+            for raw in text.split(". "):
+                s = raw.strip(_WS_CHARS)
+                if not s:
+                    continue
+                yield doc_id, pos, s, len([t for t in ws.split(s) if t])
+                pos += 1
+
+    return udtf(
+        SplitSentences,
+        returnType="doc_id: long, pos: int, sentence: string, n_words: int",
+        useArrow=True,
+    )

@@ -2212,3 +2212,136 @@ ORACLES["q_approx_sketches"] = """
            TRUE AS hll_ok, TRUE AS p50_ok, TRUE AS p90_ok
     FROM events GROUP BY event_type
 """
+
+# ---------------------------------------------------------------------------
+# round-3 additions
+# ---------------------------------------------------------------------------
+
+ORACLES["q_dq_checks"] = """
+    WITH m AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               CAST(count(o_custkey) AS DOUBLE) AS nn,
+               CAST(count(DISTINCT o_orderkey) AS DOUBLE) AS nd,
+               CAST(sum(CASE WHEN o_totalprice >= 0.0 AND o_totalprice < 600000.0
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS inr,
+               CAST(sum(CASE WHEN o_orderstatus IN ('O', 'F', 'P')
+                             THEN 1 ELSE 0 END) AS DOUBLE) AS ins
+        FROM orders
+    ),
+    rows_out AS (
+        SELECT 'completeness:o_custkey' AS "check", round(nn / n, 6) AS metric,
+               CAST(1.0 AS DOUBLE) AS threshold FROM m
+        UNION ALL
+        SELECT 'uniqueness:o_orderkey', round(nd / n, 6), CAST(1.0 AS DOUBLE) FROM m
+        UNION ALL
+        SELECT 'range:o_totalprice', round(inr / n, 6), CAST(0.95 AS DOUBLE) FROM m
+        UNION ALL
+        SELECT 'membership:o_orderstatus', round(ins / n, 6), CAST(1.0 AS DOUBLE) FROM m
+    )
+    SELECT "check", metric, threshold, metric >= threshold AS passed FROM rows_out
+"""
+
+# islands form of the native session window: closed-interval merge (break
+# strictly-greater than the 30-min gap), end = last event + gap
+ORACLES["q_session_window"] = """
+    WITH brk AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS is_new
+        FROM events
+    ),
+    isl AS (
+        SELECT user_id, ts, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM brk
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 6) AS sum_value
+    FROM isl
+    GROUP BY user_id, sid
+"""
+
+# stratum-global hash rank == the Spark side's shard rank + offset because
+# the shard is a prefix of the sort key (operators/sampling.py)
+ORACLES["q_kfold"] = """
+    SELECT doc_id, lang,
+           CAST((row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR) || 'kfold'), doc_id
+                 ) - 1) % 5 AS INTEGER) AS fold
+    FROM documents
+"""
+
+ORACLES["q_tfidf"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                           ELSE string_split_regex(trim(lower(text)), '[ \\t\\n\\f\\r\\x0b]+')
+                      END) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+               round(tf.tf * ln(n_docs / dfq.df), 6) AS tfidf,
+               row_number() OVER (PARTITION BY tf.doc_id
+                                  ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rnk
+        FROM tf JOIN dfq USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, df, tfidf FROM scored WHERE rnk <= 3
+"""
+
+# sentence split: same '. ' delimiter and explicit whitespace strip class
+# as the UDTF; pos counts only KEPT (non-empty) sentences
+ORACLES["q_udtf"] = """
+    WITH parts AS (
+        SELECT doc_id, i,
+               trim(parts[CAST(i AS INTEGER)],
+                    ' ' || chr(9) || chr(10) || chr(12) || chr(13) || chr(11)) AS sentence
+        FROM (SELECT doc_id, string_split(text, '. ') AS parts FROM documents),
+             unnest(generate_series(1, len(parts))) AS t(i)
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INTEGER) AS pos,
+           sentence,
+           CAST(len(list_filter(string_split_regex(sentence, '[ \\t\\n\\f\\r\\x0b]+'),
+                                x -> x <> '')) AS INTEGER) AS n_words
+    FROM parts WHERE sentence <> ''
+"""
+
+ORACLES["q_recursive_cte"] = """
+    WITH RECURSIVE anc AS (
+        SELECT c_custkey, c_custkey AS node, 0 AS depth FROM customer
+        UNION ALL
+        SELECT c_custkey, node // 10 AS node, depth + 1 AS depth
+        FROM anc WHERE node >= 10
+    )
+    SELECT c_custkey, node AS root_key, depth FROM anc WHERE node < 10
+"""
+
+ORACLES["q_fuzzy_join"] = """
+    WITH blocked AS (
+        SELECT c_custkey, c_name, substring(c_name, 1, 16) AS block FROM customer
+    )
+    SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM blocked a JOIN blocked b ON a.block = b.block
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+# roundtrip sink+scan: the oracle is the source table itself
+ORACLES["q_scan_xml"] = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""

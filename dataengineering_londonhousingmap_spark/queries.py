@@ -2947,6 +2947,221 @@ def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# round-3 additions — data quality, CV prep, native session windows, TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style declarative data-quality suite (the production upgrade
+    of the reference's manual probes — ``isnull().values.any()``
+    google_maps_api cells 9/15, ad-hoc shape prints): four constraints
+    (completeness, key uniqueness, range compliance, set membership) over
+    orders, all computed in ONE aggregation pass and reshaped to a row per
+    check with a pass/fail verdict. ``passed`` compares the rounded metric
+    so the verdict can't flip on partial-agg accumulation order."""
+    from .operators.profiling import check_suite
+
+    orders = _t(spark, sf_dir, "orders")
+    n = F.count(F.lit(1)).cast("double")
+    return check_suite(
+        orders,
+        [
+            ("completeness:o_custkey", F.count("o_custkey") / n, 1.0),
+            ("uniqueness:o_orderkey", F.countDistinct("o_orderkey") / n, 1.0),
+            (
+                "range:o_totalprice",
+                F.sum(
+                    (
+                        (F.col("o_totalprice") >= 0.0)
+                        & (F.col("o_totalprice") < 600000.0)
+                    ).cast("long")
+                )
+                / n,
+                0.95,
+            ),
+            (
+                "membership:o_orderstatus",
+                F.sum(F.col("o_orderstatus").isin("O", "F", "P").cast("long")) / n,
+                1.0,
+            ),
+        ],
+    )
+
+
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session-window aggregation (``F.session_window``,
+    gap 30 min) — the declarative twin of q_sessions_batch's
+    gaps-and-islands: Catalyst plans the merge itself (SessionWindow +
+    MergingSessions exec), one keyed shuffle, no window-function pass.
+    Semantics (probed): events exactly gap-apart MERGE (closed interval);
+    session end = last event + gap. The SQL twin is the islands form with
+    a strictly-greater break condition."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-balanced stratified 5-fold CV assignment over the corpus:
+    within each language stratum, docs are ordered by md5(id||salt) and
+    dealt round-robin — every fold gets ⌈n/k⌉ or ⌊n/k⌋ docs per stratum
+    (hash-mod splits are balanced only in expectation). Scale shape:
+    two-level rank (per-stratum md5-prefix shards + broadcast offsets),
+    never one window partition per stratum (operators/sampling.py)."""
+    from .operators.sampling import stratified_kfold
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_kfold(docs, "doc_id", "lang", k=5)
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document over lowercased whitespace tokens —
+    the classic two-shuffle shape: explode → (doc,term) counts → term
+    document-frequencies joined back (shuffle join on term; the vocabulary
+    is NOT assumed broadcastable at 100 TB), corpus size via a broadcast
+    scalar. Ranking is FLOAT-FREE on purpose — (tf desc, df asc, term) is
+    the spec'd order, so cross-engine ln() ulps can't reorder the top-k;
+    the tfidf score itself is round(tf·ln(N/df), 6) like every float
+    output in the catalog."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6)
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
+
+
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 ``@udtf``) — the table-function corner of the
+    §2.10 surface next to q_closest_line's pandas UDF, q_parse_pages'
+    mapInPandas and q_grouped_zscore's applyInPandas: each document
+    LATERAL-expands into one row per '. '-delimited sentence with position
+    and whitespace-token count (operators/udfs.py:make_sentence_udtf).
+    Row-at-a-time Python with Arrow transfer — the documented bottom tier
+    of the UDF ladder, benchmarked here exactly so the catalog shows where
+    that tier is acceptable (bounded per-row expansion on a pruned scan)."""
+    from .operators.udfs import make_sentence_udtf
+
+    spark.udtf.register("split_sentences", make_sentence_udtf())
+    docs = _t(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("__docs_udtf")
+    return spark.sql(
+        """
+        SELECT s.doc_id, s.pos, s.sentence, s.n_words
+        FROM __docs_udtf AS d, LATERAL split_sentences(d.doc_id, d.text) AS s
+        """
+    )
+
+
+def q_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE, new in Spark 4) — hierarchy walk the
+    reference has no analog for: each customer climbs the synthetic
+    ownership tree key → key div 10 until the single-digit root, returning
+    (root_key, depth). Spark executes the recursion as an iterated
+    union with lineage truncation per step — depth × one scan each, the
+    same shape as the IVF training loop; bounded here at ⌈log10(maxkey)⌉
+    steps. Integer arithmetic only, so the SQL twin is bit-exact."""
+    cust = _t(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("__cust_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE anc AS (
+            SELECT c_custkey, c_custkey AS node, 0 AS depth FROM __cust_rec
+            UNION ALL
+            SELECT c_custkey, node DIV 10 AS node, depth + 1 AS depth
+            FROM anc WHERE node >= 10
+        )
+        SELECT c_custkey, node AS root_key, depth FROM anc WHERE node < 10
+        """
+    )
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-match (entity resolution): customer names within
+    Levenshtein distance 1, candidate pairs generated ONLY inside 16-char
+    prefix blocks — an equi-join on the block key, never an all-pairs
+    cross product (each block is ≤100 names at any scale because the block
+    is all-but-2 trailing digits). ``F.levenshtein`` is JVM-side codegen;
+    DuckDB's levenshtein is the same classic DP, so distances are exact
+    integers on both sides."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("block")
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "block"
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "block"
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )
+
+
+def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML sink + schema'd scan (Spark 4 native XML, the spark-xml merge)
+    — the fifth format next to Parquet/CSV/JSON/ORC; the reference's
+    BeautifulSoup layer consumes markup, this is the engine-side analog.
+    Explicit schema on read (never inferSchema), same rule as every scan
+    in the catalog."""
+    from pyspark.sql import types as T
+
+    path = os.path.join(STAGE_DIR, "nation_xml")
+    nat = _t(spark, sf_dir, "nation")
+    (
+        nat.write.format("xml")
+        .option("rowTag", "nation")
+        .mode("overwrite")
+        .save(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    return (
+        spark.read.format("xml").option("rowTag", "nation").schema(schema).load(path)
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -3001,7 +3216,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embed_ann_ivf_trained": q_embed_ann_ivf_trained,
     "q_dedup_embed": q_dedup_embed,
     "q_pack_sequences": q_pack_sequences,
-    # GROUP C — round-3 additions go here (inside the sampled window)
+    # GROUP C — round-3 additions (inside the sampled window)
+    "q_dq_checks": q_dq_checks,
+    "q_session_window": q_session_window,
+    "q_kfold": q_kfold,
+    "q_tfidf": q_tfidf,
+    "q_udtf": q_udtf,
+    "q_recursive_cte": q_recursive_cte,
+    "q_fuzzy_join": q_fuzzy_join,
+    "q_scan_xml": q_scan_xml,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,
