@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -177,3 +177,31 @@ def build_manifest(spark: SparkSession, path: str, stat_col: str):
             )
 
     return fdf.mapInPandas(read_footers, schema)
+
+
+def compaction_plan(manifest, target_rows: int):
+    """Bin-packing plan for the small-files problem, built from footer
+    stats only (never a data scan): files in name order are laid end to
+    end and cut every ``target_rows`` — each file is assigned the output
+    group where its first row lands (the same first-token rule as
+    sequence packing). A group may overflow past target_rows by at most
+    one file, which is what any size-based compactor accepts in exchange
+    for never splitting an input file.
+
+    The window runs over the FILE LIST (metadata cardinality — thousands
+    of rows at 100 TB, not billions), so a single-partition cumsum is the
+    honest driver-scale cost here, same as any table-format planner.
+    """
+    w = (
+        Window.orderBy("file")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_rows").over(w) - F.col("n_rows")).alias("__start")
+    return (
+        manifest.select("file", "n_rows", start)
+        .select(
+            "file",
+            "n_rows",
+            F.expr(f"__start div {target_rows}").cast("int").alias("out_group"),
+        )
+    )

@@ -2345,3 +2345,77 @@ ORACLES["q_fuzzy_join"] = """
 ORACLES["q_scan_xml"] = """
     SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
+
+# sliding window = each event duplicated into its two epoch-aligned
+# window starts; avg via the exact-cents trick (mirrors exact_avg_cents)
+ORACLES["q_stream_sliding"] = """
+    WITH ex AS (
+        SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+        UNION ALL
+        SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR, event_type, value FROM events
+    )
+    SELECT ws AS window_start,
+           ws + INTERVAL 2 HOUR AS window_end,
+           event_type,
+           CAST(round(sum(value) * 100, 0) AS BIGINT)
+               / (100.0 * count(value)) AS avg_value,
+           count(*) AS n
+    FROM ex GROUP BY ws, event_type
+"""
+
+ORACLES["q_compact_plan"] = f"""
+    WITH fm AS (
+        SELECT regexp_extract(file_name, '[^/]+$') AS file,
+               CAST(num_rows AS BIGINT) AS n_rows
+        FROM parquet_file_metadata('{_STAGE_DIR}/events_compact_src/*.parquet')
+    ),
+    cum AS (
+        SELECT file, n_rows,
+               sum(n_rows) OVER (ORDER BY file ROWS UNBOUNDED PRECEDING)
+                   - n_rows AS strt
+        FROM fm
+    )
+    SELECT file, n_rows, CAST(strt // 2500 AS INTEGER) AS out_group FROM cum
+"""
+
+ORACLES["q_runtime_filter"] = """
+    WITH supp AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5),
+    bs AS (
+        SELECT DISTINCT
+               CAST('0x' || substring(md5(CAST(s_suppkey AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 4096 AS b
+        FROM supp
+    ),
+    cand AS (
+        SELECT l_suppkey, l_quantity FROM lineitem
+        WHERE CAST('0x' || substring(md5(CAST(l_suppkey AS VARCHAR)), 1, 8) AS BIGINT)
+                  % 4096 IN (SELECT b FROM bs)
+    ),
+    m AS (SELECT * FROM cand WHERE l_suppkey IN (SELECT s_suppkey FROM supp))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates,
+           CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+    FROM m
+"""
+
+ORACLES["q_snapshot_diff"] = """
+    WITH a AS (SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+    b AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 1 THEN o_totalprice * 1.1e0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderstatus
+        FROM a WHERE o_orderkey % 97 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+        FROM a WHERE o_orderkey % 101 = 0
+    )
+    SELECT CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                WHEN a.o_totalprice <> b.o_totalprice
+                     OR a.o_orderstatus <> b.o_orderstatus THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+    GROUP BY 1
+"""

@@ -3161,6 +3161,124 @@ def q_scan_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming rollup (2-hour windows every hour) — the
+    moving-average shape q_stream_hourly's tumbling windows can't express;
+    every event lands in exactly two overlapping windows
+    (streaming/incremental.py:sliding_rollup_stream). Complete mode so
+    finite test data emits all windows; the SQL twin duplicates each row
+    into its two epoch-aligned window starts."""
+    from .streaming.incremental import (
+        read_events_stream,
+        run_stream_to_memory,
+        sliding_rollup_stream,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        sliding_rollup_stream(events), "q_stream_sliding_sink", "complete"
+    )
+
+
+def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction planning (the OPTIMIZE bin-packer next to q_manifest's
+    stats build and maintenance.compact's rewriter): stage events as 16
+    small files, then assign each file an output group by laying files end
+    to end in name order and cutting every 2 500 rows — computed from
+    FOOTER stats only (distributed footer reads via build_manifest), never
+    a data scan. The DuckDB twin reads the same staged footers through
+    parquet_file_metadata()."""
+    from .operators.maintenance import compaction_plan
+
+    path = os.path.join(STAGE_DIR, "events_compact_src")
+    _t(spark, sf_dir, "events").repartition(16).write.mode("overwrite").parquet(path)
+    manifest = build_manifest(spark, path, "event_id").select("file", "n_rows")
+    return compaction_plan(manifest, target_rows=2500)
+
+
+def q_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-style runtime filter (semi-join reduction): the dim side's
+    key set is compressed to md5 hash buckets (mod 4096), broadcast, and
+    applied to the fact scan BEFORE the exact semi-join — the pattern that
+    turns a 100 TB shuffle into a pruned scan when the dim is selective
+    (Spark's own runtime row-filters use bloom_filter_agg/xxhash64, which
+    is engine-private; md5 buckets give the identical plan shape with an
+    exact SQL twin, false positives included). Output proves both stages:
+    candidate count (bucket-filter survivors, FPs included) and the exact
+    matched count + quantity sum."""
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+
+    def bucket(c):
+        return (
+            F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+            % 4096
+        )
+
+    buckets = (
+        supp.select(bucket(F.col("s_suppkey")).alias("b"))
+        .distinct()
+        .agg(F.sort_array(F.collect_set("b")).alias("bs"))
+    )
+    cand = li.crossJoin(F.broadcast(buckets)).filter(
+        F.array_contains(F.col("bs"), bucket(F.col("l_suppkey")))
+    )
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    matched = cand.join(F.broadcast(supp), cand["l_suppkey"] == supp["s_suppkey"], "left_semi")
+    totals = matched.agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )
+    return n_cand.crossJoin(totals)
+
+
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (the data-diff / reconciliation operator a
+    continuously-rebuilt table needs): current orders vs a deterministically
+    perturbed next snapshot — keys ≡0 (mod 97) removed, keys ≡1 (mod 10)
+    repriced ×1.1, keys ≡0 (mod 101) cloned as new rows — full-outer-joined
+    on the key and classified added/removed/changed/unchanged. One
+    keyed shuffle; at 100 TB both sides partition on the join key and
+    the classification is a narrow projection."""
+    a = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    b = a.filter((F.col("o_orderkey") % 97) != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            (F.col("o_orderkey") % 10) == 1, F.col("o_totalprice") * 1.1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = a.filter((F.col("o_orderkey") % 101) == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    )
+    b = b.unionByName(added)
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.o_orderkey") == F.col("b.o_orderkey"), "full_outer"
+    )
+    status = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+            | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3225,6 +3343,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_recursive_cte": q_recursive_cte,
     "q_fuzzy_join": q_fuzzy_join,
     "q_scan_xml": q_scan_xml,
+    "q_stream_sliding": q_stream_sliding,
+    "q_compact_plan": q_compact_plan,
+    "q_runtime_filter": q_runtime_filter,
+    "q_snapshot_diff": q_snapshot_diff,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,

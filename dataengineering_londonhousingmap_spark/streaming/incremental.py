@@ -373,3 +373,23 @@ def run_stream_to_memory(
         q.awaitTermination(30)
     return spark.table(name)
 
+
+
+def sliding_rollup_stream(events: DataFrame, watermark: str = "4 hours") -> DataFrame:
+    """Sliding-window rollup (2-hour windows every hour): each event lands
+    in exactly two overlapping windows — the moving-average shape tumbling
+    windows can't express. State is bounded by watermark just like the
+    tumbling rollup; the batch twin assigns each row its two epoch-aligned
+    window starts explicitly (window length / slide = 2 copies)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(exact_avg_cents("value").alias("avg_value"), F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "avg_value",
+            "n",
+        )
+    )

@@ -123,3 +123,17 @@ def test_zorder_layout_prunes_files(spark, tmp_path):
     assert n_zed <= 2 < n_flat
     # content preserved
     assert spark.read.parquet(zed).count() == 4096
+
+
+def test_compaction_plan_bin_packing(spark):
+    """Groups cut every target_rows by first-row rule: group boundaries
+    are monotone in file order and no group's START row is past its cut."""
+    from dataengineering_londonhousingmap_spark.operators.maintenance import compaction_plan
+
+    manifest = spark.createDataFrame(
+        [("a", 100), ("b", 900), ("c", 600), ("d", 600), ("e", 10)],
+        ["file", "n_rows"],
+    )
+    plan = {r.file: r.out_group for r in compaction_plan(manifest, 1000).collect()}
+    # starts: a=0, b=100, c=1000, d=1600, e=2200 → groups 0,0,1,1,2
+    assert plan == {"a": 0, "b": 0, "c": 1, "d": 1, "e": 2}

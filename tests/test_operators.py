@@ -596,3 +596,26 @@ def test_exact_percentiles_scalable_bit_equal(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_check_suite_verdicts(spark):
+    """passed must be computed on the ROUNDED metric and honour the
+    threshold comparison exactly."""
+    from pyspark.sql import functions as F
+
+    from dataengineering_londonhousingmap_spark.operators.profiling import check_suite
+
+    df = spark.createDataFrame([(1, None), (2, "x"), (2, "y")], ["k", "v"])
+    n = F.count(F.lit(1)).cast("double")
+    out = {
+        r.check: (r.metric, r.passed)
+        for r in check_suite(
+            df,
+            [
+                ("completeness:v", F.count("v") / n, 1.0),
+                ("uniqueness:k", F.countDistinct("k") / n, 1.0),
+            ],
+        ).collect()
+    }
+    assert out["completeness:v"] == (round(2 / 3, 6), False)
+    assert out["uniqueness:k"] == (round(2 / 3, 6), False)

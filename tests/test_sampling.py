@@ -301,3 +301,37 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         j.explain("formatted")
     assert "dynamicpruning" in buf.getvalue().lower()
     assert j.count() > 0
+
+
+def test_stratified_kfold_exact_balance(spark, sf_dir):
+    """Every fold must get ⌈n_s/k⌉ or ⌊n_s/k⌋ rows of each stratum — the
+    exact-balance property that distinguishes this from hash-mod splits."""
+    from dataengineering_londonhousingmap_spark.operators.sampling import stratified_kfold
+    from dataengineering_londonhousingmap_spark.sources.io import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    folds = stratified_kfold(docs, "doc_id", "lang", k=5)
+    per = {
+        (r.lang, r.fold): r.n
+        for r in folds.groupBy("lang", "fold").agg(F.count("*").alias("n")).collect()
+    }
+    strata = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n_s in strata.items():
+        sizes = [per.get((lang, f), 0) for f in range(5)]
+        assert sum(sizes) == n_s
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+
+
+def test_stratified_kfold_partition_independent(spark, sf_dir):
+    """Fold assignment is a pure function of (id, stratum) — repartitioning
+    must not move any row between folds."""
+    from dataengineering_londonhousingmap_spark.operators.sampling import stratified_kfold
+    from dataengineering_londonhousingmap_spark.sources.io import read_testdata
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    a = {(r.doc_id): r.fold for r in stratified_kfold(docs, "doc_id", "lang", 5).collect()}
+    b = {
+        (r.doc_id): r.fold
+        for r in stratified_kfold(docs.repartition(13), "doc_id", "lang", 5).collect()
+    }
+    assert a == b
