@@ -77,6 +77,15 @@ HEADLINE = [
     # round-2d shapes: global-bigram coverage scoring, point-in-time SCD2
     "q_corpus_stats_score",
     "q_scd2_lookup",
+    # round-3 shapes: TF-IDF (two-shuffle text agg), native session
+    # windows, sliding stream rollup, bloom-style fact-scan pruning,
+    # full-outer snapshot diff, and the Python-UDTF escape hatch
+    "q_tfidf",
+    "q_session_window",
+    "q_stream_sliding",
+    "q_runtime_filter",
+    "q_snapshot_diff",
+    "q_udtf",
 ]
 
 

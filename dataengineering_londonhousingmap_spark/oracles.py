@@ -2419,3 +2419,80 @@ ORACLES["q_snapshot_diff"] = """
     FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
     GROUP BY 1
 """
+
+# correlation from sufficient statistics — the identical formula, never
+# the engine's own corr() (whose update order isn't reproducible)
+ORACLES["q_corr_matrix"] = """
+    WITH s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS n,
+               sum(l_quantity) AS sq, sum(l_quantity * l_quantity) AS ssq,
+               sum(l_discount) AS sd, sum(l_discount * l_discount) AS ssd,
+               sum(l_tax) AS st, sum(l_tax * l_tax) AS sst,
+               sum(l_quantity * l_discount) AS sqd,
+               sum(l_quantity * l_tax) AS sqt,
+               sum(l_discount * l_tax) AS sdt
+        FROM lineitem
+    )
+    SELECT 'l_quantity' AS x, 'l_discount' AS y,
+           round((n * sqd - sq * sd)
+                 / sqrt((n * ssq - sq * sq) * (n * ssd - sd * sd)), 6) AS corr
+    FROM s
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax',
+           round((n * sqt - sq * st)
+                 / sqrt((n * ssq - sq * sq) * (n * sst - st * st)), 6)
+    FROM s
+    UNION ALL
+    SELECT 'l_discount', 'l_tax',
+           round((n * sdt - sd * st)
+                 / sqrt((n * ssd - sd * sd) * (n * sst - st * st)), 6)
+    FROM s
+"""
+
+ORACLES["q_minmax_scale"] = """
+    WITH stats AS (
+        SELECT c_mktsegment, min(c_acctbal) AS mn, max(c_acctbal) AS mx
+        FROM customer GROUP BY c_mktsegment
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           CASE WHEN s.mx = s.mn THEN 0.0e0
+                ELSE round((c.c_acctbal - s.mn) / (s.mx - s.mn), 6) END AS scaled
+    FROM customer c JOIN stats s USING (c_mktsegment)
+"""
+
+ORACLES["q_nested_agg"] = """
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(o_totalprice) * 100, 0) AS BIGINT)
+               / (100.0 * count(o_totalprice)) AS avg_spend
+    FROM orders GROUP BY o_custkey
+"""
+
+ORACLES["q_window_median"] = """
+    WITH fr AS (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               list_sort(list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))[3] AS median5
+        FROM events
+    )
+    SELECT user_id, ts, event_id, value, median5 FROM fr WHERE rn >= 5
+"""
+
+ORACLES["q_pattern_match"] = """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2,
+               lead(ts, 2) OVER w AS ts2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, ts AS pattern_start, ts2 AS pattern_end,
+           event_id AS start_event_id
+    FROM seq
+    WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+      AND ts2 <= ts + INTERVAL 1 HOUR
+"""

@@ -3279,6 +3279,168 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over (quantity, price, discount) — the
+    feature-screening pass before model prep, computed from SUFFICIENT
+    STATISTICS (Σx, Σx², Σxy) in ONE aggregation pass, never via F.corr
+    (whose streaming-update accumulation isn't reproducible across
+    engines; the sums formula with a final round(6) is). The columns are
+    deliberately the SMALL-magnitude features (quantity ≤ 50, rates ≤ 0.1)
+    so Σx² stays ~1e8 and cross-engine accumulation-order noise is ~1e-12
+    of the correlation — far under the 6-dp round; putting extendedprice
+    (Σx² ~ 1e15) here would shrink that margin to ~1e-7. Output is the
+    upper triangle as (x, y, corr) rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c)).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(c) * F.col(c)).alias(f"ss_{c}"))
+    for i, x in enumerate(cols):
+        for y in cols[i + 1 :]:
+            aggs.append(F.sum(F.col(x) * F.col(y)).alias(f"sp_{x}_{y}"))
+    s = li.agg(*aggs)
+    pairs = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1 :]:
+            num = F.col("n") * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+            den = F.sqrt(
+                (F.col("n") * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
+                * (F.col("n") * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
+            )
+            pairs.append(
+                s.select(
+                    F.lit(x).alias("x"),
+                    F.lit(y).alias("y"),
+                    F.round(num / den, 6).alias("corr"),
+                )
+            )
+    out = pairs[0]
+    for p in pairs[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling (the ML-prep normalizer next to
+    q_grouped_zscore's standardizer and q_winsorize's clamp): account
+    balance rescaled to [0,1] within each market segment. Grouped min/max
+    aggregate broadcast back onto the fact — two scans of a pruned
+    projection, no window over the full table, the same shape q_winsorize
+    uses. min == max degenerates to 0 by definition."""
+    cust = _t(spark, sf_dir, "customer")
+    stats = cust.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").alias("mn"), F.max("c_acctbal").alias("mx")
+    )
+    return (
+        cust.join(F.broadcast(stats), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.when(F.col("mx") == F.col("mn"), F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.col("c_acctbal") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6
+                )
+            )
+            .alias("scaled"),
+        )
+    )
+
+
+def q_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested aggregation (the document-assembly shape: one row per
+    entity carrying its child set): per customer, the ordered order-key
+    list and total spend. ``collect_list`` is ORDER-NONDETERMINISTIC by
+    contract, so the list is sort_array'd before serialization and joined
+    to a comma string — deterministic, engine-portable, and the exact
+    reshaping a feed-export / feature-store materialization runs. One
+    keyed shuffle; list size is bounded by per-customer fan-in, not table
+    size."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("o_orderkey"))), ","
+            ).alias("order_keys"),
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_avg_cents("o_totalprice").alias("avg_spend"),
+        )
+    )
+
+
+def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling EXACT median (trailing 5 rows per user over event time) —
+    the robust-smoothing window no rank function gives: the frame's
+    values are collected, sorted, and the middle element taken, emitted
+    only for full frames so the middle is unique and float-exact (no
+    even-frame averaging, whose two-middle mean differs in no way here
+    but whose partial frames would). collect_list over a 5-row frame is
+    O(frame) state per row — bounded, unlike a whole-partition collect."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.row_number()
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("rn"),
+            F.sort_array(F.collect_list("value").over(w)).alias("vals"),
+        )
+        .filter(F.col("rn") >= 5)
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            "value",
+            F.element_at("vals", 3).alias("median5"),
+        )
+    )
+
+
+def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-pattern detection (the MATCH_RECOGNIZE shape): per
+    user, CONSECUTIVE view → click → purchase with the whole triple inside
+    one hour — lead() twice over the user timeline and a residual time
+    predicate; complements q_funnel, which allows gaps between stages.
+    One user-keyed shuffle reused by both leads; ties broken on event_id
+    so the sequence is total-ordered."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("t1"),
+        F.lead("event_type", 2).over(w).alias("t2"),
+        F.lead("ts", 2).over(w).alias("ts2"),
+    )
+    return (
+        seq.filter(
+            (F.col("event_type") == "view")
+            & (F.col("t1") == "click")
+            & (F.col("t2") == "purchase")
+            & (F.col("ts2") <= F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select(
+            "user_id",
+            F.col("ts").alias("pattern_start"),
+            F.col("ts2").alias("pattern_end"),
+            F.col("event_id").alias("start_event_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3347,6 +3509,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_compact_plan": q_compact_plan,
     "q_runtime_filter": q_runtime_filter,
     "q_snapshot_diff": q_snapshot_diff,
+    "q_corr_matrix": q_corr_matrix,
+    "q_minmax_scale": q_minmax_scale,
+    "q_nested_agg": q_nested_agg,
+    "q_window_median": q_window_median,
+    "q_pattern_match": q_pattern_match,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,
