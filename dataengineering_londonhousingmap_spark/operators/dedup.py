@@ -229,6 +229,53 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_containment_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Jaccard CONTAINMENT over distinct shingle sets:
+    ``|A∩B| / min(|A|,|B|)`` — the near-SUBSET detector. A short document
+    quoted whole inside a long one scores ~1.0 here while plain Jaccard
+    dilutes it toward |short|/|long|; containment is the right metric for
+    quote/excerpt dedup and benchmark-contamination sweeps.
+
+    Same distributed shape as :func:`ngram_jaccard_pairs` (intersection via
+    equi-join on shingle, candidate-prefiltered at scale — never a pairwise
+    array op); only the denominator differs. Returns (id_a, id_b,
+    containment) for pairs ≥ threshold, id_a < id_b.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
+    if candidates is not None:
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("__inter"))
+        )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "containment", F.col("__inter") / F.least("__sza", "__szb")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # cluster survivorship (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------

@@ -2496,3 +2496,178 @@ ORACLES["q_pattern_match"] = """
     WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
       AND ts2 <= ts + INTERVAL 1 HOUR
 """
+
+# -- round-3 batch 2: event analytics, scale diagnostics, corpus hygiene ----
+
+ORACLES["q_transition_matrix"] = """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    trans AS (
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_trans
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_trans,
+           round(n_trans / sum(n_trans) OVER (PARTITION BY from_type), 6) AS p
+    FROM trans
+"""
+
+ORACLES["q_skew_report"] = """
+    WITH keyed AS (
+        SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT CAST('0x' || substring(md5(CAST(l_suppkey AS VARCHAR)), 1, 8) AS BIGINT) % 32
+               AS bucket,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_key_rows
+    FROM keyed GROUP BY bucket
+"""
+
+ORACLES["q_vocab_oov"] = f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    ),
+    dfreq AS (
+        SELECT tok, count(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok FROM toks)
+        GROUP BY tok
+    ),
+    vocab AS (
+        SELECT tok FROM dfreq ORDER BY df DESC, tok ASC LIMIT 200
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) / count(*), 6)
+               AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+"""
+
+ORACLES["q_split_leakage"] = f"""
+    WITH sh AS ({_SHINGLES}),
+    sig AS (
+        SELECT doc_id,
+               {_MINHASH_AGGS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+    {_BAND_SELECTS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    jac AS (
+        SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.2
+    ),
+    split AS (
+        SELECT doc_id,
+               CASE WHEN CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'split'), 1, 8) AS BIGINT)
+                         % 10000 < 1000
+                    THEN 'test' ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT j.id_a, j.id_b, j.jaccard,
+           a.split AS split_a, b.split AS split_b
+    FROM jac j
+    JOIN split a ON a.doc_id = j.id_a
+    JOIN split b ON b.doc_id = j.id_b
+    WHERE a.split <> b.split
+"""
+
+ORACLES["q_spearman_corr"] = """
+    WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lineitem),
+    vq AS (SELECT l_quantity AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+    rkq AS (SELECT v, (sum(cnt) OVER (ORDER BY v) - (cnt - 1) / 2.0) AS r FROM vq),
+    vd AS (SELECT l_discount AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+    rkd AS (SELECT v, (sum(cnt) OVER (ORDER BY v) - (cnt - 1) / 2.0) AS r FROM vd),
+    vt AS (SELECT l_tax AS v, count(*) AS cnt FROM lineitem GROUP BY 1),
+    rkt AS (SELECT v, (sum(cnt) OVER (ORDER BY v) - (cnt - 1) / 2.0) AS r FROM vt),
+    base AS (
+        SELECT rkq.r / n.n AS rx, rkd.r / n.n AS ry, rkt.r / n.n AS rz
+        FROM lineitem l
+        CROSS JOIN n
+        JOIN rkq ON l.l_quantity = rkq.v
+        JOIN rkd ON l.l_discount = rkd.v
+        JOIN rkt ON l.l_tax = rkt.v
+    ),
+    s AS (
+        SELECT CAST(count(*) AS DOUBLE) AS cn,
+               sum(rx) AS sx, sum(rx * rx) AS ssx,
+               sum(ry) AS sy, sum(ry * ry) AS ssy,
+               sum(rz) AS sz, sum(rz * rz) AS ssz,
+               sum(rx * ry) AS sxy, sum(rx * rz) AS sxz, sum(ry * rz) AS syz
+        FROM base
+    )
+    SELECT 'l_quantity' AS x, 'l_discount' AS y,
+           round((cn * sxy - sx * sy)
+                 / sqrt((cn * ssx - sx * sx) * (cn * ssy - sy * sy)), 6) AS spearman
+    FROM s
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax',
+           round((cn * sxz - sx * sz)
+                 / sqrt((cn * ssx - sx * sx) * (cn * ssz - sz * sz)), 6)
+    FROM s
+    UNION ALL
+    SELECT 'l_discount', 'l_tax',
+           round((cn * syz - sy * sz)
+                 / sqrt((cn * ssy - sy * sy) * (cn * ssz - sz * sz)), 6)
+    FROM s
+"""
+
+ORACLES["q_containment"] = f"""
+    WITH sh AS ({_SHINGLES}),
+    sig AS (
+        SELECT doc_id,
+               {_MINHASH_AGGS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+    {_BAND_SELECTS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, round(i / least(sa.sz, sb.sz), 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / least(sa.sz, sb.sz) >= 0.3
+"""

@@ -19,6 +19,7 @@ documents/embeddings = corpus tables).
 from __future__ import annotations
 
 import os
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -630,15 +631,20 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure the exchange-free join, not the one-time write."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    # table names and paths carry an sf tag so concurrent sessions on
+    # different scale factors (pytest at sf0.01 beside bench at sf0.1)
+    # never overwrite each other's staged layout
+    tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
+    t_li, t_o = f"b_lineitem_{tag}", f"b_orders_{tag}"
     staged = (
         _BUCKETED_STAGED.get("sf_dir") == sf_dir
-        and spark.catalog.tableExists("b_lineitem")
-        and spark.catalog.tableExists("b_orders")
+        and spark.catalog.tableExists(t_li)
+        and spark.catalog.tableExists(t_o)
     )
     if not staged:
         for df, name, key in (
-            (li, "b_lineitem", "l_orderkey"),
-            (orders, "b_orders", "o_orderkey"),
+            (li, t_li, "l_orderkey"),
+            (orders, t_o, "o_orderkey"),
         ):
             (
                 df.write.bucketBy(16, key)
@@ -649,7 +655,7 @@ def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .saveAsTable(name)
             )
         _BUCKETED_STAGED["sf_dir"] = sf_dir
-    bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+    bl, bo = spark.table(t_li), spark.table(t_o)
     joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
     return joined.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_items"),
@@ -974,16 +980,20 @@ def q_agg_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     buys beyond co-located joins: at 100 TB, every recurring
     per-entity rollup on the bucket key skips its shuffle entirely."""
     orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    # sf-tagged name/path: concurrent sessions on different scale factors
+    # must not overwrite each other's staged layout
+    tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
+    t_oc = f"b_orders_cust_{tag}"
     (
         orders.write.bucketBy(16, "o_custkey")
         .sortBy("o_custkey")
         .mode("overwrite")
-        .option("path", os.path.join(STAGE_DIR, "bucketed", "b_orders_cust"))
+        .option("path", os.path.join(STAGE_DIR, "bucketed", t_oc))
         .format("parquet")
-        .saveAsTable("b_orders_cust")
+        .saveAsTable(t_oc)
     )
     return (
-        spark.table("b_orders_cust")
+        spark.table(t_oc)
         .groupBy("o_custkey")
         .agg(
             F.count("*").alias("n_orders"),
@@ -3441,6 +3451,195 @@ def q_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type Markov transition matrix: for every consecutive
+    (event, next event) pair on a user's timeline, the transition count and
+    the row-normalized probability — the session-model / anomaly-baseline
+    statistic. One user-keyed shuffle feeds the lead(); the (from,to) agg
+    is 25 cells, so the second shuffle is trivial. Tie-broken on event_id
+    (total order), probabilities rounded on both engines."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n_trans"))
+    wrow = Window.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.round(F.col("n_trans") / F.sum("n_trans").over(wrow), 6).alias("p"),
+    )
+
+
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnostic — the pre-flight check before any big keyed
+    join: per-key row counts bucketed by the PLANNED 32-way hash partition
+    (md5-derived, engine-stable — Spark's own murmur pmod isn't oracle
+    reproducible), reporting rows/keys/heaviest-key per reducer. The
+    histogram that says \"salt this join\" BEFORE the 100 TB run straggles;
+    feeds the same salting decision q_join_salted demonstrates. Two
+    map-side-combined aggs, nothing driver-side."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey")
+    keyed = li.groupBy("l_suppkey").agg(F.count("*").alias("__n"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("l_suppkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 32
+    )
+    return (
+        keyed.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("__n").alias("n_rows"),
+            F.max("__n").alias("max_key_rows"),
+        )
+    )
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + out-of-vocabulary rate — the tokenizer-prep pass:
+    top-200 tokens by DOCUMENT frequency (ties broken lexicographically)
+    become the vocab; every document then reports its token total, OOV
+    count, and OOV rate against the BROADCAST vocab. Two-pass corpus shape:
+    explode → distinct(doc,tok) → df-count → tiny top-k, then one
+    left-anti-style broadcast membership probe — the corpus shuffles once
+    on token, never on text."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    df_counts = (
+        toks.distinct().groupBy("tok").agg(F.count("*").alias("__df"))
+    )
+    vocab = (
+        df_counts.orderBy(F.col("__df").desc(), F.col("tok").asc())
+        .limit(200)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test NEAR-DUP leakage audit — the eval-integrity check exact
+    fingerprints miss: MinHash-LSH candidate pairs verified by n-gram
+    Jaccard (same engine as q_ngram_jaccard), kept only where the two
+    documents fall on OPPOSITE sides of the deterministic hash split. Any
+    row here is a test document whose near-copy leaks into train — at
+    100 TB this runs as a by-product of the dedup pass (shared shingle
+    scan), not a new scan."""
+    from .operators.sampling import train_test_split
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    pairs = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
+    split = train_test_split(docs.select("doc_id"), "doc_id", test_rate=0.1).select(
+        "doc_id", "split"
+    )
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), "split_a", "split_b")
+    )
+
+
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation over (quantity, discount, tax) — the
+    outlier-robust companion to q_corr_matrix. Average-rank ties computed
+    WITHOUT a global row sort: ranks come from the per-VALUE count
+    aggregation (≤ 50 distinct values per column) cumulated in a tiny
+    window, then broadcast back onto the fact — the 600k-row (at 100 TB:
+    trillion-row) table is never globally sorted. Ranks are normalized to
+    [0,1] before the sufficient-stats Pearson so Σr² stays O(n) and
+    accumulation noise is ~1e-12 of the coefficient (same magnitude
+    argument as q_corr_matrix)."""
+    li = _t(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_tax"]
+    total = li.agg(F.count("*").cast("double").alias("__n"))
+    ranked = li
+    for c in cols:
+        vc = li.groupBy(c).agg(F.count("*").alias("__cnt"))
+        # constant partition key: the window input is the ≤50-row VALUE
+        # table, not the fact — single-partition is the point (and the
+        # explicit key silences Spark's global-window warning)
+        wv = Window.partitionBy(F.lit(0)).orderBy(c)
+        # avg rank of a tie group = cumulative count - (cnt-1)/2
+        rk = vc.select(
+            F.col(c),
+            (
+                F.sum("__cnt").over(wv) - (F.col("__cnt") - F.lit(1)) / F.lit(2.0)
+            ).alias(f"__r_{c}"),
+        )
+        ranked = ranked.join(F.broadcast(rk), c)
+    ranked = ranked.crossJoin(F.broadcast(total))
+    for c in cols:
+        ranked = ranked.withColumn(f"__r_{c}", F.col(f"__r_{c}") / F.col("__n"))
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    for c in cols:
+        aggs.append(F.sum(F.col(f"__r_{c}")).alias(f"s_{c}"))
+        aggs.append(F.sum(F.col(f"__r_{c}") * F.col(f"__r_{c}")).alias(f"ss_{c}"))
+    for i, x in enumerate(cols):
+        for y in cols[i + 1 :]:
+            aggs.append(
+                F.sum(F.col(f"__r_{x}") * F.col(f"__r_{y}")).alias(f"sp_{x}_{y}")
+            )
+    s = ranked.agg(*aggs)
+    parts = []
+    for i, x in enumerate(cols):
+        for y in cols[i + 1 :]:
+            num = F.col("n") * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+            den = F.sqrt(
+                (F.col("n") * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
+                * (F.col("n") * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
+            )
+            parts.append(
+                s.select(
+                    F.lit(x).alias("x"),
+                    F.lit(y).alias("y"),
+                    F.round(num / den, 6).alias("spearman"),
+                )
+            )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram CONTAINMENT dedup (|A∩B| / min(|A|,|B|)) over the shared
+    MinHash-LSH candidates — catches quotes/excerpts that plain Jaccard
+    dilutes (a short doc fully inside a long one is containment ≈ 1,
+    jaccard ≈ |short|/|long|). Same shingle scan and candidate equi-join
+    as q_ngram_jaccard; only the denominator changes
+    (operators/dedup.py:ngram_containment_pairs)."""
+    from .operators.dedup import ngram_containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    out = ngram_containment_pairs(sh, "doc_id", threshold=0.3, candidates=cand)
+    return out.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3514,6 +3713,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_nested_agg": q_nested_agg,
     "q_window_median": q_window_median,
     "q_pattern_match": q_pattern_match,
+    "q_transition_matrix": q_transition_matrix,
+    "q_skew_report": q_skew_report,
+    "q_vocab_oov": q_vocab_oov,
+    "q_split_leakage": q_split_leakage,
+    "q_spearman_corr": q_spearman_corr,
+    "q_containment": q_containment,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,

@@ -242,11 +242,15 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
 
     from dataengineering_londonhousingmap_spark.queries import QUERIES
 
+    import os
+    import re
+
     QUERIES["q_join_bucketed"](spark, sf_dir)  # (re)writes the bucketed tables
+    tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+        bl, bo = spark.table(f"b_lineitem_{tag}"), spark.table(f"b_orders_{tag}")
         joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
