@@ -2671,3 +2671,91 @@ ORACLES["q_containment"] = f"""
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE i / least(sa.sz, sb.sz) >= 0.3
 """
+
+ORACLES["q_stream_late"] = """
+    WITH a AS (SELECT * FROM events WHERE event_id % 2 = 0),
+    b AS (SELECT * FROM events WHERE event_id % 2 = 1),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM a),
+    kept AS (
+        SELECT ts, event_type, value FROM a
+        UNION ALL
+        SELECT b.ts, b.event_type, b.value
+        FROM b, wm
+        WHERE date_trunc('hour', b.ts) + INTERVAL 1 HOUR > wm.wm
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS sum_value
+    FROM kept
+    GROUP BY 1, 2, 3
+"""
+
+ORACLES["q_gopher_rules"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               len({_TOKENS}) AS n_tokens,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+               length(regexp_replace(text, '[A-Za-z0-9 \\t\\n\\f\\r\\x0b]', '', 'g'))
+                   AS symbol_chars,
+               length(text) AS n_chars,
+               len(list_filter({_TOKENS},
+                   t -> list_contains({_STOPWORDS_SQL}, lower(t)))) AS stop_hits
+        FROM documents
+    ),
+    ratios AS (
+        SELECT doc_id,
+               CAST(n_tokens AS INTEGER) AS n_tokens,
+               round(alpha_chars / greatest(n_tokens, 1), 6) AS mean_word_len,
+               round(symbol_chars / greatest(n_chars, 1), 6) AS symbol_ratio,
+               round(stop_hits / greatest(n_tokens, 1), 6) AS stop_ratio
+        FROM base
+    )
+    SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, stop_ratio,
+           (n_tokens >= 10 AND n_tokens <= 10000) AS ok_length,
+           (mean_word_len >= 2.0 AND mean_word_len <= 10.0) AS ok_word_len,
+           (symbol_ratio <= 0.1) AS ok_symbols,
+           (stop_ratio >= 0.02) AS ok_stopwords,
+           ((n_tokens >= 10 AND n_tokens <= 10000)
+            AND (mean_word_len >= 2.0 AND mean_word_len <= 10.0)
+            AND (symbol_ratio <= 0.1)
+            AND (stop_ratio >= 0.02)) AS keep
+    FROM ratios
+"""
+
+ORACLES["q_collocations"] = f"""
+    WITH toks AS (
+        SELECT unnest({_TOKENS}) AS tok FROM documents
+    ),
+    uni AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c_tok FROM toks GROUP BY tok
+    ),
+    t_total AS (SELECT CAST(sum(c_tok) AS DOUBLE) AS t FROM uni),
+    toklists AS (SELECT {_TOKENS} AS tl FROM documents),
+    bg AS (
+        SELECT tl[i] || ' ' || tl[i + 1] AS bg
+        FROM (SELECT tl, unnest(generate_series(1, len(tl) - 1)) AS i
+              FROM toklists
+              WHERE len(tl) >= 2)
+    ),
+    n_total AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM bg),
+    bgc AS (
+        SELECT bg, CAST(count(*) AS BIGINT) AS n_xy,
+               split_part(bg, ' ', 1) AS x, split_part(bg, ' ', 2) AS y
+        FROM bg GROUP BY bg
+        HAVING count(*) >= 5
+    )
+    SELECT bgc.bg, bgc.n_xy,
+           ux.c_tok AS n_x, uy.c_tok AS n_y,
+           round((CAST(bgc.n_xy AS DOUBLE) * t_total.t * t_total.t)
+                 / (CAST(ux.c_tok AS DOUBLE) * CAST(uy.c_tok AS DOUBLE) * n_total.n),
+                 6) AS lift
+    FROM bgc
+    JOIN uni ux ON ux.tok = bgc.x
+    JOIN uni uy ON uy.tok = bgc.y
+    CROSS JOIN t_total
+    CROSS JOIN n_total
+    ORDER BY lift DESC, bgc.bg ASC
+    LIMIT 100
+"""

@@ -3640,6 +3640,122 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
 
 
+def q_stream_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP under an exact oracle: events replayed as
+    two micro-batches (even then odd event_ids); the watermark set by
+    batch 1 (max event time − 1 h) makes the engine DROP batch-2 rows
+    whose hourly window end ≤ watermark. The drop boundary was probed
+    empirically (strict >; equality drops) and the DuckDB oracle replays
+    the identical rule in plain SQL — the one streaming semantic none of
+    the other q_stream_* queries exercise, since their single-batch feeds
+    never observe an advanced watermark
+    (streaming/incremental.py:late_data_rollup)."""
+    from .streaming.incremental import late_data_rollup
+
+    tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
+    ev = _t(spark, sf_dir, "events")
+    return late_data_rollup(
+        spark,
+        ev,
+        stage_dir=os.path.join(STAGE_DIR, f"stream_late_{tag}"),
+        watermark="1 hour",
+        sink_name=f"late_rollup_sink_{tag}",
+    )
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document-filter ruleset — the standard pretraining
+    hygiene gate, as individual auditable flags rather than one opaque
+    score (complements q_text_quality's blended scalar): token-count
+    bounds, mean-word-length band, symbol ratio, stopword floor; keep =
+    all pass. Pure codegen expressions fused into the scan — no shuffle,
+    no UDF; ratios rounded on both engines so the thresholds cut
+    identically."""
+    docs = _t(spark, sf_dir, "documents")
+    from .functions.text import _STOPWORDS
+
+    c = F.col("text")
+    toks = tokens(c)
+    # NULL-guarded size: legacy size(NULL) is -1, ANSI is NULL — the guard
+    # makes the flags NULL on NULL text under BOTH session modes (and the
+    # oracle's len(NULL) is NULL already)
+    n_tok = F.when(c.isNull(), F.lit(None).cast("int")).otherwise(F.size(toks))
+    n_chars = F.length(c)
+    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    symbol_chars = F.length(F.regexp_replace(c, r"[A-Za-z0-9 \t\n\f\r\x0b]", ""))
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS)))
+    mean_wl = F.round(
+        alpha_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double"), 6
+    )
+    sym_ratio = F.round(
+        symbol_chars.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double"), 6
+    )
+    stop_ratio = F.round(
+        stop_hits.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double"), 6
+    )
+    ok_len = (n_tok >= 10) & (n_tok <= 10_000)
+    ok_wl = (mean_wl >= 2.0) & (mean_wl <= 10.0)
+    ok_sym = sym_ratio <= 0.1
+    ok_stop = stop_ratio >= 0.02
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        stop_ratio.alias("stop_ratio"),
+        ok_len.alias("ok_length"),
+        ok_wl.alias("ok_word_len"),
+        ok_sym.alias("ok_symbols"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_len & ok_wl & ok_sym & ok_stop).alias("keep"),
+    )
+
+
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by PMI lift: for each adjacent-token bigram with
+    ≥5 occurrences, lift = P(x,y)/(P(x)·P(y)) — expressed as ratios of
+    exact integer counts so the doubles are BIT-IDENTICAL across engines
+    (log-PMI would hinge on libm's last ulp; lift is the same ranking).
+    Top 100 by (lift desc, bigram asc). Corpus shape: one shuffle on
+    bigram, one on token, two small joins and two broadcast one-row
+    totals; at 100 TB the unigram join is the only non-broadcast one."""
+    from .operators.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    toks = docs.select(F.explode(tokens("text")).alias("tok"))
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    t_total = uni.agg(F.sum("c_tok").cast("double").alias("__T"))
+    bg = docs.select(F.explode(bigrams("text")).alias("bg"))
+    bgc = (
+        bg.groupBy("bg")
+        .agg(F.count("*").alias("n_xy"))
+        .filter(F.col("n_xy") >= 5)
+        .withColumn("__x", F.split(F.col("bg"), " ", 2)[0])
+        .withColumn("__y", F.split(F.col("bg"), " ", 2)[1])
+    )
+    n_total = bg.groupBy().agg(F.count("*").cast("double").alias("__N"))
+    ux = uni.select(F.col("tok").alias("__x"), F.col("c_tok").alias("n_x"))
+    uy = uni.select(F.col("tok").alias("__y"), F.col("c_tok").alias("n_y"))
+    scored = (
+        bgc.join(ux, "__x")
+        .join(uy, "__y")
+        .crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "bg",
+            "n_xy",
+            "n_x",
+            "n_y",
+            F.round(
+                (F.col("n_xy").cast("double") * F.col("__T") * F.col("__T"))
+                / (F.col("n_x").cast("double") * F.col("n_y").cast("double") * F.col("__N")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.col("lift").desc(), F.col("bg").asc()).limit(100)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3719,6 +3835,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_split_leakage": q_split_leakage,
     "q_spearman_corr": q_spearman_corr,
     "q_containment": q_containment,
+    "q_stream_late": q_stream_late,
+    "q_gopher_rules": q_gopher_rules,
+    "q_collocations": q_collocations,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,

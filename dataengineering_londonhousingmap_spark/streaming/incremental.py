@@ -22,6 +22,8 @@ completion).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -80,6 +82,84 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(exact_avg_cents("value").alias("avg_value"), F.count("*").alias("n"))
         .select(F.col("w.start").alias("hour"), "event_type", "avg_value", "n")
+    )
+
+
+def late_data_rollup(
+    spark: SparkSession,
+    events_batch: DataFrame,
+    stage_dir: str,
+    watermark: str = "1 hour",
+    sink_name: str = "late_rollup_sink",
+) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics made deterministic: the events
+    table is replayed as TWO micro-batches (even event_ids, then odd), so
+    the watermark established by batch 1 (max event time − delay) drops
+    batch-2 rows whose hourly window has already been finalized.
+
+    The drop rule, probed empirically on this engine: a late row is kept
+    iff its window END is STRICTLY greater than the watermark
+    (``end == wm`` drops — state for that window was just evicted). The
+    DuckDB oracle replays exactly that rule in SQL, making an
+    inherently-runtime streaming behavior oracle-exact.
+
+    Update-mode memory sink: a window updated by batch 2 appears twice;
+    the final value per key is the row with the max count (counts only
+    grow), picked with one max(struct) agg — no order-dependent reads.
+
+    At scale this is the production shape directly: file/Kafka source,
+    watermarked tumbling agg, idempotent sink; the two-batch feed is only
+    the test harness' way of pinning batch boundaries."""
+    import shutil
+
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    in_dir = os.path.join(stage_dir, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    ev = events_batch.select("event_id", "ts", "event_type", "value")
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(
+        os.path.join(in_dir, "batch_a")
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, event_type string, value double")
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("__n"), F.sum("value").alias("__sum"))
+    )
+    try:
+        spark.catalog.dropTempView(sink_name)
+    except Exception:
+        pass
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: establishes the watermark
+        ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(
+            os.path.join(in_dir, "batch_b")
+        )
+        q.processAllAvailable()  # batch 2: late rows dropped by the engine
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    sunk = spark.table(sink_name)
+    final = (
+        sunk.groupBy("w", "event_type")
+        .agg(F.max(F.struct("__n", "__sum")).alias("__m"))
+    )
+    return final.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "event_type",
+        F.col("__m.__n").alias("n"),
+        F.round(F.col("__m.__sum"), 4).alias("sum_value"),
     )
 
 
