@@ -86,6 +86,13 @@ HEADLINE = [
     "q_runtime_filter",
     "q_snapshot_diff",
     "q_udtf",
+    # round-3b shapes: Markov transitions (lead window + tiny agg),
+    # broadcast-vocab OOV scoring, PMI collocation mining, and the
+    # watermark late-drop two-batch replay
+    "q_transition_matrix",
+    "q_vocab_oov",
+    "q_collocations",
+    "q_stream_late",
 ]
 
 

@@ -195,3 +195,33 @@ def make_sentence_udtf():
         returnType="doc_id: long, pos: int, sentence: string, n_words: int",
         useArrow=True,
     )
+
+
+def arrow_text_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document char/byte stats via ``mapInArrow`` — the zero-copy rung
+    of the Python UDF ladder (scalar pandas UDF → mapInPandas →
+    applyInPandas[WithState] → UDTF → HERE): batches stay as Arrow
+    RecordBatches end-to-end, no pandas materialization, and the kernels
+    (``pyarrow.compute.utf8_length`` / ``binary_length``) run vectorized in
+    Arrow's C++ — the shape for byte-level feature extraction where even
+    the pandas conversion is measurable at 100 TB. Exact integer outputs,
+    so the query carries a plain-SQL oracle (length / octet_length)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            ids = batch.column(0)
+            txt = batch.column(1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pc.utf8_length(txt),
+                    pc.binary_length(txt.cast(pa.binary())),
+                ],
+                names=[id_col, "n_chars", "n_bytes"],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(
+        stats, f"{id_col} long, n_chars int, n_bytes int"
+    )

@@ -2759,3 +2759,19 @@ ORACLES["q_collocations"] = f"""
     ORDER BY lift DESC, bgc.bg ASC
     LIMIT 100
 """
+
+ORACLES["q_variant"] = """
+    SELECT o_orderkey,
+           o_orderstatus AS status,
+           o_totalprice AS price,
+           o_orderstatus AS tag1,
+           CAST(NULL AS VARCHAR) AS missing
+    FROM orders
+"""
+
+ORACLES["q_arrow_map"] = """
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(strlen(text) AS INTEGER) AS n_bytes
+    FROM documents
+"""

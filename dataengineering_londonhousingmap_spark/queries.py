@@ -3756,6 +3756,47 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("lift").desc(), F.col("bg").asc()).limit(100)
 
 
+def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT end-to-end: orders rows rendered to nested JSON
+    (to_json of struct/array), parsed with ``parse_json`` into a VARIANT
+    column, then extracted back with typed ``variant_get`` paths (nested
+    field, array index) and a ``try_variant_get`` miss → NULL. The
+    semi-structured column type the reference's flatten-at-ingest model
+    never had — at scale VARIANT defers schema to read time while staying
+    columnar-shredded. Oracle: the extractions must round-trip to the
+    original columns (Ryu shortest-repr doubles survive to_json →
+    parse_json exactly)."""
+    o = _t(spark, sf_dir, "orders")
+    j = F.to_json(
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.struct(
+                F.col("o_totalprice").alias("price"),
+                F.col("o_orderpriority").alias("priority"),
+            ).alias("detail"),
+            F.array(F.col("o_orderpriority"), F.col("o_orderstatus")).alias("tags"),
+        )
+    )
+    v = F.parse_json(j)
+    return o.select(
+        "o_orderkey",
+        F.variant_get(v, "$.status", "string").alias("status"),
+        F.variant_get(v, "$.detail.price", "double").alias("price"),
+        F.variant_get(v, "$.tags[1]", "string").alias("tag1"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing"),
+    )
+
+
+def q_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow text stats (operators/udfs.py:arrow_text_stats) — the
+    zero-copy UDF-ladder rung: Arrow RecordBatches transformed by
+    pyarrow.compute kernels with no pandas hop. Integer-exact outputs
+    under a plain length/strlen SQL oracle."""
+    from .operators.udfs import arrow_text_stats
+
+    return arrow_text_stats(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3838,6 +3879,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_late": q_stream_late,
     "q_gopher_rules": q_gopher_rules,
     "q_collocations": q_collocations,
+    "q_variant": q_variant,
+    "q_arrow_map": q_arrow_map,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,
