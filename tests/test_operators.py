@@ -623,3 +623,25 @@ def test_check_suite_verdicts(spark):
     }
     assert out["completeness:v"] == (round(2 / 3, 6), False)
     assert out["uniqueness:k"] == (round(2 / 3, 6), False)
+
+
+def test_containment_vs_jaccard_on_subset(spark):
+    """A short doc embedded verbatim in a long one: containment ≈ 1 while
+    jaccard dilutes toward |short|/|long| — the metric distinction
+    q_containment exists for."""
+    from dataengineering_londonhousingmap_spark.operators.dedup import (
+        char_shingles,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    long = ("unrelated preamble text here. " * 5) + short + (" trailing filler words" * 5)
+    docs = spark.createDataFrame([(1, short), (2, long)], "doc_id long, text string")
+    sh = char_shingles(docs, "doc_id", "text", w=8)
+    cont = ngram_containment_pairs(sh, "doc_id", threshold=0.0).collect()
+    jac = ngram_jaccard_pairs(sh, "doc_id", threshold=0.0).collect()
+    assert len(cont) == 1 and len(jac) == 1
+    c, j = cont[0]["containment"], jac[0]["jaccard"]
+    assert c > 0.9, c          # near-total containment
+    assert j < 0.5 * c, (j, c)  # jaccard diluted by the long doc

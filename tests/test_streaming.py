@@ -348,3 +348,35 @@ def test_upsert_sink_retires_moved_key_rows(spark, tmp_path):
     run_once()
     got = {(r.k, r.part, r.v) for r in spark.read.parquet(table).collect()}
     assert got == {(1, "B", 100.0), (2, "A", 2.0), (3, "B", 3.0)}, got
+
+
+def test_late_data_rollup_drop_boundary(spark, tmp_path):
+    """Pins the watermark drop rule the q_stream_late oracle replays:
+    batch-2 rows are kept iff window_end > (max ts of batch 1 − delay);
+    EQUALITY drops. Synthetic 4-row feed, independent of testdata vintage:
+      batch 1 (even ids): 10:05, 12:00  → wm = 11:00 exactly
+      batch 2 (odd ids):  10:59 (window end 11:00 == wm → DROP),
+                          11:10 (window end 12:00 > wm → KEEP)."""
+    from dataengineering_londonhousingmap_spark.streaming.incremental import late_data_rollup
+
+    rows = [
+        (0, "2024-01-01 10:05:00", "a", 1.0),
+        (2, "2024-01-01 12:00:00", "a", 2.0),
+        (1, "2024-01-01 10:59:00", "a", 4.0),
+        (3, "2024-01-01 11:10:00", "a", 8.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+    out = late_data_rollup(
+        spark, ev, stage_dir=str(tmp_path / "late"), watermark="1 hour",
+        sink_name="t_late_boundary",
+    )
+    got = {
+        (str(r["window_start"]), r["n"], r["sum_value"]) for r in out.collect()
+    }
+    assert got == {
+        ("2024-01-01 10:05:00"[:11] + "10:00:00", 1, 1.0),  # 10:59 dropped
+        ("2024-01-01 11:00:00", 1, 8.0),                     # 11:10 kept
+        ("2024-01-01 12:00:00", 1, 2.0),
+    }
