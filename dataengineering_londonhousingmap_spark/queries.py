@@ -3723,17 +3723,20 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
     toks = docs.select(F.explode(tokens("text")).alias("tok"))
-    uni = toks.groupBy("tok").agg(F.count("*").alias("c_tok"))
+    # the unigram table feeds THREE subtrees (x-join, y-join, total) and the
+    # bigram table two (counts, total) — eager checkpoints materialize each
+    # corpus explode+agg ONCE instead of once per consumer (vocab-sized
+    # results, so the stored blocks are tiny next to the avoided scans)
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c_tok")).localCheckpoint(eager=True)
     t_total = uni.agg(F.sum("c_tok").cast("double").alias("__T"))
     bg = docs.select(F.explode(bigrams("text")).alias("bg"))
+    bgc_all = bg.groupBy("bg").agg(F.count("*").alias("n_xy")).localCheckpoint(eager=True)
     bgc = (
-        bg.groupBy("bg")
-        .agg(F.count("*").alias("n_xy"))
-        .filter(F.col("n_xy") >= 5)
+        bgc_all.filter(F.col("n_xy") >= 5)
         .withColumn("__x", F.split(F.col("bg"), " ", 2)[0])
         .withColumn("__y", F.split(F.col("bg"), " ", 2)[1])
     )
-    n_total = bg.groupBy().agg(F.count("*").cast("double").alias("__N"))
+    n_total = bgc_all.agg(F.sum("n_xy").cast("double").alias("__N"))
     ux = uni.select(F.col("tok").alias("__x"), F.col("c_tok").alias("n_x"))
     uy = uni.select(F.col("tok").alias("__y"), F.col("c_tok").alias("n_y"))
     scored = (

@@ -23,7 +23,15 @@ from dataengineering_londonhousingmap_spark.session import get_session  # noqa: 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # memory-sink streaming queries execute on construction; their "plan" is the
 # incremental run itself
-STREAMING = {"q_stream_hourly", "q_stream_sessions", "q_stream_dedup", "q_stream_join"}
+STREAMING = {
+    "q_stream_hourly",
+    "q_stream_sessions",
+    "q_stream_dedup",
+    "q_stream_join",
+    "q_stream_sliding",
+    "q_stream_cdc",
+    "q_stream_late",
+}
 
 HEADER = '''# PLANS — physical plan evidence for the headline queries
 
