@@ -2775,3 +2775,6 @@ ORACLES["q_arrow_map"] = """
            CAST(strlen(text) AS INTEGER) AS n_bytes
     FROM documents
 """
+
+# the DAG-orchestrated run must land the identical serving star
+ORACLES["q_pipeline_dag"] = ORACLES["q_serving_dashboard"]
