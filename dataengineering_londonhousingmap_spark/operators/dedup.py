@@ -229,6 +229,46 @@ def ngram_jaccard_pairs(
     return out
 
 
+def lsh_candidate_pairs_against(
+    sig_new: DataFrame,
+    sig_index: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding of NEW documents against a standing INDEX — the
+    incremental-ingest dedup shape: band both signature sets, equi-join
+    new×index on (band_idx, band_hash). Never a self-join, so candidate
+    volume is |new-side collisions|, independent of index size beyond the
+    band join — the property that lets a daily increment dedup against a
+    100 TB standing corpus without rescanning it pairwise. Output:
+    distinct (id_a = new id, id_b = index id).
+    """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must divide evenly into bands ({bands})"
+        )
+    rows_per_band = num_hashes // bands
+
+    def to_bands(sig: DataFrame, out_id: str) -> DataFrame:
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        banded = sig.select(F.col(id_col).alias(out_id), *band_cols)
+        return banded.unpivot(
+            [out_id], [f"band{b}" for b in range(bands)], "band_idx", "band_hash"
+        )
+
+    a = to_bands(sig_new, "id_a")
+    b = to_bands(sig_index, "id_b")
+    return a.join(b, ["band_idx", "band_hash"]).select("id_a", "id_b").distinct()
+
+
 def ngram_containment_pairs(
     shingles: DataFrame,
     id_col: str,

@@ -2778,3 +2778,44 @@ ORACLES["q_arrow_map"] = """
 
 # the DAG-orchestrated run must land the identical serving star
 ORACLES["q_pipeline_dag"] = ORACLES["q_serving_dashboard"]
+
+ORACLES["q_dedup_incremental"] = f"""
+    WITH sh AS ({_SHINGLES}),
+    sig AS (
+        SELECT doc_id,
+               {_MINHASH_AGGS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+    {_BAND_SELECTS}
+    ),
+    split AS (
+        SELECT doc_id,
+               (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'ded_idx'), 1, 8) AS BIGINT)
+                % 10000 < 2000) AS is_new
+        FROM documents
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS id_a, i.doc_id AS id_b
+        FROM bands n
+        JOIN split sn ON sn.doc_id = n.doc_id AND sn.is_new
+        JOIN bands i ON i.band_idx = n.band_idx AND i.band_hash = n.band_hash
+        JOIN split si ON si.doc_id = i.doc_id AND NOT si.is_new
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a AS new_id, id_b AS index_id,
+           round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE i / (sa.sz + sb.sz - i) >= 0.2
+"""

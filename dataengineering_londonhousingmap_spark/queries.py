@@ -3814,6 +3814,33 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("lift").desc(), F.col("bg").asc()).limit(100)
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup AGAINST A STANDING INDEX — the production daily
+    shape none of the self-join dedups cover: a deterministic 20 % "new
+    batch" (md5 bucket of doc_id) LSH-banded against the other 80 % as the
+    standing corpus (operators/dedup.py:lsh_candidate_pairs_against — a
+    new×index band join, never a self-join), then n-gram Jaccard verify.
+    At 100 TB the index side is a precomputed signature table; the
+    increment never rescans the corpus pairwise. Output: new docs that
+    duplicate the index, with the matched index doc."""
+    from .operators.dedup import lsh_candidate_pairs_against
+    from .operators.sampling import _hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    is_new = _hash_bucket(F.col("doc_id"), "ded_idx") < 2000
+    cand = lsh_candidate_pairs_against(
+        sig.filter(is_new), sig.filter(~is_new), "doc_id", num_hashes=16, bands=4
+    )
+    pairs = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
+    return pairs.select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("index_id"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
 def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT end-to-end: orders rows rendered to nested JSON
     (to_json of struct/array), parsed with ``parse_json`` into a VARIANT
@@ -3940,6 +3967,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_variant": q_variant,
     "q_arrow_map": q_arrow_map,
     "q_pipeline_dag": q_pipeline_dag,
+    "q_dedup_incremental": q_dedup_incremental,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,

@@ -39,6 +39,10 @@ SCALEUP_SET = [
     "q_serving_radius",
     "q_join_range",
     "q_pack_sequences",
+    # round-3 additions: broadcast-vocab probe and the double-explode
+    # collocation miner — both corpus-wide text shapes
+    "q_vocab_oov",
+    "q_collocations",
 ]
 
 
