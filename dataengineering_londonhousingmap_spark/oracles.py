@@ -2819,3 +2819,40 @@ ORACLES["q_dedup_incremental"] = f"""
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE i / (sa.sz + sb.sz - i) >= 0.2
 """
+
+ORACLES["q_join_interval"] = """
+    WITH a AS (
+        SELECT o_orderkey AS a_key,
+               CAST(o_orderdate AS DATE) AS a_start,
+               CAST(o_orderdate AS DATE) + to_days(CAST(o_orderkey % 7 + 1 AS INTEGER)) AS a_end
+        FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    b AS (
+        SELECT o_orderkey AS b_key,
+               CAST(o_orderdate AS DATE) AS b_start,
+               CAST(o_orderdate AS DATE) + to_days(CAST(o_custkey % 5 + 1 AS INTEGER)) AS b_end
+        FROM orders WHERE o_orderkey % 10 = 1
+    )
+    SELECT a_key, b_key,
+           CAST(date_diff('day', greatest(a_start, b_start), least(a_end, b_end)) + 1
+                AS INTEGER) AS overlap_days
+    FROM a JOIN b ON a_start <= b_end AND b_start <= a_end
+"""
+
+ORACLES["q_equidepth"] = """
+    WITH vc AS (
+        SELECT l_quantity, CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1
+    ),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM vc),
+    ranked AS (
+        SELECT l_quantity, cnt,
+               sum(cnt) OVER (ORDER BY l_quantity) AS cum
+        FROM vc
+    )
+    SELECT least(10, CAST(((cum - cnt) * 10) // n.n AS INTEGER) + 1) AS bucket,
+           CAST(sum(cnt) AS BIGINT) AS n_rows,
+           min(l_quantity) AS lo,
+           max(l_quantity) AS hi
+    FROM ranked, n
+    GROUP BY 1
+"""

@@ -3841,6 +3841,81 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP join (two interval sets, not point-in-interval like
+    q_join_range): order-derived day intervals A×B matched where they
+    overlap. Scale shape: each interval explodes to its covered day
+    buckets, the join is an EQUI-join on day, pairs dedup once — candidate
+    volume is Σ|interval days| per day-bucket, never |A|×|B|; the overlap
+    length is recomputed exactly from the endpoints afterward. The
+    calendar/visit-overlap op every temporal warehouse needs."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.to_date("o_orderdate").alias("a_start"),
+        F.date_add(
+            F.to_date("o_orderdate"), (F.col("o_orderkey") % 7 + 1).cast("int")
+        ).alias("a_end"),
+    )
+    b = o.filter(F.col("o_orderkey") % 10 == 1).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.to_date("o_orderdate").alias("b_start"),
+        F.date_add(
+            F.to_date("o_orderdate"), (F.col("o_custkey") % 5 + 1).cast("int")
+        ).alias("b_end"),
+    )
+    aa = a.select("*", F.explode(F.sequence("a_start", "a_end")).alias("__day"))
+    bb = b.select("*", F.explode(F.sequence("b_start", "b_end")).alias("__day"))
+    pairs = (
+        aa.join(bb, "__day")
+        .dropDuplicates(["a_key", "b_key"])
+        .filter(
+            (F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end"))
+        )
+    )
+    return pairs.select(
+        "a_key",
+        "b_key",
+        (
+            F.datediff(
+                F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+            )
+            + 1
+        ).alias("overlap_days"),
+    )
+
+
+def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (NTILE-style) decile bucketing WITHOUT a global sort: the
+    fact's cumulative rank comes from the per-VALUE count table (≤50 rows
+    for l_quantity) cumulated in a tiny window; a whole tie group lands in
+    the bucket of its first rank (deterministic under ties, unlike NTILE's
+    arbitrary tie splitting), bucket = (rank_before·10) div n + 1 in exact
+    integer arithmetic. The trillion-row table contributes one map-side
+    count aggregation — the NTILE scale pattern q_window_ranks (true NTILE,
+    global window) can't survive at 100 TB."""
+    li = _t(spark, sf_dir, "lineitem")
+    vc = li.groupBy("l_quantity").agg(F.count("*").alias("__cnt"))
+    n = vc.agg(F.sum("__cnt").alias("__n"))
+    wv = Window.partitionBy(F.lit(0)).orderBy("l_quantity")
+    ranked = (
+        vc.withColumn("__cum", F.sum("__cnt").over(wv))
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.lit(10),
+                F.expr("((__cum - __cnt) * 10) div __n").cast("int") + 1,
+            ),
+        )
+    )
+    return ranked.groupBy("bucket").agg(
+        F.sum("__cnt").alias("n_rows"),
+        F.min("l_quantity").alias("lo"),
+        F.max("l_quantity").alias("hi"),
+    )
+
+
 def q_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT end-to-end: orders rows rendered to nested JSON
     (to_json of struct/array), parsed with ``parse_json`` into a VARIANT
@@ -3968,6 +4043,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_arrow_map": q_arrow_map,
     "q_pipeline_dag": q_pipeline_dag,
     "q_dedup_incremental": q_dedup_incremental,
+    "q_join_interval": q_join_interval,
+    "q_equidepth": q_equidepth,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,
