@@ -2856,3 +2856,27 @@ ORACLES["q_equidepth"] = """
     FROM ranked, n
     GROUP BY 1
 """
+
+ORACLES["q_sample_temperature"] = """
+    WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 15 < 1 THEN 'g0'
+                    WHEN doc_id % 15 < 3 THEN 'g1'
+                    WHEN doc_id % 15 < 7 THEN 'g2'
+                    ELSE 'g3' END AS src_group
+        FROM documents
+    ),
+    cnt AS (
+        SELECT src_group, CAST(count(*) AS BIGINT) AS n FROM docs GROUP BY src_group
+    ),
+    c AS (SELECT min(sqrt(n)) AS c FROM cnt),
+    rate AS (
+        SELECT src_group, CAST(floor(c.c / sqrt(n) * 10000) AS BIGINT) AS thr
+        FROM cnt, c
+    )
+    SELECT d.doc_id, d.src_group
+    FROM docs d
+    JOIN rate r ON r.src_group = d.src_group
+    WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 8) AS BIGINT)
+          % 10000 < r.thr
+"""

@@ -3841,6 +3841,39 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual/multi-source
+    rebalance: keep-rate ∝ n_source^(α−1), α = 0.5, scaled so the rarest
+    source keeps everything) — upweights rare sources without a weights
+    dict, the standard alternative to q_sample_mixture's fixed targets.
+    Entirely declarative: tiny per-source count agg → broadcast threshold
+    join → md5-lottery filter; α = 0.5 deliberately, because sqrt is
+    IEEE-EXACT in both engines (a libm pow() would put the floor()'d
+    threshold one ulp apart across engines), so keep decisions are
+    bit-identical."""
+    from .operators.sampling import _hash_bucket
+
+    # the testdata's `source` is uniform, which would make the rebalance a
+    # no-op — derive a deterministically SKEWED grouping (sizes 1:2:4:8 per
+    # 15-id ring) so the upweighting is actually exercised and checked
+    m = F.col("doc_id") % 15
+    grp = (
+        F.when(m < 1, "g0").when(m < 3, "g1").when(m < 7, "g2").otherwise("g3")
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", grp.alias("src_group"))
+    cnt = docs.groupBy("src_group").agg(F.count("*").alias("__n"))
+    c = cnt.agg(F.min(F.sqrt("__n")).alias("__c"))
+    rate = cnt.crossJoin(F.broadcast(c)).select(
+        "src_group",
+        F.floor(F.col("__c") / F.sqrt("__n") * 10000).cast("long").alias("__thr"),
+    )
+    return (
+        docs.join(F.broadcast(rate), "src_group")
+        .filter(_hash_bucket(F.col("doc_id"), "temp") < F.col("__thr"))
+        .select("doc_id", "src_group")
+    )
+
+
 def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-OVERLAP join (two interval sets, not point-in-interval like
     q_join_range): order-derived day intervals A×B matched where they
@@ -4045,6 +4078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_incremental": q_dedup_incremental,
     "q_join_interval": q_join_interval,
     "q_equidepth": q_equidepth,
+    "q_sample_temperature": q_sample_temperature,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,
