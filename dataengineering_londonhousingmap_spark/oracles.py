@@ -2880,3 +2880,38 @@ ORACLES["q_sample_temperature"] = """
     WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR) || 'temp'), 1, 8) AS BIGINT)
           % 10000 < r.thr
 """
+
+ORACLES["q_stream_dedup_late"] = """
+    WITH a AS (
+        SELECT user_id, ts, event_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events WHERE event_id % 2 = 0
+        ) WHERE rn = 1
+    ),
+    b AS (
+        SELECT user_id, ts, event_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CASE WHEN user_id % 2 = 0 THEN ts END DESC,
+                                CASE WHEN user_id % 2 = 0 THEN event_id END DESC,
+                                ts ASC, event_id ASC
+                   ) AS rn
+            FROM events WHERE event_id % 2 = 1
+        ) WHERE rn = 1
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS wm FROM a)
+    SELECT user_id, ts, event_id FROM a
+    UNION ALL
+    SELECT b.user_id, b.ts, b.event_id
+    FROM b
+    CROSS JOIN wm
+    LEFT JOIN a ON a.user_id = b.user_id
+    WHERE b.ts > wm.wm
+      AND (a.user_id IS NULL OR a.ts + INTERVAL 1 HOUR <= wm.wm)
+"""

@@ -3851,6 +3851,52 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming dedup ACROSS batch boundaries — the
+    at-least-once caveat q_stream_dedup's single-batch feed can't show:
+    events replayed as two micro-batches (each pre-deduped to its first
+    row per user so the engine's only work is cross-batch state), where a
+    user whose batch-1 state EXPIRED under the watermark is re-emitted on
+    their batch-2 row, fresh-state duplicates are suppressed, and
+    below-watermark rows are dropped. All three boundary rules were
+    empirically probed (strict ts > wm keep; state_ts + delay <= wm
+    expiry) and the DuckDB oracle replays them exactly
+    (streaming/incremental.py:dedup_two_batch_replay)."""
+    from .streaming.incremental import dedup_two_batch_replay
+
+    tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+
+    def one_per_user(df: DataFrame, last: bool) -> DataFrame:
+        agg = F.max(F.struct("ts", "event_id")) if last else F.min(F.struct("ts", "event_id"))
+        return (
+            df.groupBy("user_id")
+            .agg(agg.alias("__m"))
+            .select("user_id", F.col("__m.ts").alias("ts"), F.col("__m.event_id").alias("event_id"))
+        )
+
+    # batch 1 = each user's LAST even event (a mix of fresh and stale
+    # state); batch 2 = per user, the LAST odd event for even user_ids and
+    # the FIRST odd event for odd user_ids — chosen so all three engine
+    # paths fire in bulk: early rows drop as late, recent rows against
+    # fresh state suppress, recent rows against expired state re-admit
+    odd = ev.filter(F.col("event_id") % 2 == 1)
+    a = one_per_user(ev.filter(F.col("event_id") % 2 == 0), last=True)
+    b = one_per_user(odd.filter(F.col("user_id") % 2 == 0), last=True).unionAll(
+        one_per_user(odd.filter(F.col("user_id") % 2 == 1), last=False)
+    )
+    out = dedup_two_batch_replay(
+        spark,
+        a,
+        b,
+        stage_dir=os.path.join(STAGE_DIR, f"stream_dedup_late_{tag}"),
+        key_col="user_id",
+        watermark="1 hour",
+        sink_name=f"dedup_replay_sink_{tag}",
+    )
+    return out.select("user_id", "ts", "event_id")
+
+
 def q_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source mixing (the multilingual/multi-source
     rebalance: keep-rate ∝ n_source^(α−1), α = 0.5, scaled so the rarest
@@ -4089,6 +4135,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_join_interval": q_join_interval,
     "q_equidepth": q_equidepth,
     "q_sample_temperature": q_sample_temperature,
+    "q_stream_dedup_late": q_stream_dedup_late,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,

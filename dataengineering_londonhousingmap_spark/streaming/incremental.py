@@ -163,6 +163,67 @@ def late_data_rollup(
     )
 
 
+def dedup_two_batch_replay(
+    spark: SparkSession,
+    batch_a: DataFrame,
+    batch_b: DataFrame,
+    stage_dir: str,
+    key_col: str,
+    watermark: str = "1 hour",
+    sink_name: str = "dedup_replay_sink",
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` across TWO micro-batches — the
+    at-least-once boundary of watermarked dedup, made deterministic and
+    oracle-checkable. Both input batches must already be unique per
+    ``key_col`` (pre-dedup them batch-side) so the only dedup the ENGINE
+    performs is cross-batch state lookup.
+
+    Empirically probed rules this engine applies to batch-2 rows (the
+    oracle must replay them exactly):
+      * late filter: kept iff ``ts`` STRICTLY > watermark
+        (= max batch-1 ts − delay; equality drops);
+      * re-admission: a key whose batch-1 state has expired
+        (``state_ts + delay <= wm`` — equality expires) is EMITTED AGAIN —
+        the documented at-least-once caveat of watermark-bounded dedup
+        state, usually invisible in single-batch tests."""
+    import shutil
+
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    in_dir = os.path.join(stage_dir, "in")
+    os.makedirs(in_dir, exist_ok=True)
+    # watermarks require TIMESTAMP (with zone); the testdata vintage may
+    # read as TIMESTAMP_NTZ — exact cast under the pinned UTC session
+    batch_a = batch_a.withColumn("ts", F.col("ts").cast("timestamp"))
+    batch_b = batch_b.withColumn("ts", F.col("ts").cast("timestamp"))
+    schema = batch_a.schema
+    batch_a.coalesce(1).write.parquet(os.path.join(in_dir, "batch_a"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(in_dir)
+    )
+    dd = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key_col])
+    try:
+        spark.catalog.dropTempView(sink_name)
+    except Exception:
+        pass
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: seeds state + watermark
+        batch_b.coalesce(1).write.parquet(os.path.join(in_dir, "batch_b"))
+        q.processAllAvailable()  # batch 2: late drop / dedup / re-admission
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    return spark.table(sink_name)
+
+
 def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Stateful dedup on event id within the watermark horizon — the rerun-
     idempotence operator (replaces the reference's double-insert-on-retry).
