@@ -2915,3 +2915,40 @@ ORACLES["q_stream_dedup_late"] = """
     WHERE b.ts > wm.wm
       AND (a.user_id IS NULL OR a.ts + INTERVAL 1 HOUR <= wm.wm)
 """
+
+ORACLES["q_embed_class_report"] = """
+    WITH ex AS (
+        SELECT label, vec_id,
+               generate_subscripts(embedding, 1) AS d,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    n AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM embeddings GROUP BY label),
+    cent AS (
+        SELECT ex.label, d, sum(x) / any_value(n.n_vecs) AS c
+        FROM ex JOIN n ON n.label = ex.label
+        GROUP BY ex.label, d
+    ),
+    cnorm AS (
+        SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY label
+    ),
+    per_vec AS (
+        SELECT ex.label, ex.vec_id,
+               sum(x * c) AS dot,
+               sqrt(sum(x * x)) AS vn
+        FROM ex JOIN cent ON cent.label = ex.label AND cent.d = ex.d
+        GROUP BY ex.label, ex.vec_id
+    ),
+    cosines AS (
+        SELECT p.label,
+               CASE WHEN p.vn > 0 AND cn.cn > 0 THEN p.dot / (p.vn * cn.cn) END AS cos
+        FROM per_vec p JOIN cnorm cn ON cn.label = p.label
+    )
+    SELECT c.label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(avg(cos), 6) AS mean_cos,
+           round(min(cos), 6) AS min_cos,
+           round(any_value(cn.cn), 6) AS centroid_norm
+    FROM cosines c JOIN cnorm cn ON cn.label = c.label
+    GROUP BY c.label
+"""

@@ -3851,6 +3851,53 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embed_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class separability report (the embedding-QA pass
+    before training on labeled vectors): per label, the vector count,
+    centroid L2 norm, and the mean/min cosine of members to their own
+    centroid (low mean = diffuse class; low min = outliers/mislabels).
+    Long-format throughout — posexplode to (label, dim) sums, centroid =
+    sum/n, one equi-join back — so no k×dim ever reaches the driver and
+    the plan is two keyed shuffles regardless of corpus size."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("d", "x")
+    ).withColumn("x", F.col("x").cast("double"))
+    n = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    cent = (
+        ex.groupBy("label", "d")
+        .agg(F.sum("x").alias("__s"))
+        .join(F.broadcast(n), "label")
+        .select("label", "d", (F.col("__s") / F.col("n_vecs")).alias("c"))
+    )
+    cnorm = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("__cn"))
+    per_vec = (
+        ex.join(cent, ["label", "d"])
+        .groupBy("label", "vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("c")).alias("__dot"),
+            F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("__vn"),
+        )
+        .join(F.broadcast(cnorm), "label")
+        .select(
+            "label",
+            F.when(
+                (F.col("__vn") > 0) & (F.col("__cn") > 0),
+                F.col("__dot") / (F.col("__vn") * F.col("__cn")),
+            ).alias("__cos"),
+        )
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.round(F.avg("__cos"), 6).alias("mean_cos"),
+            F.round(F.min("__cos"), 6).alias("min_cos"),
+        )
+        .join(cnorm.select("label", F.round("__cn", 6).alias("centroid_norm")), "label")
+    )
+
+
 def q_stream_dedup_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked streaming dedup ACROSS batch boundaries — the
     at-least-once caveat q_stream_dedup's single-batch feed can't show:
@@ -4136,6 +4183,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_equidepth": q_equidepth,
     "q_sample_temperature": q_sample_temperature,
     "q_stream_dedup_late": q_stream_dedup_late,
+    "q_embed_class_report": q_embed_class_report,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,
