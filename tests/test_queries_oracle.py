@@ -52,3 +52,24 @@ def test_rows_only_queries_run(name, spark):
     df = QUERIES[name](spark, SF)
     assert df.count() >= 0
     assert df.schema is not None
+
+
+def test_bench_and_scaleup_sets_reference_real_queries():
+    """Guards the harness lists against renames: every bench headline and
+    scale-up entry must be a catalog key, or bench.py / gen_scaleup.py
+    would crash in the driver's per-round run."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def names_from(path, attr):
+        spec = importlib.util.spec_from_file_location("m_" + attr, path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return getattr(mod, attr)
+
+    headline = names_from(os.path.join(root, "bench.py"), "HEADLINE")
+    scaleup = names_from(os.path.join(root, "tools", "gen_scaleup.py"), "SCALEUP_SET")
+    assert set(headline) <= set(QUERIES), sorted(set(headline) - set(QUERIES))
+    assert set(scaleup) <= set(QUERIES), sorted(set(scaleup) - set(QUERIES))
