@@ -2952,3 +2952,26 @@ ORACLES["q_embed_class_report"] = """
     FROM cosines c JOIN cnorm cn ON cn.label = c.label
     GROUP BY c.label
 """
+
+ORACLES["q_copurchase"] = """
+    WITH li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    freq AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS f FROM li GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    )
+    SELECT part_a, part_b, n_orders,
+           fa.f AS n_a, fb.f AS n_b,
+           round(n_orders / least(fa.f, fb.f), 6) AS confidence
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+"""

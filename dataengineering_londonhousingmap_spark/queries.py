@@ -3851,6 +3851,48 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same order,
+    with pair count and support vs each part's order frequency (the
+    recommender co-occurrence matrix). The self-join is keyed on
+    l_orderkey whose group size is BOUNDED (≤7 lines/order in this schema)
+    — per-key pair fan-out is ≤21 rows, so the shuffle is linear in
+    |lineitem| at any scale, unlike an unbounded-key self-join. Pairs with
+    ≥3 co-occurrences; distinct parts per order first (multi-line same
+    part counts once — set semantics like any co-occurrence model)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    freq = li.groupBy("l_partkey").agg(F.count("*").alias("__f"))
+    a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 3)
+    )
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("__f").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("__f").alias("n_b"))
+    return (
+        pairs.join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_orders",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_orders") / F.least("n_a", "n_b"), 6
+            ).alias("confidence"),
+        )
+    )
+
+
 def q_embed_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space class separability report (the embedding-QA pass
     before training on labeled vectors): per label, the vector count,
@@ -4184,6 +4226,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_sample_temperature": q_sample_temperature,
     "q_stream_dedup_late": q_stream_dedup_late,
     "q_embed_class_report": q_embed_class_report,
+    "q_copurchase": q_copurchase,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,
