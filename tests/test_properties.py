@@ -286,3 +286,56 @@ def test_tokens_cross_engine_whitespace(spark, values):
         ).fetchall()
     }
     assert got == want, (got, want, values)
+
+
+@settings(max_examples=25, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.text(alphabet=" \t\n\f\r\x0b!?.#the a%Z9é", min_size=0, max_size=30), min_size=1, max_size=8))
+def test_gopher_ratios_cross_engine(spark, values):
+    """q_gopher_rules' ratio expressions (token count, alpha chars, symbol
+    chars, stopword hits) must agree with their DuckDB twins on arbitrary
+    whitespace / punctuation / non-ASCII text — the same class-spelling
+    discipline the tokenizer fuzz enforces, extended to the filter-rule
+    regex classes."""
+    import duckdb
+
+    from dataengineering_londonhousingmap_spark.functions.text import _STOPWORDS, tokens
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(values)], "i long, text string")
+    toks = tokens(F.col("text"))
+    got = {
+        r.i: (r.n, r.alpha, r.sym, r.stop)
+        for r in df.select(
+            "i",
+            F.size(toks).alias("n"),
+            F.length(F.regexp_replace("text", r"[^A-Za-z]", "")).alias("alpha"),
+            F.length(
+                F.regexp_replace("text", r"[A-Za-z0-9 \t\n\f\r\x0b]", "")
+            ).alias("sym"),
+            F.size(F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS))).alias("stop"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, ?)" for i in range(len(values)))
+        + ") v(i, text)",
+        list(values),
+    )
+    ws = "[ \t\n\f\r\x0b]+"
+    toks_sql = (
+        f"CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[]) "
+        f"ELSE string_split_regex(trim(text), '{ws}') END"
+    )
+    stop_sql = "['" + "','".join(_STOPWORDS) + "']"
+    want = {
+        r[0]: (r[1], r[2], r[3], r[4])
+        for r in con.execute(
+            f"""SELECT i,
+                   len({toks_sql}),
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')),
+                   length(regexp_replace(text, '[A-Za-z0-9 \t\n\f\r\x0b]', '', 'g')),
+                   len(list_filter({toks_sql}, x -> list_contains({stop_sql}, lower(x))))
+                FROM t"""
+        ).fetchall()
+    }
+    assert got == want, (got, want, values)
