@@ -10,9 +10,12 @@ Rules (mirror queries.py exactly or the value-hash mismatches):
     default) — every global replace below carries it;
   * md5 everywhere a hash is needed (bit-identical across engines).
 
-Approximate/streaming operators (q_embed_ann_lsh) intentionally have NO
-oracle — the driver records a rows-only check for them, and their exact
-twins (q_embed_topk) carry the correctness burden.
+EVERY catalog entry has an oracle (the driver scores a missing one as a
+red row — VERDICT r02). Approximate operators are exact-oracled by
+reproducing their md5-derived hyperplanes/centroids as SQL literals
+(the brute-force twins remain as recall baselines); runtime streaming
+semantics (watermark late-drop, dedup state expiry) are oracled by
+replaying their empirically-probed boundary rules in SQL.
 """
 
 from __future__ import annotations
