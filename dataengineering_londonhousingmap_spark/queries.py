@@ -838,8 +838,8 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The vector-math HOF surface under an EXACT oracle (the ANN queries
-    exercise it rows-only): per embedding, the L2 norm and the dot product
+    """The vector-math HOF surface under an EXACT oracle: per embedding,
+    the L2 norm and the dot product
     against a broadcast unit direction — both as sequential left folds
     (functions/vectors.py), whose accumulation order DuckDB's list_reduce
     reproduces exactly, so no tolerance is needed. Everything codegen-side;
@@ -1484,8 +1484,11 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed ANN (approximate — rows-only check; the
-    bruteforce twin above is the oracle-exact baseline)."""
+    """Hyperplane-LSH bucketed ANN — approximate in RECALL, exact in
+    construction: the md5-derived hyperplanes are reproduced as literals
+    in the DuckDB oracle, so the bucket assignment, candidate set, and
+    rerank are hash-compared end-to-end (the bruteforce twin remains the
+    recall baseline)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     out = ann_topk_lsh(emb, queries, k=5, num_tables=8, planes_per_table=4, dim=64)
@@ -1494,8 +1497,9 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: deterministic centroid sample → inverted-list
-    assignment → n_probe nearest lists per query → exact rerank
-    (approximate — rows-only check)."""
+    assignment → n_probe nearest lists per query → exact rerank.
+    Approximate in recall, oracle-EXACT in construction (md5-seeded
+    deterministic centroids replayed in SQL)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     out = ann_topk_ivf(emb, queries, k=5, n_centroids=16, n_probe=4)
@@ -1506,7 +1510,9 @@ def q_embed_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with Lloyd-trained centroids — the iterative-algorithm pattern:
     a driver loop of distributed assignment + element-wise mean aggregations
     (operators/similarity.py:train_ivf_centroids); only the k×dim centroid
-    matrix ever reaches the driver. Approximate — rows-only check."""
+    matrix ever reaches the driver. Approximate in recall, oracle-EXACT
+    in construction: the Lloyd iterations are unrolled in the DuckDB
+    oracle's CTE chain."""
     emb = _t(spark, sf_dir, "embeddings")
     cents = train_ivf_centroids(emb, k=16, iters=2)
     queries = emb.filter(F.col("vec_id") < 10)
@@ -1524,8 +1530,9 @@ def q_dedup_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, scale path: hyperplane-LSH self-join
-    candidates → exact cosine verify (approximate — rows-only check; the
-    exact twin above carries the oracle).
+    candidates → exact cosine verify. Approximate in recall, oracle-EXACT
+    in construction (plane-literal bucket SQL; the exact twin above is the
+    recall baseline).
 
     8 planes/table (256 buckets): the candidate self-join is quadratic per
     bucket, so bucket granularity — not table count — is the scale knob. At
