@@ -2978,3 +2978,6 @@ ORACLES["q_copurchase"] = """
     JOIN freq fa ON fa.l_partkey = part_a
     JOIN freq fb ON fb.l_partkey = part_b
 """
+
+# streaming native session windows: complete-mode finite feed == batch merge
+ORACLES["q_stream_session_native"] = ORACLES["q_session_window"]

@@ -3858,6 +3858,38 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows ON THE STREAMING ENGINE (F.session_window +
+    watermark under readStream) — completes the sessionization trio:
+    q_stream_sessions is the custom applyInPandasWithState operator,
+    q_session_window the batch-native merge; this is Catalyst's own
+    streaming MergingSessions exec with watermark-bounded state. Complete
+    output mode on the finite feed → the emitted table equals the batch
+    merge, so the batch islands SQL is an exact oracle."""
+    from .streaming.incremental import read_events_stream, run_stream_to_memory
+
+    tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
+    ev = read_events_stream(spark, sf_dir)
+    sessions = (
+        ev.withWatermark("ts", "2 hours")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return run_stream_to_memory(
+        sessions, f"stream_session_native_sink_{tag}", "complete"
+    )
+
+
 def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: part pairs appearing in the same order,
     with pair count and support vs each part's order frequency (the
@@ -4234,6 +4266,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_dedup_late": q_stream_dedup_late,
     "q_embed_class_report": q_embed_class_report,
     "q_copurchase": q_copurchase,
+    "q_stream_session_native": q_stream_session_native,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,
