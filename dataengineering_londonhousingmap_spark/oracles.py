@@ -2981,3 +2981,38 @@ ORACLES["q_copurchase"] = """
 
 # streaming native session windows: complete-mode finite feed == batch merge
 ORACLES["q_stream_session_native"] = ORACLES["q_session_window"]
+
+def _pr_iter(prev: str, out: str) -> str:
+    return f"""
+    c_{out} AS (
+        SELECT e.dst AS part, sum(r.rank / d.deg) AS cin
+        FROM {prev} r
+        JOIN edges e ON e.src = r.part
+        JOIN deg d ON d.src = e.src
+        GROUP BY e.dst
+    ),
+    {out} AS (
+        SELECT nodes.part, 0.15 / nn.n + 0.85 * coalesce(c_{out}.cin, 0.0) AS rank
+        FROM nodes CROSS JOIN nn
+        LEFT JOIN c_{out} ON c_{out}.part = nodes.part
+    )"""
+
+
+ORACLES["q_pagerank"] = f"""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS src, b.l_partkey AS dst
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    ),
+    edges AS (
+        SELECT src, dst FROM pairs UNION ALL SELECT dst, src FROM pairs
+    ),
+    deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    nodes AS (SELECT src AS part FROM deg),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT part, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),{_pr_iter("r0", "r1")},{_pr_iter("r1", "r2")},{_pr_iter("r2", "r3")}
+    SELECT part, round(rank, 9) AS rank FROM r3
+"""

@@ -3858,6 +3858,61 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 unrolled iterations, damping 0.85) over the co-purchase
+    part graph — the WEIGHTED iterative-propagation pattern next to
+    connected components' min-label (X40) and Lloyd's means (X37): a
+    driver loop where each iteration is ONE shuffle (ranks ⋈ edges on the
+    source key, then a destination-keyed sum), ranks localCheckpointed per
+    step so the plan doesn't grow. Edges are the symmetric ≥3-co-occurrence
+    pairs (bounded-key self-join, q_copurchase); every node has an edge so
+    no dangling-mass term. Oracle: the three iterations unrolled as chained
+    CTEs; only the FINAL rank is rounded, intermediate float noise is
+    ~1e-15 per step."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 3)
+        .select("src", "dst")
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+    nodes = deg.select(F.col("src").alias("part"))
+    n_nodes = nodes.agg(F.count("*").cast("double").alias("__N"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "part", (F.lit(1.0) / F.col("__N")).alias("rank")
+    )
+    for _ in range(3):
+        contrib = (
+            ranks.join(edges, ranks.part == edges.src)
+            .join(deg, "src")
+            .select(F.col("dst").alias("part"), (F.col("rank") / F.col("__deg")).alias("__c"))
+            .groupBy("part")
+            .agg(F.sum("__c").alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "part", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "part",
+                (
+                    F.lit(0.15) / F.col("__N")
+                    + F.lit(0.85) * F.coalesce(F.col("__in"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("part", F.round("rank", 9).alias("rank"))
+
+
 def q_stream_session_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native session windows ON THE STREAMING ENGINE (F.session_window +
     watermark under readStream) — completes the sessionization trio:
@@ -4267,6 +4322,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embed_class_report": q_embed_class_report,
     "q_copurchase": q_copurchase,
     "q_stream_session_native": q_stream_session_native,
+    "q_pagerank": q_pagerank,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,
