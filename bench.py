@@ -93,6 +93,14 @@ HEADLINE = [
     "q_vocab_oov",
     "q_collocations",
     "q_stream_late",
+    # round-3c shapes: index-relative incremental dedup, bounded-key
+    # co-occurrence, iterative weighted propagation, sort-free equi-depth,
+    # and rank correlation from value-table cumsums
+    "q_dedup_incremental",
+    "q_copurchase",
+    "q_pagerank",
+    "q_equidepth",
+    "q_spearman_corr",
 ]
 
 
