@@ -3016,3 +3016,47 @@ ORACLES["q_pagerank"] = f"""
     r0 AS (SELECT part, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),{_pr_iter("r0", "r1")},{_pr_iter("r1", "r2")},{_pr_iter("r2", "r3")}
     SELECT part, round(rank, 9) AS rank FROM r3
 """
+
+ORACLES["q_join_nullsafe"] = """
+    WITH cust AS (
+        SELECT c_custkey,
+               CASE WHEN c_mktsegment = 'MACHINERY' THEN NULL
+                    ELSE c_mktsegment END AS segment
+        FROM customer
+    ),
+    segs AS (
+        SELECT segment, upper(segment) AS segment_label
+        FROM (SELECT DISTINCT c_mktsegment AS segment FROM customer)
+        WHERE segment <> 'MACHINERY'
+        UNION ALL
+        SELECT NULL, 'UNKNOWN'
+    )
+    SELECT c.c_custkey, s.segment_label
+    FROM cust c JOIN segs s ON c.segment IS NOT DISTINCT FROM s.segment
+"""
+
+ORACLES["q_set_ops_all"] = """
+    WITH open_r AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS prio
+        FROM orders WHERE o_orderstatus = 'O'
+    ),
+    done_r AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS prio
+        FROM orders WHERE o_orderstatus = 'F'
+    ),
+    surplus AS (
+        SELECT custkey, prio, 'open_surplus' AS bucket
+        FROM (SELECT * FROM open_r EXCEPT ALL SELECT * FROM done_r)
+    ),
+    common AS (
+        SELECT custkey, prio, 'common' AS bucket
+        FROM (SELECT * FROM open_r INTERSECT ALL SELECT * FROM done_r)
+    )
+    SELECT custkey, prio, bucket, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT * FROM surplus UNION ALL SELECT * FROM common)
+    GROUP BY custkey, prio, bucket
+"""
+
+from .queries import _SQL_LATERAL as _SQL_LATERAL_TWIN
+
+ORACLES["q_sql_lateral"] = _SQL_LATERAL_TWIN

@@ -3858,6 +3858,87 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): customer
+    segments with 'MACHINERY' nulled out joined to a segment dim that
+    carries an explicit NULL row — NULL keys MATCH under eqNullSafe where
+    a plain equi-join silently drops them (the classic silent-row-loss bug
+    in dimension joins with incomplete keys). Catalyst still plans this as
+    a hash join (null-safe keys hash like values), so the scale shape is
+    unchanged."""
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "MACHINERY", F.lit(None))
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment"),
+    )
+    segs = (
+        _t(spark, sf_dir, "customer")
+        .select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+        .filter(F.col("segment") != "MACHINERY")
+        .select("segment", F.upper("segment").alias("segment_label"))
+        .unionByName(
+            spark.createDataFrame(
+                [(None, "UNKNOWN")], "segment string, segment_label string"
+            )
+        )
+    )
+    return (
+        cust.join(F.broadcast(segs), cust.segment.eqNullSafe(segs.segment))
+        .select("c_custkey", "segment_label")
+    )
+
+
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the MULTISET semantics q_set_ops'
+    set-variants erase: per-customer order-priority occurrences compared
+    between open and finished orders, keeping surplus DUPLICATE
+    occurrences (a customer with 3 open and 1 finished 'URGENT' rows
+    contributes 2 to except_all, 1 to intersect_all). Spark plans both as
+    a single count-compare aggregation per key — no row explosion."""
+    orders = _t(spark, sf_dir, "orders")
+    open_r = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey"), F.col("o_orderpriority").alias("prio")
+    )
+    done_r = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey"), F.col("o_orderpriority").alias("prio")
+    )
+    surplus = open_r.exceptAll(done_r).withColumn("bucket", F.lit("open_surplus"))
+    common = open_r.intersectAll(done_r).withColumn("bucket", F.lit("common"))
+    return (
+        surplus.unionByName(common)
+        .groupBy("custkey", "prio", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_SQL_LATERAL = """
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+        SELECT c.c_name, c.c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c.c_acctbal DESC, c.c_name
+        LIMIT 2
+    ) t
+"""
+
+
+def q_sql_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 4 SQL): top-2 customers by
+    balance per nation as a correlated per-row subquery — the optimizer
+    surface where Catalyst decorrelates the LATERAL into a ranked join
+    instead of executing it per outer row. One query text, two engines:
+    the identical string IS the DuckDB oracle (same q_sql_entry
+    discipline), with a total-order tiebreak inside the LIMIT."""
+    from .sources.io import register_testdata_views
+
+    register_testdata_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL)
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (3 unrolled iterations, damping 0.85) over the co-purchase
     part graph — the WEIGHTED iterative-propagation pattern next to
@@ -4323,6 +4404,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_copurchase": q_copurchase,
     "q_stream_session_native": q_stream_session_native,
     "q_pagerank": q_pagerank,
+    "q_join_nullsafe": q_join_nullsafe,
+    "q_set_ops_all": q_set_ops_all,
+    "q_sql_lateral": q_sql_lateral,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,
