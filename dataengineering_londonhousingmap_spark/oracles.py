@@ -3060,3 +3060,36 @@ ORACLES["q_set_ops_all"] = """
 from .queries import _SQL_LATERAL as _SQL_LATERAL_TWIN
 
 ORACLES["q_sql_lateral"] = _SQL_LATERAL_TWIN
+
+ORACLES["q_export_shards"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(len({_TOKENS}) AS BIGINT) AS n_tokens,
+               doc_id % 8 AS shard
+        FROM documents
+        WHERE len({_TOKENS}) >= 10
+    ),
+    cum AS (
+        SELECT doc_id, shard, n_tokens,
+               sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id, n_tokens
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS start
+        FROM toks
+    ),
+    packed AS (
+        SELECT shard, start // 2048 AS pack_id, n_tokens FROM cum
+    ),
+    per_pack AS (
+        SELECT shard, pack_id,
+               CAST(count(*) AS BIGINT) AS docs,
+               CAST(sum(n_tokens) AS BIGINT) AS tok
+        FROM packed GROUP BY shard, pack_id
+    )
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(docs) AS BIGINT) AS n_docs,
+           CAST(sum(tok) AS BIGINT) AS n_tokens,
+           CAST(count(*) * 2048 - sum(tok) AS BIGINT) AS pad_waste
+    FROM per_pack GROUP BY shard
+"""

@@ -3858,6 +3858,41 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-export tail of the corpus build: quality-filtered docs
+    packed into 2048-token budgets (per-shard window cumsum), LANDED as a
+    shard-partitioned Parquet layout (the file layout a trainer's data
+    loader consumes — one directory per shard, packs contiguous within),
+    then read BACK for the shard manifest: packs, docs, tokens, and
+    padding waste per shard. The read-back means the oracle checks the
+    round-tripped landed data, not the in-flight frame — same discipline
+    as q_sink_partitioned. Waste = budget − fill of each shard's LAST pack
+    only if partial; computed from the landed rows so a lost row would
+    surface as a waste mismatch."""
+    from .operators.sampling import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    kept = docs.filter(F.col("n_tokens") >= 10)
+    packed = pack_sequences(kept, "doc_id", "n_tokens", budget=2048, n_shards=8)
+    path = os.path.join(STAGE_DIR, "export_shards")
+    packed.write.partitionBy("shard").mode("overwrite").parquet(path)
+    landed = spark.read.parquet(path)
+    per_pack = landed.groupBy("shard", "pack_id").agg(
+        F.count("*").alias("__docs"),
+        F.sum("n_tokens").alias("__tok"),
+    )
+    return per_pack.groupBy("shard").agg(
+        F.count("*").alias("n_packs"),
+        F.sum("__docs").alias("n_docs"),
+        F.sum("__tok").alias("n_tokens"),
+        # every pack holds exactly `budget` tokens of the concatenated
+        # stream except the shard's last — waste = capacity − stream length
+        (F.count("*") * 2048 - F.sum("__tok")).alias("pad_waste"),
+    )
+
+
 def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): customer
     segments with 'MACHINERY' nulled out joined to a segment dim that
@@ -4404,6 +4439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_copurchase": q_copurchase,
     "q_stream_session_native": q_stream_session_native,
     "q_pagerank": q_pagerank,
+    "q_export_shards": q_export_shards,
     "q_join_nullsafe": q_join_nullsafe,
     "q_set_ops_all": q_set_ops_all,
     "q_sql_lateral": q_sql_lateral,
