@@ -3093,3 +3093,64 @@ ORACLES["q_export_shards"] = f"""
            CAST(count(*) * 2048 - sum(tok) AS BIGINT) AS pad_waste
     FROM per_pack GROUP BY shard
 """
+
+ORACLES["q_dedup_agreement"] = f"""
+    WITH sh AS ({_SHINGLES}),
+    sig AS (
+        SELECT doc_id,
+               {_MINHASH_AGGS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+    {_BAND_SELECTS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.doc_id < b.doc_id
+    ),
+    sizes AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS i
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.id_a
+        JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    jac AS (
+        SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.2
+    ),
+    con AS (
+        SELECT id_a, id_b, round(i / least(sa.sz, sb.sz), 6) AS containment
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / least(sa.sz, sb.sz) >= 0.3
+    ),
+    fp AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '[ \\t\\n\\f\\r\\x0b]+', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    ex AS (
+        SELECT x.doc_id AS id_a, y.doc_id AS id_b, TRUE AS exact
+        FROM fp x JOIN fp y ON x.f = y.f AND x.doc_id < y.doc_id
+    )
+    SELECT coalesce(j.id_a, c.id_a, e.id_a) AS id_a,
+           coalesce(j.id_b, c.id_b, e.id_b) AS id_b,
+           j.jaccard,
+           c.containment,
+           (j.jaccard IS NOT NULL) AS by_jaccard,
+           (c.containment IS NOT NULL) AS by_containment,
+           coalesce(e.exact, FALSE) AS by_exact
+    FROM jac j
+    FULL JOIN con c ON c.id_a = j.id_a AND c.id_b = j.id_b
+    FULL JOIN ex e ON e.id_a = coalesce(j.id_a, c.id_a) AND e.id_b = coalesce(j.id_b, c.id_b)
+"""

@@ -3858,6 +3858,57 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method agreement audit — the QA pass over the dedup stack
+    itself: the pair sets found by n-gram JACCARD (≥0.2), n-gram
+    CONTAINMENT (≥0.3), and EXACT normalized-fingerprint equality, full-
+    outer-joined into one matrix of (pair, per-method score, found-by
+    flags). Disagreements are the tuning signal (containment-only pairs =
+    quote/subset dups Jaccard dilutes; exact-only would mean shingling
+    broke). One shared shingle scan + ONE LSH candidate set feeds both
+    n-gram methods — the audit costs one extra join over the dedup run a
+    pipeline already does."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4).localCheckpoint(
+        eager=True
+    )
+    from .operators.dedup import ngram_containment_pairs
+
+    jac = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+    con = ngram_containment_pairs(sh, "doc_id", threshold=0.3, candidates=cand).select(
+        "id_a", "id_b", F.round("containment", 6).alias("containment")
+    )
+    fp = docs.select("doc_id", doc_fingerprint("text").alias("__fp"))
+    ex = (
+        fp.alias("x")
+        .join(fp.alias("y"), F.col("x.__fp") == F.col("y.__fp"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.lit(True).alias("exact"),
+        )
+    )
+    out = (
+        jac.join(con, ["id_a", "id_b"], "full_outer")
+        .join(ex, ["id_a", "id_b"], "full_outer")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            "containment",
+            F.col("jaccard").isNotNull().alias("by_jaccard"),
+            F.col("containment").isNotNull().alias("by_containment"),
+            F.coalesce(F.col("exact"), F.lit(False)).alias("by_exact"),
+        )
+    )
+    return out
+
+
 def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-export tail of the corpus build: quality-filtered docs
     packed into 2048-token budgets (per-shard window cumsum), LANDED as a
@@ -4440,6 +4491,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_session_native": q_stream_session_native,
     "q_pagerank": q_pagerank,
     "q_export_shards": q_export_shards,
+    "q_dedup_agreement": q_dedup_agreement,
     "q_join_nullsafe": q_join_nullsafe,
     "q_set_ops_all": q_set_ops_all,
     "q_sql_lateral": q_sql_lateral,
