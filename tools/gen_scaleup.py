@@ -39,10 +39,11 @@ SCALEUP_SET = [
     "q_serving_radius",
     "q_join_range",
     "q_pack_sequences",
-    # round-3 additions: broadcast-vocab probe and the double-explode
-    # collocation miner — both corpus-wide text shapes
+    # round-3 additions: broadcast-vocab probe, the double-explode
+    # collocation miner, and the iterative weighted propagation
     "q_vocab_oov",
     "q_collocations",
+    "q_pagerank",
 ]
 
 
