@@ -645,3 +645,33 @@ def test_containment_vs_jaccard_on_subset(spark):
     c, j = cont[0]["containment"], jac[0]["jaccard"]
     assert c > 0.9, c          # near-total containment
     assert j < 0.5 * c, (j, c)  # jaccard diluted by the long doc
+
+
+def _plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_round3_plans_have_scale_shapes(spark, sf_dir):
+    """Plan assertions for the round-3 shapes (same discipline as the
+    bucketed/salted join tests): the co-purchase self-join must be an
+    equi-join (no nested-loop/cartesian), the temperature-sampling rate
+    join must broadcast (never shuffle the fact for a ≤k-row rate table),
+    and the vocab top-k must plan as TakeOrderedAndProject (never a global
+    sort of the token table)."""
+    from dataengineering_londonhousingmap_spark.queries import QUERIES
+
+    cop = _plan_of(QUERIES["q_copurchase"](spark, sf_dir))
+    assert "CartesianProduct" not in cop and "BroadcastNestedLoopJoin" not in cop, cop
+
+    temp = _plan_of(QUERIES["q_sample_temperature"](spark, sf_dir))
+    assert "BroadcastHashJoin" in temp, temp
+
+    vocab = _plan_of(QUERIES["q_vocab_oov"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in vocab, vocab
+    assert "BroadcastHashJoin" in vocab, vocab
