@@ -3927,7 +3927,8 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = docs.filter(F.col("n_tokens") >= 10)
     packed = pack_sequences(kept, "doc_id", "n_tokens", budget=2048, n_shards=8)
-    path = os.path.join(STAGE_DIR, "export_shards")
+    tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
+    path = os.path.join(STAGE_DIR, f"export_shards_{tag}")
     packed.write.partitionBy("shard").mode("overwrite").parquet(path)
     landed = spark.read.parquet(path)
     per_pack = landed.groupBy("shard", "pack_id").agg(
