@@ -218,3 +218,65 @@ def frame_sample_plan(assets: DataFrame, every_ms: int = 1000) -> DataFrame:
         assets.filter(F.col("media_type") == "video")
         .select("asset_id", "duration_ms", F.explode(frames).alias("frame_ts_ms"))
     )
+
+
+PCM_FRAMES = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("energy", T.LongType(), False),
+        T.StructField("mean_amp", T.DoubleType(), False),
+    ]
+)
+
+
+def synthesize_pcm(df: DataFrame, id_col: str, seed_col: str, blocks: int = 8) -> DataFrame:
+    """Deterministic fake PCM audio: payload = ``blocks`` CONCATENATED
+    md5 digests of (seed || '|' || block_idx) — unlike
+    :func:`synthesize_media`'s repeated single digest, every 16-byte frame
+    is distinct, so frame-level operators produce non-degenerate output.
+    Bytes are md5-derived, so an engine-independent oracle can re-derive
+    every sample value from hex arithmetic alone."""
+    payload = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col(seed_col), F.lit(f"|{k}"))))
+            for k in range(blocks)
+        ]
+    )
+    return df.filter(F.col(seed_col).isNotNull()).select(
+        F.col(id_col).alias("asset_id"),
+        F.lit("pcm_u8").alias("codec"),
+        F.lit(8000).alias("sample_rate"),
+        payload.alias("payload"),
+    )
+
+
+def frame_energy(assets: DataFrame, frame_bytes: int = 16) -> DataFrame:
+    """Per-frame audio energy/mean over unsigned-8-bit PCM payloads — the
+    audio leg of the multimodal surface (silence trimming, VAD windowing,
+    loudness normalization all start from exactly this frame scan). One
+    numpy reshape+sum per Arrow batch (``mapInPandas``); integer-exact
+    energies, so the query carries an exact hex-math SQL oracle."""
+    import numpy as np
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                b = np.frombuffer(bytes(payload), dtype=np.uint8)
+                n_frames = len(b) // frame_bytes
+                fr = b[: n_frames * frame_bytes].reshape(n_frames, frame_bytes).astype(np.int64)
+                energy = (fr * fr).sum(axis=1)
+                mean = fr.sum(axis=1) / float(frame_bytes)
+                for i in range(n_frames):
+                    out.append(
+                        {
+                            "asset_id": asset_id,
+                            "frame_idx": i,
+                            "energy": int(energy[i]),
+                            "mean_amp": float(mean[i]),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in PCM_FRAMES.fields])
+
+    return assets.select("asset_id", "payload").mapInPandas(_frames, PCM_FRAMES)

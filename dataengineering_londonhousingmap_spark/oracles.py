@@ -3154,3 +3154,18 @@ ORACLES["q_dedup_agreement"] = f"""
     FULL JOIN con c ON c.id_a = j.id_a AND c.id_b = j.id_b
     FULL JOIN ex e ON e.id_a = coalesce(j.id_a, c.id_a) AND e.id_b = coalesce(j.id_b, c.id_b)
 """
+
+ORACLES["q_audio_frames"] = """
+    WITH base AS (
+        SELECT doc_id AS asset_id,
+               CAST(t.k AS INTEGER) AS frame_idx,
+               md5(text || '|' || CAST(t.k AS VARCHAR)) AS h
+        FROM documents
+        CROSS JOIN generate_series(0, 7) AS t(k)
+        WHERE doc_id < 100 AND text IS NOT NULL
+    )
+    SELECT asset_id, frame_idx,
+           CAST(CAST('0x' || substring(h, 1, 2) AS BIGINT) * CAST('0x' || substring(h, 1, 2) AS BIGINT) + CAST('0x' || substring(h, 3, 2) AS BIGINT) * CAST('0x' || substring(h, 3, 2) AS BIGINT) + CAST('0x' || substring(h, 5, 2) AS BIGINT) * CAST('0x' || substring(h, 5, 2) AS BIGINT) + CAST('0x' || substring(h, 7, 2) AS BIGINT) * CAST('0x' || substring(h, 7, 2) AS BIGINT) + CAST('0x' || substring(h, 9, 2) AS BIGINT) * CAST('0x' || substring(h, 9, 2) AS BIGINT) + CAST('0x' || substring(h, 11, 2) AS BIGINT) * CAST('0x' || substring(h, 11, 2) AS BIGINT) + CAST('0x' || substring(h, 13, 2) AS BIGINT) * CAST('0x' || substring(h, 13, 2) AS BIGINT) + CAST('0x' || substring(h, 15, 2) AS BIGINT) * CAST('0x' || substring(h, 15, 2) AS BIGINT) + CAST('0x' || substring(h, 17, 2) AS BIGINT) * CAST('0x' || substring(h, 17, 2) AS BIGINT) + CAST('0x' || substring(h, 19, 2) AS BIGINT) * CAST('0x' || substring(h, 19, 2) AS BIGINT) + CAST('0x' || substring(h, 21, 2) AS BIGINT) * CAST('0x' || substring(h, 21, 2) AS BIGINT) + CAST('0x' || substring(h, 23, 2) AS BIGINT) * CAST('0x' || substring(h, 23, 2) AS BIGINT) + CAST('0x' || substring(h, 25, 2) AS BIGINT) * CAST('0x' || substring(h, 25, 2) AS BIGINT) + CAST('0x' || substring(h, 27, 2) AS BIGINT) * CAST('0x' || substring(h, 27, 2) AS BIGINT) + CAST('0x' || substring(h, 29, 2) AS BIGINT) * CAST('0x' || substring(h, 29, 2) AS BIGINT) + CAST('0x' || substring(h, 31, 2) AS BIGINT) * CAST('0x' || substring(h, 31, 2) AS BIGINT) AS BIGINT) AS energy,
+           round((CAST('0x' || substring(h, 1, 2) AS BIGINT) + CAST('0x' || substring(h, 3, 2) AS BIGINT) + CAST('0x' || substring(h, 5, 2) AS BIGINT) + CAST('0x' || substring(h, 7, 2) AS BIGINT) + CAST('0x' || substring(h, 9, 2) AS BIGINT) + CAST('0x' || substring(h, 11, 2) AS BIGINT) + CAST('0x' || substring(h, 13, 2) AS BIGINT) + CAST('0x' || substring(h, 15, 2) AS BIGINT) + CAST('0x' || substring(h, 17, 2) AS BIGINT) + CAST('0x' || substring(h, 19, 2) AS BIGINT) + CAST('0x' || substring(h, 21, 2) AS BIGINT) + CAST('0x' || substring(h, 23, 2) AS BIGINT) + CAST('0x' || substring(h, 25, 2) AS BIGINT) + CAST('0x' || substring(h, 27, 2) AS BIGINT) + CAST('0x' || substring(h, 29, 2) AS BIGINT) + CAST('0x' || substring(h, 31, 2) AS BIGINT)) / 16.0, 6) AS mean_amp
+    FROM base
+"""

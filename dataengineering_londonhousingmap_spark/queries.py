@@ -3858,6 +3858,25 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The AUDIO leg of the multimodal surface: deterministic fake PCM
+    (8 distinct md5-digest blocks per doc — operators/multimodal.py:
+    synthesize_pcm) scanned into per-16-byte-frame energy and mean
+    amplitude by an Arrow-batched numpy pass (frame_energy). The real
+    binary plumbing (concat'd unhex payloads → Arrow → np.frombuffer →
+    reshape) is checked against an INDEPENDENT oracle that re-derives
+    every sample value from md5 hex arithmetic in SQL — integer-exact, no
+    tolerance. Rounded mean only for the double column."""
+    from .operators.multimodal import frame_energy, synthesize_pcm
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pcm = synthesize_pcm(docs, "doc_id", "text", blocks=8)
+    out = frame_energy(pcm, frame_bytes=16)
+    return out.select(
+        "asset_id", "frame_idx", "energy", F.round("mean_amp", 6).alias("mean_amp")
+    )
+
+
 def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup-method agreement audit — the QA pass over the dedup stack
     itself: the pair sets found by n-gram JACCARD (≥0.2), n-gram
@@ -4493,6 +4512,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pagerank": q_pagerank,
     "q_export_shards": q_export_shards,
     "q_dedup_agreement": q_dedup_agreement,
+    "q_audio_frames": q_audio_frames,
     "q_join_nullsafe": q_join_nullsafe,
     "q_set_ops_all": q_set_ops_all,
     "q_sql_lateral": q_sql_lateral,
