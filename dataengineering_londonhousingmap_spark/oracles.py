@@ -3169,3 +3169,55 @@ ORACLES["q_audio_frames"] = """
            round((CAST('0x' || substring(h, 1, 2) AS BIGINT) + CAST('0x' || substring(h, 3, 2) AS BIGINT) + CAST('0x' || substring(h, 5, 2) AS BIGINT) + CAST('0x' || substring(h, 7, 2) AS BIGINT) + CAST('0x' || substring(h, 9, 2) AS BIGINT) + CAST('0x' || substring(h, 11, 2) AS BIGINT) + CAST('0x' || substring(h, 13, 2) AS BIGINT) + CAST('0x' || substring(h, 15, 2) AS BIGINT) + CAST('0x' || substring(h, 17, 2) AS BIGINT) + CAST('0x' || substring(h, 19, 2) AS BIGINT) + CAST('0x' || substring(h, 21, 2) AS BIGINT) + CAST('0x' || substring(h, 23, 2) AS BIGINT) + CAST('0x' || substring(h, 25, 2) AS BIGINT) + CAST('0x' || substring(h, 27, 2) AS BIGINT) + CAST('0x' || substring(h, 29, 2) AS BIGINT) + CAST('0x' || substring(h, 31, 2) AS BIGINT)) / 16.0, 6) AS mean_amp
     FROM base
 """
+
+ORACLES["q_curriculum"] = f"""
+    WITH base AS (
+        SELECT doc_id, text,
+               length(text) AS nc,
+               length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+               len({_TOKENS}) AS ntok,
+               len(list_filter({_TOKENS},
+                   t -> list_contains({_STOPWORDS_SQL}, lower(t)))) AS stop_hits
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id,
+               round(
+                   least(nc / 500.0, 1.0) * 0.25
+                   + (alpha / greatest(nc, 1)) * 0.25
+                   + least((stop_hits / greatest(ntok, 1)) * 5.0, 1.0) * 0.25
+                   + (CASE WHEN alpha / greatest(ntok, 1) BETWEEN 3.0 AND 12.0
+                           THEN 1.0 ELSE 0.5 END) * 0.25
+               , 6) AS quality
+        FROM base
+    ),
+    tiers AS (
+        SELECT doc_id,
+               CASE WHEN quality >= 0.7 THEN 0
+                    WHEN quality >= 0.5 THEN 1
+                    ELSE 2 END AS tier,
+               md5(CAST(doc_id AS VARCHAR)) AS k
+        FROM scored
+    )
+    SELECT doc_id, tier,
+           CAST(row_number() OVER (ORDER BY tier, k, doc_id) AS BIGINT) AS train_pos
+    FROM tiers
+"""
+
+ORACLES["q_format_sft"] = """
+    WITH r AS (
+        SELECT doc_id,
+               '### Instruction:' || chr(10) || 'Summarize the passage from '
+                   || source || '.' || chr(10) || '### Response:' || chr(10) AS prefix,
+               text
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           prefix || text AS rendered,
+           0 AS prompt_start,
+           CAST(length(prefix) AS INTEGER) AS prompt_end,
+           CAST(length(prefix) AS INTEGER) AS completion_start,
+           CAST(length(prefix) + length(text) AS INTEGER) AS completion_end,
+           (length(prefix) + length(text) = length(prefix || text)) AS spans_ok
+    FROM r
+"""

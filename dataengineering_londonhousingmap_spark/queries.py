@@ -3858,6 +3858,79 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training order: quality TIER first (high → low), shuffled
+    WITHIN each tier by md5 — the annealed data ordering a curriculum
+    schedule consumes, fully reproducible. Scale shape is q_shuffle_corpus'
+    two-level rank generalized to a composite key: rank within (tier,
+    md5-prefix shard) partitions — never a global sort — plus broadcast
+    cumulative offsets over the ≤ 3×256 (tier, shard) cells; (tier, shard,
+    md5) order equals the global (tier, md5) order because the shard is a
+    PREFIX of the intra-tier key, so a single global row_number is an
+    exact oracle."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(quality_score("text"), 6).alias("__q"),
+    )
+    # 3 tiers on the ROUNDED score (engine-stable cuts): 0 best
+    tier = (
+        F.when(F.col("__q") >= 0.7, 0).when(F.col("__q") >= 0.5, 1).otherwise(2)
+    )
+    key = F.md5(F.col("doc_id").cast("string"))
+    sharded = docs.select(
+        "doc_id",
+        tier.alias("tier"),
+        key.alias("__k"),
+        F.conv(F.substring(key, 1, 2), 16, 10).cast("int").alias("__shard"),
+    )
+    w = Window.partitionBy("tier", "__shard").orderBy("__k", "doc_id")
+    pos = sharded.select(
+        "doc_id", "tier", "__shard", F.row_number().over(w).alias("__pos")
+    )
+    counts = sharded.groupBy("tier", "__shard").agg(F.count("*").alias("__n"))
+    woff = Window.orderBy("tier", "__shard").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "tier",
+        "__shard",
+        F.coalesce(F.sum("__n").over(woff), F.lit(0)).alias("__off"),
+    )
+    return pos.join(F.broadcast(offsets), ["tier", "__shard"]).select(
+        "doc_id", "tier", (F.col("__off") + F.col("__pos")).alias("train_pos")
+    )
+
+
+def q_format_sft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example formatting with LOSS-MASK spans — the instruction-tuning
+    data prep: each document rendered into a fixed prompt template with
+    its text as the completion, plus the integer char spans
+    [prompt_start, prompt_end) / [completion_start, completion_end) the
+    trainer masks loss over. Pure string/arithmetic codegen (concat +
+    length), narrow map over the scan; span arithmetic is integer-exact so
+    the oracle needs no tolerance. A row whose spans don't tile the
+    rendered length would be a template bug — the oracle-checked
+    ``spans_ok`` flag asserts the invariant."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    prefix = F.concat(
+        F.lit("### Instruction:\nSummarize the passage from "),
+        F.col("source"),
+        F.lit(".\n### Response:\n"),
+    )
+    rendered = F.concat(prefix, F.col("text"))
+    p_len = F.length(prefix)
+    t_len = F.length("text")
+    return docs.select(
+        "doc_id",
+        rendered.alias("rendered"),
+        F.lit(0).alias("prompt_start"),
+        p_len.alias("prompt_end"),
+        p_len.alias("completion_start"),
+        (p_len + t_len).alias("completion_end"),
+        ((p_len + t_len) == F.length(rendered)).alias("spans_ok"),
+    )
+
+
 def q_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The AUDIO leg of the multimodal surface: deterministic fake PCM
     (8 distinct md5-digest blocks per doc — operators/multimodal.py:
@@ -4513,6 +4586,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_export_shards": q_export_shards,
     "q_dedup_agreement": q_dedup_agreement,
     "q_audio_frames": q_audio_frames,
+    "q_curriculum": q_curriculum,
+    "q_format_sft": q_format_sft,
     "q_join_nullsafe": q_join_nullsafe,
     "q_set_ops_all": q_set_ops_all,
     "q_sql_lateral": q_sql_lateral,
