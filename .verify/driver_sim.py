@@ -9,6 +9,12 @@ spark = (SparkSession.builder.master("local[8]")
          .config("spark.sql.shuffle.partitions", "8")
          .config("spark.sql.session.timeZone", "UTC")
          .config("spark.ui.enabled", "false")
+         # the full catalog accumulates driver-side broadcast blobs across
+         # 180+ queries in one session; the 1g default is borderline at
+         # sf0.1 (observed flaky "Not enough memory to broadcast" under
+         # concurrent load). The real driver runs ~50 queries at sf0.01 —
+         # far below this pressure.
+         .config("spark.driver.memory", "4g")
          .getOrCreate())
 
 import __spark_entry__ as entrymod
