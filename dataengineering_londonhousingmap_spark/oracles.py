@@ -3221,3 +3221,45 @@ ORACLES["q_format_sft"] = """
            (length(prefix) + length(text) = length(prefix || text)) AS spans_ok
     FROM r
 """
+
+def _equidepth_score_sql(metric: str, buckets: int = 5) -> str:
+    return f"""(
+        SELECT {metric},
+               least({buckets},
+                     CAST(((cum - cnt) * {buckets}) // n AS INTEGER) + 1) AS score
+        FROM (
+            SELECT {metric}, cnt,
+                   sum(cnt) OVER (ORDER BY {metric}) AS cum
+            FROM (SELECT {metric}, CAST(count(*) AS BIGINT) AS cnt
+                  FROM per_cust GROUP BY {metric})
+        ), (SELECT CAST(count(*) AS BIGINT) AS n FROM per_cust)
+    )"""
+
+
+ORACLES["q_rfm"] = f"""
+    WITH ref AS (SELECT max(CAST(o_orderdate AS DATE)) AS ref FROM orders),
+    per_cust AS (
+        SELECT o_custkey AS custkey,
+               date_diff('day', max(CAST(o_orderdate AS DATE)), any_value(ref.ref))
+                   AS recency_days,
+               CAST(count(*) AS BIGINT) AS frequency,
+               CAST(floor(sum(o_totalprice) / 100) AS BIGINT) AS monetary_bin
+        FROM orders CROSS JOIN ref
+        GROUP BY o_custkey
+    ),
+    r AS {_equidepth_score_sql("recency_days")},
+    f AS {_equidepth_score_sql("frequency")},
+    m AS {_equidepth_score_sql("monetary_bin")}
+    SELECT p.custkey,
+           CAST(p.recency_days AS INTEGER) AS recency_days,
+           p.frequency, p.monetary_bin,
+           CAST(6 - r.score AS INTEGER) AS r_score,
+           f.score AS f_score,
+           m.score AS m_score,
+           CAST(6 - r.score AS VARCHAR) || CAST(f.score AS VARCHAR)
+               || CAST(m.score AS VARCHAR) AS segment
+    FROM per_cust p
+    JOIN r ON r.recency_days = p.recency_days
+    JOIN f ON f.frequency = p.frequency
+    JOIN m ON m.monetary_bin = p.monetary_bin
+"""

@@ -3858,6 +3858,82 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _equidepth_score(metric_df: DataFrame, col: str, buckets: int = 5) -> DataFrame:
+    """(value → equi-depth bucket 1..buckets) lookup table from per-VALUE
+    counts — the q_equidepth machinery as a reusable scorer: cumulative
+    rank over the small distinct-value table (never the fact), whole tie
+    groups land in their first-rank bucket, exact integer div."""
+    vc = metric_df.groupBy(col).agg(F.count("*").alias("__cnt"))
+    n = vc.agg(F.sum("__cnt").alias("__n"))
+    wv = Window.partitionBy(F.lit(0)).orderBy(col)
+    return (
+        vc.withColumn("__cum", F.sum("__cnt").over(wv))
+        .crossJoin(F.broadcast(n))
+        .select(
+            col,
+            F.least(
+                F.lit(buckets),
+                F.expr(f"((__cum - __cnt) * {buckets}) div __n").cast("int") + 1,
+            ).alias("__score"),
+        )
+    )
+
+
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the canonical CRM/serving analysis:
+    recency (days since last order, vs the corpus max date — deterministic,
+    no wall clock), frequency (order count), monetary (spend, quantized to
+    £100 bins so the metric's DISTINCT-value table stays bounded at any
+    scale), each scored into equi-depth quintiles via the sort-free
+    per-value-count machinery (q_equidepth), composed into the familiar
+    'r f m' segment code. The fact contributes one aggregation; every
+    quintile cut runs on a ≤ few-thousand-row value table."""
+    o = _t(spark, sf_dir, "orders")
+    ref = o.agg(F.max(F.to_date("o_orderdate")).alias("__ref"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("__last"),
+            F.count("*").alias("frequency"),
+            F.sum("o_totalprice").alias("__spend"),
+        )
+        .crossJoin(F.broadcast(ref))
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.datediff(F.col("__ref"), F.col("__last")).alias("recency_days"),
+            "frequency",
+            F.expr("CAST(floor(__spend / 100) AS LONG)").alias("monetary_bin"),
+        )
+    )
+    r = _equidepth_score(per_cust, "recency_days").withColumnRenamed("__score", "__r")
+    f = _equidepth_score(per_cust, "frequency").withColumnRenamed("__score", "__f")
+    m = _equidepth_score(per_cust, "monetary_bin").withColumnRenamed("__score", "__m")
+    scored = (
+        per_cust.join(F.broadcast(r), "recency_days")
+        .join(F.broadcast(f), "frequency")
+        .join(F.broadcast(m), "monetary_bin")
+        .select(
+            "custkey",
+            "recency_days",
+            "frequency",
+            "monetary_bin",
+            # low recency (fresh) = high score → invert the bucket
+            (F.lit(6) - F.col("__r")).alias("r_score"),
+            F.col("__f").alias("f_score"),
+            F.col("__m").alias("m_score"),
+        )
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "",
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )
+
+
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum training order: quality TIER first (high → low), shuffled
     WITHIN each tier by md5 — the annealed data ordering a curriculum
@@ -4586,6 +4662,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_export_shards": q_export_shards,
     "q_dedup_agreement": q_dedup_agreement,
     "q_audio_frames": q_audio_frames,
+    "q_rfm": q_rfm,
     "q_curriculum": q_curriculum,
     "q_format_sft": q_format_sft,
     "q_join_nullsafe": q_join_nullsafe,
