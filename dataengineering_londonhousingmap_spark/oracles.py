@@ -3263,3 +3263,33 @@ ORACLES["q_rfm"] = f"""
     JOIN f ON f.frequency = p.frequency
     JOIN m ON m.monetary_bin = p.monetary_bin
 """
+
+ORACLES["q_ab_test"] = """
+    WITH armed AS (
+        SELECT CASE WHEN CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || 'abtest'), 1, 8) AS BIGINT)
+                         % 10000 < 5000
+                    THEN 'A' ELSE 'B' END AS arm,
+               value
+        FROM events WHERE value IS NOT NULL
+    ),
+    stats AS (
+        SELECT arm, CAST(count(*) AS DOUBLE) AS n,
+               sum(value) AS s, sum(value * value) AS ss
+        FROM armed GROUP BY arm
+    ),
+    j AS (
+        SELECT a.n AS n_a, a.s AS s_a, a.ss AS ss_a,
+               b.n AS n_b, b.s AS s_b, b.ss AS ss_b
+        FROM (SELECT * FROM stats WHERE arm = 'A') a
+        CROSS JOIN (SELECT * FROM stats WHERE arm = 'B') b
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           round(s_a / n_a, 6) AS mean_a,
+           round(s_b / n_b, 6) AS mean_b,
+           round(s_b / n_b - s_a / n_a, 6) AS uplift,
+           round((s_b / n_b - s_a / n_a)
+                 / sqrt(((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
+                        + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b), 6) AS t_stat
+    FROM j
+"""

@@ -3879,6 +3879,49 @@ def _equidepth_score(metric_df: DataFrame, col: str, buckets: int = 5) -> DataFr
     )
 
 
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout — deterministic md5 arm assignment per user
+    (the same hash-bucket discipline as the samplers: reproducible,
+    partition-independent, no rand(seed)), then per-arm event-value means
+    and a Welch t-statistic computed from SUFFICIENT STATISTICS (n, Σx,
+    Σx²) in ONE aggregation pass. sqrt only — IEEE-exact — with a single
+    round(6) on the outputs, so the readout is engine-stable. One row:
+    the whole experiment dashboard."""
+    from .operators.sampling import _hash_bucket
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    armed = ev.withColumn(
+        "arm",
+        F.when(_hash_bucket(F.col("user_id"), "abtest") < 5000, "A").otherwise("B"),
+    ).filter(F.col("value").isNotNull())
+    stats = armed.groupBy("arm").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("value").alias("s"),
+        F.sum(F.col("value") * F.col("value")).alias("ss"),
+    )
+    a = stats.filter(F.col("arm") == "A").select(
+        F.col("n").alias("n_a"), F.col("s").alias("s_a"), F.col("ss").alias("ss_a")
+    )
+    b = stats.filter(F.col("arm") == "B").select(
+        F.col("n").alias("n_b"), F.col("s").alias("s_b"), F.col("ss").alias("ss_b")
+    )
+    j = a.crossJoin(b)
+    mean_a = F.col("s_a") / F.col("n_a")
+    mean_b = F.col("s_b") / F.col("n_b")
+    # sample variance via sums: (ss - s²/n) / (n - 1)
+    var_a = (F.col("ss_a") - F.col("s_a") * F.col("s_a") / F.col("n_a")) / (F.col("n_a") - 1)
+    var_b = (F.col("ss_b") - F.col("s_b") * F.col("s_b") / F.col("n_b")) / (F.col("n_b") - 1)
+    t = (mean_b - mean_a) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return j.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_b - mean_a, 6).alias("uplift"),
+        F.round(t, 6).alias("t_stat"),
+    )
+
+
 def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation — the canonical CRM/serving analysis:
     recency (days since last order, vs the corpus max date — deterministic,
@@ -4662,6 +4705,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_export_shards": q_export_shards,
     "q_dedup_agreement": q_dedup_agreement,
     "q_audio_frames": q_audio_frames,
+    "q_ab_test": q_ab_test,
     "q_rfm": q_rfm,
     "q_curriculum": q_curriculum,
     "q_format_sft": q_format_sft,
