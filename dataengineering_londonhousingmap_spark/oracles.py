@@ -3293,3 +3293,7 @@ ORACLES["q_ab_test"] = """
                         + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b), 6) AS t_stat
     FROM j
 """
+
+# kappa backfill: the batch execution of the stream code path shares the
+# stream oracle verbatim — parity IS the check
+ORACLES["q_stream_backfill"] = ORACLES["q_stream_hourly"]

@@ -3879,6 +3879,23 @@ def _equidepth_score(metric_df: DataFrame, col: str, buckets: int = 5) -> DataFr
     )
 
 
+def q_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kappa-architecture backfill: the IDENTICAL rollup code path the live
+    stream runs (streaming/incremental.py:hourly_rollup_stream — watermark
+    + tumbling window + exact-cents avg) executed in BATCH mode over the
+    historical table. ``withWatermark`` is a no-op on a batch frame, so ONE
+    function serves both deployment modes, and this query shares
+    q_stream_hourly's oracle verbatim — code-path parity is itself the
+    thing being checked (the classic lambda-architecture drift bug is two
+    implementations of 'the same' rollup)."""
+    from .streaming.incremental import hourly_rollup_stream
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return hourly_rollup_stream(ev)
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout — deterministic md5 arm assignment per user
     (the same hash-bucket discipline as the samplers: reproducible,
@@ -4705,6 +4722,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_export_shards": q_export_shards,
     "q_dedup_agreement": q_dedup_agreement,
     "q_audio_frames": q_audio_frames,
+    "q_stream_backfill": q_stream_backfill,
     "q_ab_test": q_ab_test,
     "q_rfm": q_rfm,
     "q_curriculum": q_curriculum,
