@@ -3297,3 +3297,33 @@ ORACLES["q_ab_test"] = """
 # kappa backfill: the batch execution of the stream code path shares the
 # stream oracle verbatim — parity IS the check
 ORACLES["q_stream_backfill"] = ORACLES["q_stream_hourly"]
+
+ORACLES["q_prune_report"] = f"""
+    WITH fm AS (
+        SELECT file_name, num_rows
+        FROM parquet_file_metadata('{_STAGE_DIR}/prune_report/*.parquet')
+    ),
+    rg AS (
+        SELECT file_name, max(CAST(stats_max_value AS BIGINT)) AS mx
+        FROM parquet_metadata('{_STAGE_DIR}/prune_report/*.parquet')
+        WHERE path_in_schema = 'o_orderkey'
+        GROUP BY file_name
+    ),
+    man AS (
+        SELECT fm.file_name, CAST(fm.num_rows AS BIGINT) AS n_rows, rg.mx
+        FROM fm JOIN rg ON rg.file_name = fm.file_name
+    ),
+    g AS (SELECT max(mx) AS gmax FROM man),
+    t AS (
+        SELECT pct, (g.gmax * pct) // 100 AS threshold
+        FROM (VALUES (25), (50), (75)) v(pct) CROSS JOIN g
+    )
+    SELECT CAST(t.pct AS INTEGER) AS pct, t.threshold,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN man.mx <= t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_skipped,
+           CAST(sum(CASE WHEN man.mx <= t.threshold THEN man.n_rows ELSE 0 END) AS BIGINT)
+               AS rows_skipped
+    FROM t CROSS JOIN man
+    GROUP BY t.pct, t.threshold
+"""

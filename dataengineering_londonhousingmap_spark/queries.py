@@ -3879,6 +3879,50 @@ def _equidepth_score(metric_df: DataFrame, col: str, buckets: int = 5) -> DataFr
     )
 
 
+def q_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping effectiveness report — the lakehouse planning view on
+    top of the q_manifest machinery: orders staged RANGE-partitioned on
+    o_orderkey (disjoint per-file ranges — what makes skipping work, vs
+    q_manifest's hash layout where every file spans the full range), then
+    for three relative predicate thresholds (25/50/75 % of the global max
+    key), how many files and rows a ``o_orderkey > t`` scan can skip on
+    footer stats alone. The oracle recomputes the identical report from
+    DuckDB's parquet_metadata over the SAME staged files — two independent
+    footer readers agreeing on the skip decision.
+
+    The stage path is deliberately UN-tagged (q_manifest precedent): the
+    oracle's parquet_metadata() must read the files THIS invocation just
+    wrote, whatever the scale factor."""
+    path = os.path.join(STAGE_DIR, "prune_report")
+    (
+        _t(spark, sf_dir, "orders")
+        .repartitionByRange(8, "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    man = build_manifest(spark, path, "o_orderkey")
+    gmax = man.agg(F.max("o_orderkey_max").alias("__g"))
+    fracs = spark.createDataFrame([(25,), (50,), (75,)], "pct int")
+    j = fracs.crossJoin(F.broadcast(gmax)).select(
+        "pct", F.expr("(__g * pct) div 100").alias("threshold")
+    )
+    return (
+        j.crossJoin(man)
+        .groupBy("pct", "threshold")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(
+                F.when(F.col("o_orderkey_max") <= F.col("threshold"), 1).otherwise(0)
+            ).alias("files_skipped"),
+            F.sum(
+                F.when(
+                    F.col("o_orderkey_max") <= F.col("threshold"), F.col("n_rows")
+                ).otherwise(F.lit(0))
+            ).alias("rows_skipped"),
+        )
+    )
+
+
 def q_stream_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kappa-architecture backfill: the IDENTICAL rollup code path the live
     stream runs (streaming/incremental.py:hourly_rollup_stream — watermark
@@ -4722,6 +4766,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_export_shards": q_export_shards,
     "q_dedup_agreement": q_dedup_agreement,
     "q_audio_frames": q_audio_frames,
+    "q_prune_report": q_prune_report,
     "q_stream_backfill": q_stream_backfill,
     "q_ab_test": q_ab_test,
     "q_rfm": q_rfm,
