@@ -3907,7 +3907,9 @@ def q_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pct", F.expr("(__g * pct) div 100").alias("threshold")
     )
     return (
-        j.crossJoin(man)
+        # broadcast: an 8-row manifest × 3 thresholds must plan as a
+        # broadcast nested loop, never a CartesianProduct exchange
+        j.crossJoin(F.broadcast(man))
         .groupBy("pct", "threshold")
         .agg(
             F.count("*").alias("n_files"),
