@@ -3327,3 +3327,57 @@ ORACLES["q_prune_report"] = f"""
     FROM t CROSS JOIN man
     GROUP BY t.pct, t.threshold
 """
+
+ORACLES["q_lsh_recall"] = f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+    sh AS (
+        SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 8) AS shingle
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+              FROM docs)
+        WHERE substring(text, CAST(i AS INTEGER), 8) IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter_all AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b
+        FROM inter_all
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.2
+    ),
+    sig AS (
+        SELECT doc_id,
+               {_MINHASH_AGGS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+    {_BAND_SELECTS}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+        WHERE a.doc_id < b.doc_id
+    ),
+    j AS (
+        SELECT coalesce(t.id_a, c.id_a) AS id_a,
+               coalesce(t.id_b, c.id_b) AS id_b,
+               (t.id_a IS NOT NULL) AS is_t,
+               (c.id_a IS NOT NULL) AS is_c
+        FROM truth t
+        FULL JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    )
+    SELECT CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+           CAST(sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END)
+                 / sum(CASE WHEN is_t THEN 1 ELSE 0 END), 6) AS recall,
+           round(sum(CASE WHEN is_t AND is_c THEN 1 ELSE 0 END)
+                 / sum(CASE WHEN is_c THEN 1 ELSE 0 END), 6) AS precision
+    FROM j
+"""

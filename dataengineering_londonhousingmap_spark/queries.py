@@ -3879,6 +3879,49 @@ def _equidepth_score(metric_df: DataFrame, col: str, buckets: int = 5) -> DataFr
     )
 
 
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall/precision of the MinHash-LSH candidate stage against
+    exact ground truth — the QA metric that turns 'approximate by design'
+    into a number: on a bounded 1000-doc subset (the unfiltered shingle
+    self-join is quadratic — exact truth is only ever computed on a
+    sample, at any scale), ground truth = ALL pairs with Jaccard ≥ 0.2,
+    compared against the banded-LSH candidate set. One row: true pairs,
+    candidates, hits, recall, and candidate precision (integer ratios,
+    rounded). The production knob loop — bands/rows tuning — reads exactly
+    this query."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
+    truth = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=None).select(
+        "id_a", "id_b"
+    )
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    t = truth.withColumn("__t", F.lit(1))
+    c = cand.withColumn("__c", F.lit(1))
+    j = t.join(c, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce("__t", F.lit(0))).alias("n_true"),
+        F.sum(F.coalesce("__c", F.lit(0))).alias("n_candidates"),
+        F.sum(
+            F.when(F.col("__t").isNotNull() & F.col("__c").isNotNull(), 1).otherwise(0)
+        ).alias("n_hits"),
+        F.round(
+            F.sum(
+                F.when(F.col("__t").isNotNull() & F.col("__c").isNotNull(), 1).otherwise(0)
+            )
+            / F.sum(F.coalesce("__t", F.lit(0))),
+            6,
+        ).alias("recall"),
+        F.round(
+            F.sum(
+                F.when(F.col("__t").isNotNull() & F.col("__c").isNotNull(), 1).otherwise(0)
+            )
+            / F.sum(F.coalesce("__c", F.lit(0))),
+            6,
+        ).alias("precision"),
+    )
+
+
 def q_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-skipping effectiveness report — the lakehouse planning view on
     top of the q_manifest machinery: orders staged RANGE-partitioned on
@@ -4768,6 +4811,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_export_shards": q_export_shards,
     "q_dedup_agreement": q_dedup_agreement,
     "q_audio_frames": q_audio_frames,
+    "q_lsh_recall": q_lsh_recall,
     "q_prune_report": q_prune_report,
     "q_stream_backfill": q_stream_backfill,
     "q_ab_test": q_ab_test,
