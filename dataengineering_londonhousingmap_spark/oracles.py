@@ -29,7 +29,7 @@ import os
 # mirrors queries.STAGE_DIR — the manifest oracle reads the SAME staged
 # files the Spark query wrote (layout-dependent stats can't be derived
 # from the logical table content)
-_STAGE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stage")
+from .queries import STAGE_DIR as _STAGE_DIR  # noqa: E402 — single source of truth
 
 # whitespace tokens of trimmed text; '' → empty list (mirrors functions.text.tokens)
 _TOKENS = (

@@ -78,8 +78,17 @@ from .sources.io import read_csv, read_json, read_testdata, write_csv, write_jso
 from .schemas import REGION
 
 # staging area for sink/roundtrip queries — inside the repo (gitignored),
-# the only writable location in this environment
-STAGE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".stage")
+# the only writable location in this environment. Pid-tagged: two engine
+# processes (e.g. pytest alongside the driver) must never race on one
+# stage path — a concurrent overwrite between a query's inputFiles()
+# listing and its footer reads manifests as FileNotFoundError mid-plan.
+# oracles._STAGE_DIR mirrors this in the same process, so the SQL twins
+# that read staged files by path stay consistent with the writer.
+STAGE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".stage",
+    f"p{os.getpid()}",
+)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
