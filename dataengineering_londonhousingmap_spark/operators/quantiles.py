@@ -61,12 +61,16 @@ def exact_percentiles_scalable(
         )
     br = df.groupBy(group_col).agg(*aggs)
     small = F.col("__n") < _SMALL_GROUP
-    lo_any = F.when(
-        small, F.col("__min")
-    ).otherwise(F.least(*[F.col(f"__slo{i}") for i in range(len(ps))]))
-    hi_any = F.when(
-        small, F.col("__max")
-    ).otherwise(F.greatest(*[F.col(f"__shi{i}") for i in range(len(ps))]))
+    # least/greatest demand ≥2 args — a single-percentile call passes the
+    # lone bracket column through
+    slo = [F.col(f"__slo{i}") for i in range(len(ps))]
+    shi = [F.col(f"__shi{i}") for i in range(len(ps))]
+    lo_any = F.when(small, F.col("__min")).otherwise(
+        F.least(*slo) if len(slo) > 1 else slo[0]
+    )
+    hi_any = F.when(small, F.col("__max")).otherwise(
+        F.greatest(*shi) if len(shi) > 1 else shi[0]
+    )
     br = F.broadcast(
         br.select(group_col, "__n", lo_any.alias("__lo"), hi_any.alias("__hi"))
     )

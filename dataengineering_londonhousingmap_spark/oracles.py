@@ -3381,3 +3381,172 @@ ORACLES["q_lsh_recall"] = f"""
                  / sum(CASE WHEN is_c THEN 1 ELSE 0 END), 6) AS precision
     FROM j
 """
+
+ORACLES["q_triangle_count"] = """
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        WHERE a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    ),
+    deg AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und
+        ) GROUP BY node
+    ),
+    tri AS (
+        -- canonical a<b<c enumeration: each triangle appears exactly once
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM und e1
+        JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+        JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v
+    ),
+    corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b AS node FROM tri
+        UNION ALL SELECT c AS node FROM tri
+    )
+    SELECT corners.node, CAST(count(*) AS BIGINT) AS n_triangles, deg.deg
+    FROM corners JOIN deg ON deg.node = corners.node
+    GROUP BY corners.node, deg.deg
+"""
+
+ORACLES["q_outlier_mad"] = """
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS m
+        FROM events GROUP BY 1
+    ),
+    dev AS (
+        SELECT e.event_type, e.value, med.m, abs(e.value - med.m) AS d
+        FROM events e JOIN med ON med.event_type = e.event_type
+    ),
+    mad AS (
+        SELECT event_type, quantile_cont(d, 0.5) AS md
+        FROM dev GROUP BY 1
+    )
+    SELECT dev.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(max(dev.m), 6) AS median,
+           round(max(mad.md), 6) AS mad,
+           CAST(sum(CASE WHEN dev.d > 3 * mad.md THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_outliers,
+           round(max(CASE WHEN dev.d > 3 * mad.md THEN dev.value END), 6)
+               AS max_outlier
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    GROUP BY dev.event_type
+"""
+
+ORACLES["q_ks_drift"] = """
+    WITH d AS (
+        SELECT source, n_chars FROM documents WHERE source IN ('src0', 'src1')
+    ),
+    counts AS (
+        SELECT n_chars,
+               sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS a,
+               sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS b
+        FROM d GROUP BY 1
+    ),
+    cum AS (
+        SELECT n_chars,
+               sum(a) OVER (ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+               sum(b) OVER (ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+        FROM counts
+    ),
+    tot AS (
+        SELECT sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS na,
+               sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS nb
+        FROM d
+    )
+    SELECT CAST(na AS BIGINT) AS n_src0,
+           CAST(nb AS BIGINT) AS n_src1,
+           CAST(max(abs(ca * nb - cb * na)) AS BIGINT) AS ks_numerator,
+           floor(max(abs(ca * nb - cb * na))
+                 / CAST(na * nb AS DOUBLE) * 1e6 + 0.5) / 1e6 AS ks_stat
+    FROM cum CROSS JOIN tot
+    GROUP BY na, nb
+"""
+
+ORACLES["q_join_asof_nearest"] = """
+    WITH ev AS (
+        SELECT event_id, user_id,
+               date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+        FROM events
+    ),
+    ord AS (
+        SELECT o_custkey AS user_id,
+               date_diff('day', DATE '1970-01-01', o_orderdate) AS od,
+               max(o_orderkey) AS okey
+        FROM orders GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT e.event_id, e.user_id, e.d, o.od, o.okey,
+               abs(e.d - o.od) AS dist
+        FROM ev e JOIN ord o ON o.user_id = e.user_id
+    ),
+    best AS (SELECT event_id, min(dist) AS mind FROM cand GROUP BY 1),
+    pick AS (
+        -- at min distance there are at most two candidates (one per side);
+        -- min(od) = the earlier date = backward-tie preference
+        SELECT c.event_id, c.user_id, min(c.od) AS od, min(c.dist) AS dist_days
+        FROM cand c JOIN best b ON b.event_id = c.event_id AND c.dist = b.mind
+        GROUP BY 1, 2
+    )
+    SELECT p.event_id, p.user_id,
+           DATE '1970-01-01' + CAST(p.od AS INTEGER) AS nearest_orderdate,
+           p.dist_days,
+           o.okey AS nearest_orderkey
+    FROM pick p
+    JOIN ord o ON o.user_id = p.user_id AND o.od = p.od
+    WHERE p.dist_days <= 30
+"""
+
+ORACLES["q_tpch_shipping_priority"] = """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-07-01'
+      AND l_shipdate > TIMESTAMP '1998-07-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+"""
+
+ORACLES["q_tpch_local_volume"] = """
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+"""
+
+ORACLES["q_string_agg"] = """
+    WITH ranked AS (
+        SELECT c_nationkey, c_name,
+               row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_custkey
+               ) AS rn
+        FROM customer
+    )
+    SELECT c_nationkey,
+           string_agg(c_name, ', ' ORDER BY rn) AS top_customers,
+           CAST(count(*) AS BIGINT) AS n
+    FROM ranked
+    WHERE rn <= 5
+    GROUP BY c_nationkey
+"""
