@@ -101,6 +101,14 @@ HEADLINE = [
     "q_pagerank",
     "q_equidepth",
     "q_spearman_corr",
+    # round-3d shapes: TPC-H Q3/Q5 join trees (pushed filters + broadcast
+    # snowflake), degree-oriented triangle counting, the dual-pass nearest
+    # as-of, and the GK-bracket robust-outlier two-pass
+    "q_tpch_shipping_priority",
+    "q_tpch_local_volume",
+    "q_triangle_count",
+    "q_join_asof_nearest",
+    "q_outlier_mad",
 ]
 
 

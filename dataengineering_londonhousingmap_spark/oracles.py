@@ -3389,7 +3389,7 @@ ORACLES["q_triangle_count"] = """
         FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
         WHERE a.l_partkey < b.l_partkey
         GROUP BY 1, 2
-        HAVING count(*) >= 3
+        HAVING count(*) >= 2
     ),
     deg AS (
         SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (

@@ -4747,7 +4747,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("v"))
         .groupBy("u", "v")
         .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") >= 3)
+        # >= 2 co-occurrences: the >=3 cut used by q_copurchase leaves this
+        # synthetic graph triangle-free above sf0.001 — a vacuously-passing
+        # 0-row result is no evidence; >=2 keeps 61 triangles at the sf0.01
+        # driver gate
+        .filter(F.col("__n") >= 2)
         .select("u", "v")
     )
     # shared subtree feeding degree + both orientation sides: cut once
@@ -4770,6 +4774,10 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
+        # consumed 4× (both wedge sides + both closer directions): without
+        # the cut the und⋈deg⋈deg subtree replays per consumer — observed
+        # as a 30-SMJ plan and 4× the runtime at sf0.1
+        .localCheckpoint(eager=True)
     )
     e1 = oriented.select(F.col("src").alias("p"), F.col("dst").alias("x"))
     e2 = oriented.select(F.col("src").alias("p"), F.col("dst").alias("y"))

@@ -44,6 +44,12 @@ SCALEUP_SET = [
     "q_vocab_oov",
     "q_collocations",
     "q_pagerank",
+    # round-3d additions: the TPC-H Q5 snowflake (only lineitem⋈orders may
+    # shuffle), degree-oriented triangles (wedge join must stay bounded),
+    # and the dual-pass nearest as-of (two keyed sorts, no cross product)
+    "q_tpch_local_volume",
+    "q_triangle_count",
+    "q_join_asof_nearest",
 ]
 
 
