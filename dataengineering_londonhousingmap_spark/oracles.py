@@ -3550,3 +3550,44 @@ ORACLES["q_string_agg"] = """
     WHERE rn <= 5
     GROUP BY c_nationkey
 """
+
+# truncated-window EWMA — same 64-row trail, same left-to-right fold as the
+# Spark array aggregate (DuckDB lambda index i is 1-based → exponent len-i
+# mirrors Spark's 0-based s-1-i)
+ORACLES["q_ewma"] = """
+    WITH trail AS (
+        SELECT event_id, user_id, ts, value,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN 63 PRECEDING AND CURRENT ROW
+               ) AS w
+        FROM events
+    )
+    SELECT event_id, user_id, ts, value,
+           round(
+               list_sum(list_transform(
+                   w, (x, i) -> x * pow(0.7, CAST(len(w) - i AS DOUBLE))))
+               / list_sum(list_transform(
+                   w, (x, i) -> pow(0.7, CAST(len(w) - i AS DOUBLE)))),
+               6
+           ) AS ewma
+    FROM trail
+"""
+
+ORACLES["q_unigram_logprob"] = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+    ),
+    vocab AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    uni AS (
+        SELECT tok,
+               ln(CAST(cnt AS DOUBLE)
+                  / CAST((SELECT sum(cnt) FROM vocab) AS DOUBLE)) AS lp
+        FROM vocab
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(u.lp), 6) AS mean_logprob
+    FROM tok t JOIN uni u USING (tok)
+    GROUP BY t.doc_id
+"""

@@ -5064,6 +5064,92 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (pandas ``ewm(alpha).mean()``,
+    adjust=True) over each user's event-value series — the smoothing step a
+    metrics pipeline runs before anomaly thresholds.
+
+    Spark has no recursive window, and the naive closed form
+    ``sum(x_i·(1-a)^{-i})·(1-a)^t`` overflows double at a few thousand rows
+    per key. The scale-safe shape: a 64-row bounded window collects the
+    trailing values in frame order, and one array fold applies the weights —
+    (1-a)^64 ≈ 1e-10 is far below the 6-dp output rounding, so the
+    truncation is invisible while keeping every term's magnitude sane at
+    ANY partition length. Per-row state is capped at 64 doubles; no
+    unbounded frame, no UDF.
+    """
+    a = 0.3
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-63, Window.currentRow)
+    )
+    vals = F.collect_list("value").over(w)
+    s = F.size(F.col("__w"))
+    # element i (0-based) of the s-length trail weighs (1-a)^(s-1-i);
+    # both num and den fold left-to-right — bit-stable vs the SQL twin
+    num = F.aggregate(
+        F.transform(
+            F.col("__w"),
+            lambda x, i: x * F.pow(F.lit(1.0 - a), (s - 1 - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    den = F.aggregate(
+        F.transform(
+            F.col("__w"),
+            lambda x, i: F.pow(F.lit(1.0 - a), (s - 1 - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        ev.select("event_id", "user_id", "ts", "value")
+        .withColumn("__w", vals)
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            F.round(num / den, 6).alias("ewma"),
+        )
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality score (the CCNet/RedPajama perplexity-filter
+    shape): pass 1 builds the corpus unigram table, pass 2 scores each
+    document by its mean token log-probability — low scores flag gibberish
+    or boilerplate for the quality gate.
+
+    Scale shape: the unigram table is vocabulary-sized (≪ corpus, Zipf), so
+    the score join BROADCASTS it and per-token logprobs are computed where
+    the corpus lives; the only corpus-wide shuffles are the two groupBys
+    (vocab count, per-doc mean), both with map-side partial aggregation.
+    The log happens once per VOCAB row, not once per token.
+    """
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("__tok"))
+    vocab = tok.groupBy("__tok").agg(F.count("*").alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    uni = F.broadcast(
+        vocab.crossJoin(total).select(
+            "__tok",
+            F.log(F.col("__cnt").cast("double") / F.col("__total")).alias("__lp"),
+        )
+    )
+    return (
+        tok.join(uni, "__tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.avg("__lp"), 6).alias("mean_logprob"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -5180,6 +5266,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_tpch_shipping_priority": q_tpch_shipping_priority,
     "q_tpch_local_volume": q_tpch_local_volume,
     "q_string_agg": q_string_agg,
+    "q_ewma": q_ewma,
+    "q_unigram_logprob": q_unigram_logprob,
     # GROUP D — already green in CORRECTNESS_r01/r02
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,
