@@ -7,6 +7,13 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 Implementation lives in ``dataengineering_londonhousingmap_spark/`` (queries.py holds the
 catalog, oracles.py the DuckDB twins); this module is just the wiring.
+
+Ordering contract: three oracles (``q_manifest``, ``q_compact_plan``,
+``q_prune_report``) verify Parquet *footer* statistics, so their SQL reads
+the very files the matching query stages under ``.stage/p<pid>/`` — run the
+Spark query before its oracle (the driver's query-then-oracle evaluation
+already satisfies this). All other oracles are standalone against the
+sf-dir parquet views.
 """
 
 from __future__ import annotations

@@ -896,8 +896,8 @@ ORACLES: dict[str, str] = {
                    ) - n_tokens AS start
             FROM toks
         )
-        SELECT doc_id, shard, start // 2048 AS pack_id,
-               start % 2048 AS pack_offset, n_tokens
+        SELECT doc_id, shard, CAST(start // 2048 AS BIGINT) AS pack_id,
+               CAST(start % 2048 AS BIGINT) AS pack_offset, n_tokens
         FROM cum
     """,
     "q_fingerprint": r"""
@@ -1123,8 +1123,8 @@ ORACLES: dict[str, str] = {
                    ) - n_tokens AS start
             FROM toks
         )
-        SELECT doc_id, shard, start // 2048 AS pack_id,
-               start % 2048 AS pack_offset, n_tokens
+        SELECT doc_id, shard, CAST(start // 2048 AS BIGINT) AS pack_id,
+               CAST(start % 2048 AS BIGINT) AS pack_offset, n_tokens
         FROM cum
     """,
     "q_window_range": """
@@ -3562,6 +3562,7 @@ ORACLES["q_ewma"] = """
                    ROWS BETWEEN 63 PRECEDING AND CURRENT ROW
                ) AS w
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT event_id, user_id, ts, value,
            round(

@@ -5079,7 +5079,11 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     unbounded frame, no UDF.
     """
     a = 0.3
-    ev = _t(spark, sf_dir, "events")
+    # collect_list drops NULLs while DuckDB's list() keeps them (its
+    # denominator would still weight the NULL slot) — pin the invariant by
+    # excluding NULL observations on BOTH sides (same stance as the
+    # winsorize family's explicit non-null input).
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())

@@ -39,11 +39,80 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def _duck_type_family(t: str) -> str:
+    """Map a DuckDB result type to a comparison family.
+
+    HUGEINT/UHUGEINT/DECIMAL are kept as their own families: the driver's
+    value hash is type-sensitive, and a DuckDB window-sum that promotes to
+    HUGEINT will red a row even when values equal Spark's BIGINT output
+    (the r02/r03 q_pack_sequences failure class).
+    """
+    t = t.upper()
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "hugeint"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t in ("VARCHAR", "TEXT", "STRING"):
+        return "str"
+    if t == "BOOLEAN":
+        return "bool"
+    if t.startswith("TIMESTAMP") or t == "DATE":
+        return "datetime"
+    if t == "BLOB":
+        return "binary"
+    return "complex"
+
+
+def _spark_type_family(t: str) -> str:
+    t = t.lower()
+    if t in ("tinyint", "smallint", "int", "bigint", "long"):
+        return "int"
+    if t in ("float", "double"):
+        return "float"
+    if t == "string":
+        return "str"
+    if t == "boolean":
+        return "bool"
+    if t.startswith("timestamp") or t == "date":
+        return "datetime"
+    if t == "binary":
+        return "binary"
+    if t.startswith("decimal"):
+        return "decimal"
+    return "complex"
+
+
+def type_strict_check(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
+    """Fail on type-FAMILY mismatches between the oracle and the Spark result.
+
+    Stricter than value canonicalization: catches HUGEINT/DECIMAL oracle
+    columns that fetchdf() silently renders identically to Spark's int64.
+    """
+    rel = con.sql(sql)
+    duck = {c: _duck_type_family(str(t)) for c, t in zip(rel.columns, rel.types)}
+    spark = {c: _spark_type_family(t) for c, t in spark_df.dtypes}
+    bad = []
+    for c in sorted(set(duck) & set(spark)):
+        if duck[c] != spark[c]:
+            bad.append(f"{c}: duck={duck[c]} spark={spark[c]}")
+    if bad:
+        return False, "type-family mismatch: " + "; ".join(bad)
+    return True, "ok"
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
     got = spark_df.toPandas()
     want = con.execute(sql).fetchdf()
     if sorted(got.columns) != sorted(want.columns):
         return False, f"columns differ: spark={sorted(got.columns)} duck={sorted(want.columns)}"
+    ok, msg = type_strict_check(spark_df, con, sql)
+    if not ok:
+        return False, msg
     if len(got) != len(want):
         return False, f"row count differs: spark={len(got)} duck={len(want)}"
     g, w = _canon(got), _canon(want)

@@ -7,6 +7,7 @@ from __future__ import annotations
 import re
 from decimal import Decimal, InvalidOperation
 
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
@@ -339,3 +340,31 @@ def test_gopher_ratios_cross_engine(spark, values):
         ).fetchall()
     }
     assert got == want, (got, want, values)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_key_columns_unique_per_vintage(sf):
+    """The window-ordered oracle family (pack/cumsum/asof/EWMA) breaks ties
+    on id columns; its determinism rests on those ids being UNIQUE in the
+    vintage. Pin that invariant per scale factor so a future testdata
+    regeneration that duplicates ids fails here, not as an opaque
+    driver-hash mismatch (VERDICT r03 item 7)."""
+    import duckdb
+
+    keys = {
+        "documents": "doc_id",
+        "events": "event_id",
+        "orders": "o_orderkey",
+        "customer": "c_custkey",
+        "part": "p_partkey",
+        "supplier": "s_suppkey",
+        "embeddings": "vec_id",
+    }
+    con = duckdb.connect()
+    for table, key in keys.items():
+        path = f"/root/testdata/{sf}/{table}.parquet"
+        n, d = con.execute(
+            f"SELECT count(*), count(DISTINCT {key}) FROM '{path}'"
+        ).fetchone()
+        assert n == d, f"{sf}/{table}.{key}: {n} rows, {d} distinct"
+    con.close()

@@ -73,3 +73,34 @@ def test_bench_and_scaleup_sets_reference_real_queries():
     scaleup = names_from(os.path.join(root, "tools", "gen_scaleup.py"), "SCALEUP_SET")
     assert set(headline) <= set(QUERIES), sorted(set(headline) - set(QUERIES))
     assert set(scaleup) <= set(QUERIES), sorted(set(scaleup) - set(QUERIES))
+
+
+# Oracles whose SQL reads files the matching query stages first (footer-
+# verification family). The driver evaluates query-then-oracle in one
+# process, so the staged files exist by oracle time; standalone DESCRIBE
+# needs the staging run explicitly.
+STAGE_DEPENDENT = ("q_compact_plan", "q_manifest", "q_prune_report")
+
+# DuckDB result types whose pandas rendering can coincide with Spark's
+# int64/float64 while the driver's type-sensitive value hash differs.
+# sum(BIGINT) OVER (...) promotes to HUGEINT — exactly how q_pack_sequences
+# stayed locally green but driver-red in r02+r03.
+_BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def test_no_oracle_emits_hugeint_or_decimal(spark, duck):
+    """Static sweep: DESCRIBE every oracle; no output column may have a
+    DuckDB type the driver hashes differently from Spark's int64/float64."""
+    for name in STAGE_DEPENDENT:
+        QUERIES[name](spark, SF).count()  # materialize staged inputs
+    bad = {}
+    for name, sql in sorted(ORACLES.items()):
+        rel = duck.sql(sql)
+        hits = [
+            f"{c}: {t}"
+            for c, t in zip(rel.columns, rel.types)
+            if any(str(t).upper().startswith(b) for b in _BANNED_DUCK_TYPES)
+        ]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"oracles emitting driver-hash-hostile types: {bad}"
