@@ -272,6 +272,11 @@ def lsh_near_dup_candidates(
         fan_out(corpus).select(F.col(id_col), F.col(vec_col)),
         vec_col, num_tables, planes_per_table, dim,
     ).select(F.col(id_col), "__t", "__b")
+    # the sketch subtree feeds BOTH sides of the self-join; without a cut
+    # Spark replays the Arrow-batch matmul twice (aliases differ, so no
+    # ReusedExchange). localCheckpoint, not persist: checkpoint blocks are
+    # ContextCleaner-freed once the returned plan is GC'd.
+    sketched = sketched.localCheckpoint(eager=True)
     a = sketched.select(F.col(id_col).alias("id_a"), "__t", "__b")
     b = sketched.select(F.col(id_col).alias("id_b"), "__t", "__b")
     return (
