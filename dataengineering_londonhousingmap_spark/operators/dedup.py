@@ -163,6 +163,11 @@ def lsh_candidate_pairs(
     ]
     banded = signatures.select(F.col(id_col), *band_cols)
     long = banded.unpivot([id_col], [f"band{b}" for b in range(bands)], "band_idx", "band_hash")
+    # both self-join sides replay the signature groupBy (a full shuffle of
+    # the shingle explode) without a cut — aliases differ, so no
+    # ReusedExchange. The banded frame is docs×bands rows of (id, hash):
+    # tiny next to its lineage. localCheckpoint: ContextCleaner-freed.
+    long = long.localCheckpoint(eager=True)
     a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
