@@ -785,24 +785,26 @@ def q_corpus_stats_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1000)
         .select("bg")
     )
-    per_doc = bg.groupBy("doc_id").agg(F.count("*").alias("n_bigrams"))
-    common = (
-        bg.join(F.broadcast(top), "bg", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_common"))
+    # pass 2 fused: total and covered bigram counts in ONE groupBy — a left
+    # join against the broadcast top list (1:1, top is distinct) marks each
+    # occurrence, count(mark) = the semi-join count. One explode + one
+    # doc_id shuffle instead of two of each.
+    marked = bg.join(
+        F.broadcast(top.withColumn("__in", F.lit(1))), "bg", "left"
     )
     return (
-        per_doc.join(common, "doc_id", "left")
+        marked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.count("__in").alias("n_common"),
+        )
         .select(
             "doc_id",
             "n_bigrams",
-            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            "n_common",
             (
                 F.floor(
-                    F.coalesce("n_common", F.lit(0))
-                    / F.col("n_bigrams").cast("double")
-                    * 1e6
-                    + 0.5
+                    F.col("n_common") / F.col("n_bigrams").cast("double") * 1e6 + 0.5
                 )
                 / F.lit(1e6)
             ).alias("coverage"),
