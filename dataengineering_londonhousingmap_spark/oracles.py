@@ -2480,6 +2480,7 @@ ORACLES["q_window_median"] = """
                    PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))[3] AS median5
         FROM events
+        WHERE value IS NOT NULL
     )
     SELECT user_id, ts, event_id, value, median5 FROM fr WHERE rn >= 5
 """

@@ -3471,8 +3471,13 @@ def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     only for full frames so the middle is unique and float-exact (no
     even-frame averaging, whose two-middle mean differs in no way here
     but whose partial frames would). collect_list over a 5-row frame is
-    O(frame) state per row — bounded, unlike a whole-partition collect."""
-    ev = _t(spark, sf_dir, "events")
+    O(frame) state per row — bounded, unlike a whole-partition collect.
+
+    NULL guard (same invariant as q_ewma): collect_list silently drops a
+    NULL value — the frame would shrink and element_at(3) stop being the
+    median — while DuckDB's list() keeps the slot; exclude NULL
+    observations on BOTH sides."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")

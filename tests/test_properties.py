@@ -368,3 +368,27 @@ def test_key_columns_unique_per_vintage(sf):
         ).fetchone()
         assert n == d, f"{sf}/{table}.{key}: {n} rows, {d} distinct"
     con.close()
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_vintage_invariants_the_engine_depends_on(sf):
+    """Pin the non-key data invariants the catalog's plans assume, so a
+    regenerated vintage that breaks one fails HERE with a name, not as an
+    opaque driver-hash mismatch: fixed 64-dim embeddings (the similarity
+    matmuls and the oracle plane literals are built for dim=64) and
+    non-null document text (the shingle/token explodes assume a value)."""
+    import duckdb
+
+    con = duckdb.connect()
+    dim_min, dim_max, n_null_vec = con.execute(
+        f"""SELECT min(len(embedding)), max(len(embedding)),
+                   sum(CASE WHEN embedding IS NULL THEN 1 ELSE 0 END)
+            FROM '/root/testdata/{sf}/embeddings.parquet'"""
+    ).fetchone()
+    assert (dim_min, dim_max) == (64, 64), f"embedding dim drifted: {dim_min}..{dim_max}"
+    assert not n_null_vec, f"{n_null_vec} NULL embeddings"
+    n_null_text = con.execute(
+        f"SELECT count(*) FROM '/root/testdata/{sf}/documents.parquet' WHERE text IS NULL"
+    ).fetchone()[0]
+    assert n_null_text == 0, f"{n_null_text} NULL document texts"
+    con.close()

@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Regenerate .advdata/ — an ADVERSARIAL copy of sf0.001 for oracle
+hardening runs.
+
+The driver's testdata is regenerated each round from the same benign
+generator; latent engine-vs-oracle divergences (NULL handling, frame
+shrinkage, division guards) only fire when the data changes shape. This
+vintage keeps every invariant the engine pins (unique keys, non-null
+text, 64-dim embeddings) but injects the plausible nasties:
+
+* events.value NULL on event_id % 19 == 0 (~5%) — exercises every
+  window/aggregate path's NULL symmetry (the q_ewma/q_window_median
+  class: Spark collect_list drops NULLs, DuckDB list() keeps them).
+
+Usage:
+    python tools/gen_advdata.py
+    python .verify/driver_sim.py /root/repo/.advdata   # expect 0 failures
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+
+SRC = "/root/testdata/sf0.001"
+DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".advdata")
+
+PASSTHROUGH = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "documents", "embeddings",
+]
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    for t in PASSTHROUGH:
+        con.execute(
+            f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            CASE WHEN event_id % 19 = 0 THEN NULL ELSE value END AS value
+          )
+          FROM '{SRC}/events.parquet'
+        ) TO '{DST}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    n, nulls = con.execute(
+        f"SELECT count(*), sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) "
+        f"FROM '{DST}/events.parquet'"
+    ).fetchone()
+    print(f"advdata written: {n} events, {nulls} NULL values")
+
+
+if __name__ == "__main__":
+    main()
