@@ -11,6 +11,10 @@ text, 64-dim embeddings) but injects the plausible nasties:
 * events.value NULL on event_id % 19 == 0 (~5%) — exercises every
   window/aggregate path's NULL symmetry (the q_ewma/q_window_median
   class: Spark collect_list drops NULLs, DuckDB list() keeps them).
+* documents.text duplicated on doc_id % 11 == 7 (each such doc takes the
+  text of doc_id - 7) — floods the dedup family with real exact- and
+  near-duplicates and stresses every tiebreak on tied fingerprints,
+  minhash signatures, and quality scores.
 
 Usage:
     python tools/gen_advdata.py
@@ -28,7 +32,7 @@ DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), 
 
 PASSTHROUGH = [
     "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "documents", "embeddings",
+    "orders", "lineitem", "embeddings",
 ]
 
 
@@ -49,6 +53,25 @@ def main() -> None:
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
         """
     )
+    con.execute(
+        f"""
+        COPY (
+          SELECT d.* REPLACE (
+            CASE WHEN d.doc_id % 11 = 7 AND twin.text IS NOT NULL
+                 THEN twin.text ELSE d.text END AS text
+          )
+          FROM '{SRC}/documents.parquet' d
+          LEFT JOIN '{SRC}/documents.parquet' twin
+            ON twin.doc_id = d.doc_id - 7
+        ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    dups = con.execute(
+        f"""SELECT count(*) FROM (
+              SELECT text FROM '{DST}/documents.parquet'
+              GROUP BY text HAVING count(*) > 1)"""
+    ).fetchone()[0]
+    print(f"duplicated text groups: {dups}")
     n, nulls = con.execute(
         f"SELECT count(*), sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) "
         f"FROM '{DST}/events.parquet'"
