@@ -96,38 +96,21 @@ def exact_percentiles_scalable(
         )
     )
 
-    out = br.select(group_col, "__n")
+    # ONE aggregation extracts the k-th / (k+1)-th order statistics for every
+    # requested p — min-when aggregates are independent, so per-p filter+agg
+    # rounds (which each replayed the slice's rank-window subtree) collapse
+    # into a single pass over the slice.
+    pick_aggs = []
     for i, p in enumerate(ps):
         # 0-based target position, identical arithmetic to quantile_cont
+        kpos = F.floor(F.lit(p) * (F.col("__n") - 1).cast("double"))
+        pick_aggs.append(F.min(F.when(F.col("__k") == kpos, v)).alias(f"__vk{i}"))
+        pick_aggs.append(F.min(F.when(F.col("__k") == kpos + 1, v)).alias(f"__vk1{i}"))
+    picks = ranked.groupBy(group_col).agg(*pick_aggs)
+
+    out = br.select(group_col, "__n").join(F.broadcast(picks), group_col, "left")
+    for i, p in enumerate(ps):
         kpos = F.floor(F.lit(p) * (F.col("__n") - 1).cast("double")).cast("long")
-        pick = (
-            ranked.filter(
-                (F.col("__k") >= F.floor(F.lit(p) * (F.col("__n") - 1).cast("double")))
-                & (
-                    F.col("__k")
-                    <= F.floor(F.lit(p) * (F.col("__n") - 1).cast("double")) + 1
-                )
-            )
-            .groupBy(group_col)
-            .agg(
-                F.min(
-                    F.when(
-                        F.col("__k")
-                        == F.floor(F.lit(p) * (F.col("__n") - 1).cast("double")),
-                        v,
-                    )
-                ).alias(f"__vk{i}"),
-                F.min(
-                    F.when(
-                        F.col("__k")
-                        == F.floor(F.lit(p) * (F.col("__n") - 1).cast("double"))
-                        + 1,
-                        v,
-                    )
-                ).alias(f"__vk1{i}"),
-            )
-        )
-        out = out.join(F.broadcast(pick), group_col, "left")
         pos = F.lit(p) * (F.col("__n") - 1).cast("double")
         d = pos - kpos.cast("double")
         # Spark Percentile.scala interpolates as lower·(1−d) + higher·d —
