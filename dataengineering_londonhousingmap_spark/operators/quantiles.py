@@ -71,8 +71,14 @@ def exact_percentiles_scalable(
     hi_any = F.when(small, F.col("__max")).otherwise(
         F.greatest(*shi) if len(shi) > 1 else shi[0]
     )
+    # br is groups-sized (KBs) but its child is the FULL input aggregation;
+    # it feeds fact (→ below, ranked) and the final select, so without a cut
+    # the input is re-aggregated once per consumer — and when the input df is
+    # itself derived from another percentile pass (the MAD composition), the
+    # replay multiplies into a 36-scan plan. Materialize once.
     br = F.broadcast(
         br.select(group_col, "__n", lo_any.alias("__lo"), hi_any.alias("__hi"))
+        .localCheckpoint(eager=True)
     )
 
     fact = df.select(group_col, value_col).join(br, group_col)
@@ -120,4 +126,9 @@ def exact_percentiles_scalable(
             F.col(f"__vk{i}") * (F.lit(1.0) - d)
             + F.coalesce(F.col(f"__vk1{i}"), F.col(f"__vk{i}")) * d,
         )
-    return out.select(group_col, *[f"p_{i}" for i in range(len(ps))])
+    # the result is groups-sized and almost always broadcast-joined back
+    # against the fact by callers (winsorize, MAD, equi-depth) — materialize
+    # so a caller composing two percentile passes never replays this one.
+    return out.select(
+        group_col, *[f"p_{i}" for i in range(len(ps))]
+    ).localCheckpoint(eager=True)
