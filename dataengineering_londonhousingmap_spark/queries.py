@@ -3689,7 +3689,9 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             aggs.append(
                 F.sum(F.col(f"__r_{x}") * F.col(f"__r_{y}")).alias(f"sp_{x}_{y}")
             )
-    s = ranked.agg(*aggs)
+    # one row of sufficient stats, consumed by one union branch per pair —
+    # without a cut each branch replays the full rank-join pipeline
+    s = ranked.agg(*aggs).localCheckpoint(eager=True)
     parts = []
     for i, x in enumerate(cols):
         for y in cols[i + 1 :]:
