@@ -392,3 +392,41 @@ def test_vintage_invariants_the_engine_depends_on(sf):
     ).fetchone()[0]
     assert n_null_text == 0, f"{n_null_text} NULL document texts"
     con.close()
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=50),  # heavy ties by design
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_exact_percentiles_match_numpy_model(spark, small_vals, seed):
+    """exact_percentiles_scalable must equal numpy's linear-interpolated
+    percentile on BOTH regimes: a small group (the [min,max] fallback) and
+    a ≥1000-row group (the GK-sketch bracket + slice-refinement path),
+    with tie-heavy integer data and boundary ps included."""
+    import numpy as np
+
+    from dataengineering_londonhousingmap_spark.operators.quantiles import (
+        exact_percentiles_scalable,
+    )
+
+    rng = np.random.default_rng(seed)
+    big_vals = rng.integers(0, 200, size=1500).tolist()  # ties + sketch path
+    rows = [("small", float(v)) for v in small_vals] + [
+        ("big", float(v)) for v in big_vals
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    ps = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = {
+        r.g: [r[f"p_{i}"] for i in range(len(ps))]
+        for r in exact_percentiles_scalable(df, "g", "v", ps).collect()
+    }
+    for g, vals in (("small", small_vals), ("big", big_vals)):
+        want = np.percentile(np.array(vals, dtype=float), [p * 100 for p in ps],
+                             method="linear")
+        for i, (gv, wv) in enumerate(zip(got[g], want)):
+            assert gv == pytest.approx(wv, abs=1e-9), (g, ps[i], gv, wv)
