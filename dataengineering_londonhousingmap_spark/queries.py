@@ -2483,10 +2483,14 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly-after condition). Output: per-user step timestamps and the
     furthest step reached."""
     ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    # each stage frame feeds the next stage AND the final recombination —
+    # materialize the user-grained aggregates (|users| rows) so the fact is
+    # scanned once per stage instead of once per downstream consumer
     s1 = (
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_signup"))
+        .localCheckpoint(eager=True)
     )
     s2 = (
         ev.filter(F.col("event_type") == "click")
@@ -2494,6 +2498,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_signup"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
+        .localCheckpoint(eager=True)
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
@@ -3881,7 +3886,14 @@ def _equidepth_score(metric_df: DataFrame, col: str, buckets: int = 5) -> DataFr
     counts — the q_equidepth machinery as a reusable scorer: cumulative
     rank over the small distinct-value table (never the fact), whole tie
     groups land in their first-rank bucket, exact integer div."""
-    vc = metric_df.groupBy(col).agg(F.count("*").alias("__cnt"))
+    # the value table feeds both the total and the cum-window — materialize
+    # it (bounded: |distinct values|), or the metric aggregation upstream
+    # replays once per consumer
+    vc = (
+        metric_df.groupBy(col)
+        .agg(F.count("*").alias("__cnt"))
+        .localCheckpoint(eager=True)
+    )
     n = vc.agg(F.sum("__cnt").alias("__n"))
     wv = Window.partitionBy(F.lit(0)).orderBy(col)
     return (
@@ -4072,6 +4084,10 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(floor(__spend / 100) AS LONG)").alias("monetary_bin"),
         )
     )
+    # four consumers (three quintile cuts + the final join) — one
+    # materialization of the customer-grained table instead of four
+    # replays of the orders aggregation
+    per_cust = per_cust.localCheckpoint(eager=True)
     r = _equidepth_score(per_cust, "recency_days").withColumnRenamed("__score", "__r")
     f = _equidepth_score(per_cust, "frequency").withColumnRenamed("__score", "__f")
     m = _equidepth_score(per_cust, "monetary_bin").withColumnRenamed("__score", "__m")
@@ -4503,13 +4519,22 @@ def q_embed_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "vec_id", F.posexplode("embedding").alias("d", "x")
     ).withColumn("x", F.col("x").cast("double"))
     n = emb.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    # centroid table is labels×dim rows but sits on the full posexplode
+    # aggregation; it feeds the norm AND the member join — materialize it
+    # (and the labels-sized norm, reused by per_vec and the final join) so
+    # the corpus explode runs once per pass, not once per consumer
     cent = (
         ex.groupBy("label", "d")
         .agg(F.sum("x").alias("__s"))
         .join(F.broadcast(n), "label")
         .select("label", "d", (F.col("__s") / F.col("n_vecs")).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    cnorm = cent.groupBy("label").agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("__cn"))
+    cnorm = (
+        cent.groupBy("label")
+        .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("__cn"))
+        .localCheckpoint(eager=True)
+    )
     per_vec = (
         ex.join(cent, ["label", "d"])
         .groupBy("label", "vec_id")
