@@ -392,6 +392,9 @@ def ann_topk_ivf(
                 F.row_number().over(Window.orderBy(F.md5(F.col(id_col).cast("string")))).alias("__cid"),
                 F.col(vec_col).alias("__cvec"),
             )
+            # n_centroids rows atop a full corpus scan, consumed by BOTH
+            # the assignment and the probe broadcasts — seed once
+            .localCheckpoint(eager=True)
         )
     cent = F.broadcast(cent)
 

@@ -2685,13 +2685,17 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     terms = ["spark", "merge", "window"]
     t = tokens(F.col("text"))
-    dl = docs.select("doc_id", F.size(t).alias("dl"))
+    # dl feeds the global stats AND the score join; tf feeds the df agg AND
+    # the score join — each replay re-tokenizes the corpus. Materialize the
+    # two narrow frames (|docs|×2 and |matching doc,term| rows).
+    dl = docs.select("doc_id", F.size(t).alias("dl")).localCheckpoint(eager=True)
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     tf = (
         docs.select("doc_id", F.explode(t).alias("term"))
         .filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
     )
     dft = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
@@ -3137,7 +3141,13 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds the document-frequency agg AND the score join — materialize
+    # the (doc,term,count) table so the token explode+shuffle runs once
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(
@@ -3868,7 +3878,9 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
-    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    # the signature table splits into new/index sides — materialize it
+    # (16 longs per doc) so the minhash groupBy runs once, not per side
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16).localCheckpoint(eager=True)
     is_new = _hash_bucket(F.col("doc_id"), "ded_idx") < 2000
     cand = lsh_candidate_pairs_against(
         sig.filter(is_new), sig.filter(~is_new), "doc_id", num_hashes=16, bands=4
@@ -4473,10 +4485,14 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     |lineitem| at any scale, unlike an unbounded-key self-join. Pairs with
     ≥3 co-occurrences; distinct parts per order first (multi-line same
     part counts once — set semantics like any co-occurrence model)."""
+    # the deduped two-column basket feeds the frequency agg and BOTH
+    # self-join sides (aliases defeat ReusedExchange) — materialize the
+    # narrow pair list once instead of running the distinct shuffle thrice
     li = (
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .localCheckpoint(eager=True)
     )
     freq = li.groupBy("l_partkey").agg(F.count("*").alias("__f"))
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
