@@ -134,7 +134,9 @@ def nearest_join_gridded(
         *[F.col(f"__m.{c}").alias(c) for c in tie],
         *[F.col(f"__m.{c}").alias(c) for c in rcols],
         F.col("__m.__dist").alias("__dist"),
-    )
+    # |left|-sized winners feed the provable-match filter AND the
+    # escalation anti-join — materialize so the grid join runs once
+    ).localCheckpoint(eager=True)
     # a grid winner is PROVABLY the global nearest only within cell_deg:
     # any point at L1 ≤ cell_deg is inside the 3×3 neighborhood, so a grid
     # best with __dist > cell_deg could be beaten by a point in an

@@ -3335,13 +3335,20 @@ def q_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = li.crossJoin(F.broadcast(buckets)).filter(
         F.array_contains(F.col("bs"), bucket(F.col("l_suppkey")))
     )
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-    matched = cand.join(F.broadcast(supp), cand["l_suppkey"] == supp["s_suppkey"], "left_semi")
-    totals = matched.agg(
-        F.count(F.lit(1)).alias("n_matched"),
-        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    # ONE pruned fact pass computes both stages: s_suppkey is unique, so a
+    # broadcast left join marks exact matches (1:1, never duplicating) and
+    # the candidate/matched counts fuse into a single aggregation instead
+    # of two pruned scans
+    marked = cand.join(
+        F.broadcast(supp), cand["l_suppkey"] == supp["s_suppkey"], "left"
     )
-    return n_cand.crossJoin(totals)
+    return marked.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.count("s_suppkey").alias("n_matched"),
+        F.sum(F.when(F.col("s_suppkey").isNotNull(), F.col("l_quantity")))
+        .cast("long")
+        .alias("sum_qty"),
+    )
 
 
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
