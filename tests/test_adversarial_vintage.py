@@ -57,12 +57,12 @@ SENSITIVE = [
 
 @pytest.fixture(scope="module")
 def advdata():
-    # regenerate if absent (gitignored): deterministic, <2s
-    if not os.path.exists(os.path.join(ADV, "events.parquet")):
-        subprocess.run(
-            [sys.executable, os.path.join(ROOT, "tools", "gen_advdata.py")],
-            check=True,
-        )
+    # always regenerate (deterministic, <2s): a stale .advdata from an
+    # older generator vintage would silently weaken the gate
+    subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "gen_advdata.py")],
+        check=True,
+    )
     return ADV
 
 

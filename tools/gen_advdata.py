@@ -1,6 +1,10 @@
 #!/usr/bin/env python
-"""Regenerate .advdata/ — an ADVERSARIAL copy of sf0.001 for oracle
+"""Regenerate .advdata/ — an ADVERSARIAL copy of sf0.01 for oracle
 hardening runs.
+
+sf0.01, not sf0.001: event_type groups exceed the percentile operator's
+1000-row small-group threshold there, so the GK-sketch bracket path (not
+just the [min,max] fallback) runs against NULL-bearing data.
 
 The driver's testdata is regenerated each round from the same benign
 generator; latent engine-vs-oracle divergences (NULL handling, frame
@@ -27,7 +31,7 @@ import os
 
 import duckdb
 
-SRC = "/root/testdata/sf0.001"
+SRC = "/root/testdata/sf0.01"
 DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".advdata")
 
 PASSTHROUGH = [
