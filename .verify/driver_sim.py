@@ -33,6 +33,7 @@ sys.path.insert(0, "/root/repo/tests")
 from oracle_harness import compare, duck_connection
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 con = duck_connection(SF)
+import gc
 fails = []
 for name in sorted(qs):
     t = time.time()
@@ -47,6 +48,10 @@ for name in sorted(qs):
         print(f"{status} {name} ({time.time()-t:.1f}s) {msg if status!='OK ' else ''}")
     except Exception as e:
         fails.append((name, str(e)[:200])); print(f"ERR  {name}: {str(e)[:200]}")
+    # release plan refs so checkpoint blocks/broadcasts are freed — 195
+    # queries of retained state otherwise age the session (see bench.py)
+    sdf = None
+    gc.collect()
 print(f"\n{len(fails)} failures")
 for n, m in fails: print(" -", n, m[:300])
 sys.exit(1 if fails else 0)
