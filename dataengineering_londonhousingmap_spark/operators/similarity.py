@@ -34,7 +34,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.vectors import (
-    cosine_similarity,
     cosine_similarity_batched,
     dot_product,
     l2_norm,

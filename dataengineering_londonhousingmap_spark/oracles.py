@@ -20,8 +20,6 @@ replaying their empirically-probed boundary rules in SQL.
 
 from __future__ import annotations
 
-import os
-
 # ---------------------------------------------------------------------------
 # shared SQL fragments
 # ---------------------------------------------------------------------------

@@ -41,7 +41,6 @@ from .functions.text import (
 from .operators.dedup import (
     char_shingles,
     connected_components,
-    dedup_by_fingerprint,
     dedup_first_seen,
     lsh_candidate_pairs,
     minhash_signatures,
