@@ -19,6 +19,10 @@ text, 64-dim embeddings) but injects the plausible nasties:
   text of doc_id - 7) — floods the dedup family with real exact- and
   near-duplicates and stresses every tiebreak on tied fingerprints,
   minhash signatures, and quality scores.
+* events.ts stored as TIMESTAMP(NANOS) — the round-1 driver vintage that
+  Spark's vectorized reader rejects as TimestampType; exercises the
+  nanosAsLong + magnitude-classifying rebuild in read_testdata end-to-end
+  (DuckDB reads NANOS natively, so the oracles are unaffected).
 
 Usage:
     python tools/gen_advdata.py
@@ -70,6 +74,19 @@ def main() -> None:
         ) TO '{DST}/documents.parquet' (FORMAT PARQUET)
         """
     )
+    # rewrite events.ts as TIMESTAMP(NANOS) — the round-1 vintage shape
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev_path = os.path.join(DST, "events.parquet")
+    tbl = pq.read_table(ev_path)
+    i = tbl.schema.get_field_index("ts")
+    tbl = tbl.set_column(
+        i, pa.field("ts", pa.timestamp("ns")),
+        tbl.column("ts").cast(pa.timestamp("ns")),
+    )
+    pq.write_table(tbl, ev_path, store_schema=False, coerce_timestamps=None)
+
     dups = con.execute(
         f"""SELECT count(*) FROM (
               SELECT text FROM '{DST}/documents.parquet'
