@@ -52,6 +52,11 @@ SENSITIVE = [
     "q_pack_sequences",
     "q_heavy_hitters",
     "q_fingerprint",
+    # streaming feeds must classify the NANOS ts vintage (round-1 shape)
+    # before watermarking — the replay harness plus late-drop semantics
+    # run end-to-end against the adversarial data
+    "q_stream_hourly",
+    "q_stream_late",
 ]
 
 
