@@ -430,3 +430,33 @@ def test_exact_percentiles_match_numpy_model(spark, small_vals, seed):
                              method="linear")
         for i, (gv, wv) in enumerate(zip(got[g], want)):
             assert gv == pytest.approx(wv, abs=1e-9), (g, ps[i], gv, wv)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_text_avoids_known_cross_engine_unicode_divergences(sf):
+    """Probed divergences between Spark (JVM) and DuckDB (utf8proc) string
+    semantics, r04: combining marks make length() disagree (DuckDB counts
+    grapheme clusters, Spark code points: len('e'+U+0301) = 1 vs 2), and
+    full case mapping disagrees on Turkish dotted I and sharp s
+    (Spark lower('İ')='i'+combining dot, DuckDB 'i'; Spark upper('ß')='SS',
+    DuckDB 'ẞ'). The multilingual corpus is green today because it contains
+    none of these; a vintage that introduces them must fail HERE by name,
+    not as scattered reds in every lower()/length()-using oracle."""
+    import unicodedata
+
+    import duckdb
+
+    con = duckdb.connect()
+    texts = [
+        r[0]
+        for r in con.execute(
+            f"SELECT text FROM '/root/testdata/{sf}/documents.parquet'"
+        ).fetchall()
+    ]
+    con.close()
+    divergent = {"İ", "ı", "ß", "ẞ"}  # İ ı ß ẞ
+    for t in texts:
+        assert not divergent & set(t), f"case-mapping-divergent char in: {t[:60]!r}"
+        assert not any(unicodedata.combining(ch) for ch in t), (
+            f"combining mark (grapheme/codepoint length divergence) in: {t[:60]!r}"
+        )
