@@ -772,7 +772,7 @@ ORACLES: dict[str, str] = {
             FROM embeddings e CROSS JOIN q
             WHERE e.vec_id <> q.query_id
         )
-        SELECT query_id, match_id, round(cosine, 6) AS cosine,
+        SELECT query_id, match_id, round(cosine, 6) + 0e0 AS cosine,
                CAST(rank AS BIGINT) AS rank
         FROM (
             SELECT query_id, match_id, cosine,
@@ -1966,7 +1966,7 @@ ORACLES: dict[str, str] = {
     "q_grouped_zscore": """
         SELECT event_id, user_id,
                round((value - avg(value) OVER w)
-                     / NULLIF(stddev_samp(value) OVER w, 0), 6) AS zscore
+                     / NULLIF(stddev_samp(value) OVER w, 0), 6) + 0e0 AS zscore
         FROM events
         WHERE value IS NOT NULL
         WINDOW w AS (PARTITION BY user_id)
@@ -2062,7 +2062,7 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 _ANN_RERANK = """
-    SELECT query_id, match_id, round(cosine, 6) AS cosine,
+    SELECT query_id, match_id, round(cosine, 6) + 0e0 AS cosine,
            CAST(rank AS BIGINT) AS rank
     FROM (
         SELECT query_id, match_id, cosine,
@@ -2436,7 +2436,7 @@ ORACLES["q_corr_matrix"] = """
     )
     SELECT 'l_quantity' AS x, 'l_discount' AS y,
            round((n * sqd - sq * sd)
-                 / sqrt((n * ssq - sq * sq) * (n * ssd - sd * sd)), 6) AS corr
+                 / sqrt((n * ssq - sq * sq) * (n * ssd - sd * sd)), 6) + 0e0 AS corr
     FROM s
     UNION ALL
     SELECT 'l_quantity', 'l_tax',
@@ -2627,7 +2627,7 @@ ORACLES["q_spearman_corr"] = """
     )
     SELECT 'l_quantity' AS x, 'l_discount' AS y,
            round((cn * sxy - sx * sy)
-                 / sqrt((cn * ssx - sx * sx) * (cn * ssy - sy * sy)), 6) AS spearman
+                 / sqrt((cn * ssx - sx * sx) * (cn * ssy - sy * sy)), 6) + 0e0 AS spearman
     FROM s
     UNION ALL
     SELECT 'l_quantity', 'l_tax',
@@ -2948,8 +2948,8 @@ ORACLES["q_embed_class_report"] = """
     )
     SELECT c.label,
            CAST(count(*) AS BIGINT) AS n_vecs,
-           round(avg(cos), 6) AS mean_cos,
-           round(min(cos), 6) AS min_cos,
+           round(avg(cos), 6) + 0e0 AS mean_cos,
+           round(min(cos), 6) + 0e0 AS min_cos,
            round(any_value(cn.cn), 6) AS centroid_norm
     FROM cosines c JOIN cnorm cn ON cn.label = c.label
     GROUP BY c.label
@@ -3286,10 +3286,10 @@ ORACLES["q_ab_test"] = """
            CAST(n_b AS BIGINT) AS n_b,
            round(s_a / n_a, 6) AS mean_a,
            round(s_b / n_b, 6) AS mean_b,
-           round(s_b / n_b - s_a / n_a, 6) AS uplift,
+           round(s_b / n_b - s_a / n_a, 6) + 0e0 AS uplift,
            round((s_b / n_b - s_a / n_a)
                  / sqrt(((ss_a - s_a * s_a / n_a) / (n_a - 1)) / n_a
-                        + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b), 6) AS t_stat
+                        + ((ss_b - s_b * s_b / n_b) / (n_b - 1)) / n_b), 6) + 0e0 AS t_stat
     FROM j
 """
 
