@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.joins import broadcast_map_join, zip_join
+from ..operators.joins import broadcast_map_join
 from ..operators.reshape import sessionize_by_marker, unpivot_yesno
 
 
@@ -63,9 +63,3 @@ def build_station_dimension(
         "Tube Line", F.coalesce(F.col("Tube Line"), F.lit("Overground line"))
     )
 
-
-def zip_station_line_columns(
-    station_names: DataFrame, tube_lines: DataFrame, order_left: list[str], order_right: list[str]
-) -> DataFrame:
-    """GM cell 13's pd.concat(axis=1), deterministic (J5)."""
-    return zip_join(station_names, tube_lines, order_left, order_right)
