@@ -1,0 +1,54 @@
+"""Physical-plan shape regression guards.
+
+Round 4 removed every replayed-subtree plan from the catalog (aliased
+self-joins and multi-consumer frames defeat ReusedExchange; the fix is a
+localCheckpoint cut — see the verify skill notes). These tests pin the
+worst offenders' parquet-scan counts so a refactor that drops a cut
+fails here with a plan diff, not as a silent 5-10x cost regression:
+q_outlier_mad once compiled to a 36-scan plan, q_rfm to 28, and
+q_spearman_corr to 15.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from dataengineering_londonhousingmap_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+# name -> max allowed "(n) Scan parquet" operators in the formatted plan
+BOUNDS = {
+    "q_outlier_mad": 4,      # was 36 before the percentile-operator cuts
+    "q_rfm": 2,              # was 28 before the per_cust / value-table cuts
+    "q_spearman_corr": 8,    # was 15 before the stats-row cut
+    "q_winsorize": 4,
+    "q_percentiles": 4,
+    "q_funnel": 4,           # one scan per stage, not per consumer
+    "q_tfidf": 2,
+    "q_text_search": 3,
+    "q_corpus_stats_score": 3,
+    "q_copurchase": 2,
+    "q_runtime_filter": 3,   # bucket build + ONE fused candidate pass
+}
+
+
+def _parquet_scans(df) -> int:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return len(re.findall(r"\(\d+\)\s+Scan parquet", buf.getvalue()))
+
+
+@pytest.mark.parametrize("name", sorted(BOUNDS))
+def test_plan_scan_count_stays_bounded(name, spark):
+    df = QUERIES[name](spark, SF)
+    scans = _parquet_scans(df)
+    assert scans <= BOUNDS[name], (
+        f"{name}: {scans} parquet scans (bound {BOUNDS[name]}) — a shared "
+        f"subtree lost its localCheckpoint cut and is being replayed"
+    )
