@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import WS_RE, doc_fingerprint
-from .util import fan_out
+from .util import fan_out, materialize
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -167,7 +167,7 @@ def lsh_candidate_pairs(
     # the shingle explode) without a cut — aliases differ, so no
     # ReusedExchange. The banded frame is docs×bands rows of (id, hash):
     # tiny next to its lineage. localCheckpoint: ContextCleaner-freed.
-    long = long.localCheckpoint(eager=True)
+    long = long.transform(materialize)
     a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
@@ -355,7 +355,7 @@ def connected_components(
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-        .localCheckpoint(eager=False)  # reused every iteration
+        .transform(materialize, eager=False)  # reused every iteration
     )
     # iterate ONLY over edge-incident vertices: at corpus scale near-dup
     # edges touch a small fraction of documents, and dragging every
@@ -366,7 +366,7 @@ def connected_components(
         e.select(F.col("src").alias("id"))
         .distinct()
         .select(F.col("id"), F.col("id").alias("label"))
-        .localCheckpoint(eager=False)
+        .transform(materialize, eager=False)
     )
     converged = None
     for _ in range(max_iters):
@@ -383,7 +383,7 @@ def connected_components(
             .unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         changed = (
             new_labels.filter(F.col("label") < F.col("old")).limit(1).count()

@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .util import fan_out
+from .util import fan_out, materialize
 
 
 def nearest_join(
@@ -136,7 +136,7 @@ def nearest_join_gridded(
         F.col("__m.__dist").alias("__dist"),
     # |left|-sized winners feed the provable-match filter AND the
     # escalation anti-join — materialize so the grid join runs once
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     # a grid winner is PROVABLY the global nearest only within cell_deg:
     # any point at L1 ≤ cell_deg is inside the 3×3 neighborhood, so a grid
     # best with __dist > cell_deg could be beaten by a point in an

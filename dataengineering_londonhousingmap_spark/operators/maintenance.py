@@ -14,6 +14,7 @@ import math
 
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
+from .util import materialize
 
 
 def dir_bytes(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
@@ -93,7 +94,7 @@ def purge_keys(
         survivors = scoped.join(key_df, key_col, "left_anti")
     else:
         survivors = scoped.filter(~F.col(key_col).isin(list(keys)))
-    survivors = survivors.localCheckpoint(eager=True)
+    survivors = survivors.transform(materialize)
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import materialize
+
 _SMALL_GROUP = 1_000  # below this, [min, max] is the bracket (exact, tiny)
 _MARGIN = 0.01
 
@@ -78,7 +80,7 @@ def exact_percentiles_scalable(
     # replay multiplies into a 36-scan plan. Materialize once.
     br = F.broadcast(
         br.select(group_col, "__n", lo_any.alias("__lo"), hi_any.alias("__hi"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     fact = df.select(group_col, value_col).join(br, group_col)
@@ -131,4 +133,4 @@ def exact_percentiles_scalable(
     # so a caller composing two percentile passes never replays this one.
     return out.select(
         group_col, *[f"p_{i}" for i in range(len(ps))]
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)

@@ -38,7 +38,7 @@ from ..functions.vectors import (
     dot_product,
     l2_norm,
 )
-from .util import fan_out
+from .util import fan_out, materialize
 
 
 def _query_frame(queries: DataFrame, query_id: str, query_vec: str) -> DataFrame:
@@ -80,9 +80,13 @@ def ann_topk_bruteforce(
         ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
+    # rank as BIGINT: row_number() is int32 in Spark but SQL engines emit
+    # BIGINT — the catalog-wide width convention (oracle_harness is
+    # int-width strict)
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
     )
 
 
@@ -213,7 +217,11 @@ def ann_topk_lsh(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )
 
 
 def embedding_near_dup(
@@ -275,7 +283,7 @@ def lsh_near_dup_candidates(
     # Spark replays the Arrow-batch matmul twice (aliases differ, so no
     # ReusedExchange). localCheckpoint, not persist: checkpoint blocks are
     # ContextCleaner-freed once the returned plan is GC'd.
-    sketched = sketched.localCheckpoint(eager=True)
+    sketched = sketched.transform(materialize)
     a = sketched.select(F.col(id_col).alias("id_a"), "__t", "__b")
     b = sketched.select(F.col(id_col).alias("id_b"), "__t", "__b")
     return (
@@ -393,7 +401,7 @@ def ann_topk_ivf(
             )
             # n_centroids rows atop a full corpus scan, consumed by BOTH
             # the assignment and the probe broadcasts — seed once
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     cent = F.broadcast(cent)
 
@@ -443,4 +451,8 @@ def ann_topk_ivf(
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .withColumn("rank", F.col("rank").cast("long"))
+    )

@@ -38,6 +38,41 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Cut lineage on a frame that feeds >1 plan subtree (or a driver-loop
+    iteration) — the single chokepoint for every checkpoint in the engine.
+
+    Default path is ``localCheckpoint``: blocks are executor-local and
+    NON-REPLICATED, the right trade on this project's single-JVM local[N]
+    deployment (and, unlike ``persist``, ContextCleaner-frees the blocks
+    once the returned plan is GC'd — a cache referenced by a returned plan
+    can never be unpersisted). The local-mode assumption is load-bearing:
+    on a real cluster with dynamic allocation or spot executors, losing an
+    executor loses its blocks, and the TRUNCATED lineage makes the job
+    unrecoverable rather than merely slow.
+
+    Cluster deployments set
+    ``spark.conf.set("spark.dataengineering_londonhousingmap_spark.reliableCheckpoint", "true")``
+    (plus ``sc.setCheckpointDir`` on a cluster-visible FS) to route every
+    call site through a reliable checkpoint whose blocks survive executor
+    loss. One flag flips the whole engine; call sites never choose.
+
+    Note ``eager=True`` (the default) runs a Spark job at
+    DataFrame-CONSTRUCTION time — building a plan through ``materialize``
+    executes work. That is deliberate at every eager call site (the frame
+    is always consumed, and laziness would replay the subtree per
+    consumer); pass ``eager=False`` only for iteratively-rebound loop
+    state where the next iteration's action triggers the cut anyway.
+    """
+    sess = df.sparkSession
+    reliable = sess.conf.get(
+        "spark.dataengineering_londonhousingmap_spark.reliableCheckpoint", "false"
+    )
+    if str(reliable).lower() == "true":
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def guard_global_sort(
     df: DataFrame, operator: str, limit_bytes: int = 1 << 30, allow_large: bool = False
 ) -> None:

@@ -3252,7 +3252,7 @@ ORACLES["q_rfm"] = f"""
     SELECT p.custkey,
            CAST(p.recency_days AS INTEGER) AS recency_days,
            p.frequency, p.monetary_bin,
-           CAST(6 - r.score AS INTEGER) AS r_score,
+           CAST(6 - r.score AS BIGINT) AS r_score,
            f.score AS f_score,
            m.score AS m_score,
            CAST(6 - r.score AS VARCHAR) || CAST(f.score AS VARCHAR)

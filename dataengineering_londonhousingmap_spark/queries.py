@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import os
 import re
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -64,7 +65,7 @@ from .operators.multimodal import (
     resize_images,
     synthesize_media,
 )
-from .operators.util import exact_avg_cents
+from .operators.util import exact_avg_cents, materialize
 from .operators.similarity import (
     ann_topk_bruteforce,
     ann_topk_ivf,
@@ -88,6 +89,14 @@ STAGE_DIR = os.path.join(
     ".stage",
     f"p{os.getpid()}",
 )
+
+# The pid tag is only unique among LIVE processes — .stage is gitignored and
+# never cleaned, so a recycled pid would inherit a dead namesake's staged
+# data (and _stage_once keys freshness on a _SUCCESS marker alone, so
+# per-round testdata regeneration would silently replay stale batches).
+# First import in a process wipes whatever a previous owner left behind;
+# a live concurrent process can never share this pid.
+shutil.rmtree(STAGE_DIR, ignore_errors=True)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1473,7 +1482,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flat storage memory. (Blocks live on executor local storage: lost on
     # executor failure → recompute from source, acceptable for a
     # query-scoped temp.)
-    sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
+    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     out = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
@@ -1566,8 +1575,8 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        token_count("text").alias("n_tokens"),
-        F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), 0)).alias("n_bpe_tokens"),
+        token_count("text").cast("long").alias("n_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_BPE_ISH), 0)).cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -1579,7 +1588,7 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.round(quality_score("text"), 6).alias("quality"),
-        F.length("text").alias("n_chars"),
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 
@@ -1832,7 +1841,7 @@ def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.round(F.lag("value", 1).over(w), 6).alias("prev_value"),
         F.round(F.avg("value").over(wf), 6).alias("moving_avg3"),
-        F.row_number().over(w).alias("seq"),
+        F.row_number().over(w).cast("long").alias("seq"),
     )
 
 
@@ -1848,7 +1857,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     when (A,C) was never a candidate. Oracle: a recursive CTE computing min
     reachable doc over the identical edge set."""
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
+    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     edges = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand).select(
@@ -2195,8 +2204,8 @@ def q_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cust.select(
         "c_custkey",
         "c_nationkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.rank().over(w).alias("rnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
         r6(F.percent_rank().over(w)).alias("pct_rank"),
         r6(F.cume_dist().over(w)).alias("cume"),
     )
@@ -2489,7 +2498,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "signup")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_signup"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     s2 = (
         ev.filter(F.col("event_type") == "click")
@@ -2497,7 +2506,7 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") > F.col("t_signup"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     s3 = (
         ev.filter(F.col("event_type") == "purchase")
@@ -2687,14 +2696,14 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dl feeds the global stats AND the score join; tf feeds the df agg AND
     # the score join — each replay re-tokenizes the corpus. Materialize the
     # two narrow frames (|docs|×2 and |matching doc,term| rows).
-    dl = docs.select("doc_id", F.size(t).alias("dl")).localCheckpoint(eager=True)
+    dl = docs.select("doc_id", F.size(t).alias("dl")).transform(materialize)
     stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
     tf = (
         docs.select("doc_id", F.explode(t).alias("term"))
         .filter(F.col("term").isin(terms))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     dft = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
@@ -3145,7 +3154,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     ndocs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
@@ -3653,7 +3662,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import train_test_split
 
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
+    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     pairs = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
@@ -3712,7 +3721,7 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     # one row of sufficient stats, consumed by one union branch per pair —
     # without a cut each branch replays the full rank-join pipeline
-    s = ranked.agg(*aggs).localCheckpoint(eager=True)
+    s = ranked.agg(*aggs).transform(materialize)
     parts = []
     for i, x in enumerate(cols):
         for y in cols[i + 1 :]:
@@ -3744,7 +3753,7 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import ngram_containment_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
+    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     out = ngram_containment_pairs(sh, "doc_id", threshold=0.3, candidates=cand)
@@ -3838,10 +3847,10 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram table two (counts, total) — eager checkpoints materialize each
     # corpus explode+agg ONCE instead of once per consumer (vocab-sized
     # results, so the stored blocks are tiny next to the avoided scans)
-    uni = toks.groupBy("tok").agg(F.count("*").alias("c_tok")).localCheckpoint(eager=True)
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c_tok")).transform(materialize)
     t_total = uni.agg(F.sum("c_tok").cast("double").alias("__T"))
     bg = docs.select(F.explode(bigrams("text")).alias("bg"))
-    bgc_all = bg.groupBy("bg").agg(F.count("*").alias("n_xy")).localCheckpoint(eager=True)
+    bgc_all = bg.groupBy("bg").agg(F.count("*").alias("n_xy")).transform(materialize)
     bgc = (
         bgc_all.filter(F.col("n_xy") >= 5)
         .withColumn("__x", F.split(F.col("bg"), " ", 2)[0])
@@ -3883,10 +3892,10 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.sampling import _hash_bucket
 
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
+    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
     # the signature table splits into new/index sides — materialize it
     # (16 longs per doc) so the minhash groupBy runs once, not per side
-    sig = minhash_signatures(sh, "doc_id", num_hashes=16).localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16).transform(materialize)
     is_new = _hash_bucket(F.col("doc_id"), "ded_idx") < 2000
     cand = lsh_candidate_pairs_against(
         sig.filter(is_new), sig.filter(~is_new), "doc_id", num_hashes=16, bands=4
@@ -3910,7 +3919,7 @@ def _equidepth_score(metric_df: DataFrame, col: str, buckets: int = 5) -> DataFr
     vc = (
         metric_df.groupBy(col)
         .agg(F.count("*").alias("__cnt"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     n = vc.agg(F.sum("__cnt").alias("__n"))
     wv = Window.partitionBy(F.lit(0)).orderBy(col)
@@ -3938,7 +3947,7 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded). The production knob loop — bands/rows tuning — reads exactly
     this query."""
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
-    sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
+    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
     truth = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=None).select(
         "id_a", "id_b"
     )
@@ -4105,7 +4114,7 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # four consumers (three quintile cuts + the final join) — one
     # materialization of the customer-grained table instead of four
     # replays of the orders aggregation
-    per_cust = per_cust.localCheckpoint(eager=True)
+    per_cust = per_cust.transform(materialize)
     r = _equidepth_score(per_cust, "recency_days").withColumnRenamed("__score", "__r")
     f = _equidepth_score(per_cust, "frequency").withColumnRenamed("__score", "__f")
     m = _equidepth_score(per_cust, "monetary_bin").withColumnRenamed("__score", "__m")
@@ -4119,9 +4128,9 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary_bin",
             # low recency (fresh) = high score → invert the bucket
-            (F.lit(6) - F.col("__r")).alias("r_score"),
-            F.col("__f").alias("f_score"),
-            F.col("__m").alias("m_score"),
+            (F.lit(6) - F.col("__r")).cast("long").alias("r_score"),
+            F.col("__f").cast("long").alias("f_score"),
+            F.col("__m").cast("long").alias("m_score"),
         )
     )
     return scored.withColumn(
@@ -4238,7 +4247,7 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     n-gram methods — the audit costs one extra join over the dedup run a
     pipeline already does."""
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", w=8).localCheckpoint(eager=True)
+    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4).localCheckpoint(
         eager=True
@@ -4299,7 +4308,9 @@ def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
     path = os.path.join(STAGE_DIR, f"export_shards_{tag}")
     packed.write.partitionBy("shard").mode("overwrite").parquet(path)
-    landed = spark.read.parquet(path)
+    # partition-directory inference types shard as INT32 on read-back —
+    # restore the writer's BIGINT (int-width-strict oracle convention)
+    landed = spark.read.parquet(path).withColumn("shard", F.col("shard").cast("long"))
     per_pack = landed.groupBy("shard", "pack_id").agg(
         F.count("*").alias("__docs"),
         F.sum("n_tokens").alias("__tok"),
@@ -4419,7 +4430,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = pairs.unionAll(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    ).transform(materialize)
     deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
     nodes = deg.select(F.col("src").alias("part"))
     n_nodes = nodes.agg(F.count("*").cast("double").alias("__N"))
@@ -4445,7 +4456,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     + F.lit(0.85) * F.coalesce(F.col("__in"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     return ranks.select("part", F.round("rank", 9).alias("rank"))
 
@@ -4498,7 +4509,7 @@ def q_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     freq = li.groupBy("l_partkey").agg(F.count("*").alias("__f"))
     a = li.select(F.col("l_orderkey"), F.col("l_partkey").alias("part_a"))
@@ -4550,12 +4561,12 @@ def q_embed_class_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("x").alias("__s"))
         .join(F.broadcast(n), "label")
         .select("label", "d", (F.col("__s") / F.col("n_vecs")).alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     cnorm = (
         cent.groupBy("label")
         .agg(F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("__cn"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     per_vec = (
         ex.join(cent, ["label", "d"])
@@ -4728,7 +4739,7 @@ def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(
                 F.lit(10),
                 F.expr("((__cum - __cnt) * 10) div __n").cast("int") + 1,
-            ),
+            ).cast("long"),
         )
     )
     return ranked.groupBy("bucket").agg(
@@ -4811,7 +4822,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
     )
     # shared subtree feeding degree + both orientation sides: cut once
-    und = und.localCheckpoint(eager=True)
+    und = und.transform(materialize)
     deg = (
         und.select(F.col("u").alias("node"))
         .unionAll(und.select(F.col("v").alias("node")))
@@ -4833,7 +4844,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         # consumed 4× (both wedge sides + both closer directions): without
         # the cut the und⋈deg⋈deg subtree replays per consumer — observed
         # as a 30-SMJ plan and 4× the runtime at sf0.1
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     e1 = oriented.select(F.col("src").alias("p"), F.col("dst").alias("x"))
     e2 = oriented.select(F.col("src").alias("p"), F.col("dst").alias("y"))
@@ -5009,7 +5020,7 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(pick_b, F.col("okey_b")).otherwise(F.col("okey_f")).alias("nearest_orderkey"),
     ).filter(F.col("__od").isNotNull())
     return (
-        out.withColumn("dist_days", F.abs(F.col("d") - F.col("__od")))
+        out.withColumn("dist_days", F.abs(F.col("d") - F.col("__od")).cast("long"))
         .filter(F.col("dist_days") <= 30)
         .select(
             "event_id",

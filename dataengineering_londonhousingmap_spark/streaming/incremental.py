@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.util import exact_avg_cents
+from ..operators.util import exact_avg_cents, materialize
 
 # events.parquet has carried INT64 timestamps at nanosecond (round-1 data,
 # unreadable as TimestampType by Spark's parquet reader) or microsecond
@@ -485,7 +485,7 @@ def start_upsert_sink(
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(cols)
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
         # per-write option, NOT a session conf: foreachBatch executes on a
         # CLONED SparkSession, so session-conf toggles set here (or on the

@@ -52,9 +52,19 @@ def _duck_type_family(t: str) -> str:
         return "hugeint"
     if t.startswith("DECIMAL"):
         return "decimal"
-    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
-             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
-        return "int"
+    # Integer WIDTHS are distinct families: the driver's hash is
+    # type-sensitive, so an oracle emitting INTEGER where Spark emits
+    # BIGINT is the same latent failure class as the HUGEINT r02/r03 red,
+    # one tier down. Unsigned widths are their own families too (pandas
+    # renders them as uint dtypes, Spark has no unsigned type at all).
+    if t in ("TINYINT", "UTINYINT"):
+        return "int8" if t == "TINYINT" else "uint8"
+    if t in ("SMALLINT", "USMALLINT"):
+        return "int16" if t == "SMALLINT" else "uint16"
+    if t in ("INTEGER", "UINTEGER"):
+        return "int32" if t == "INTEGER" else "uint32"
+    if t in ("BIGINT", "UBIGINT"):
+        return "int64" if t == "BIGINT" else "uint64"
     if t in ("FLOAT", "DOUBLE", "REAL"):
         return "float"
     if t in ("VARCHAR", "TEXT", "STRING"):
@@ -70,8 +80,14 @@ def _duck_type_family(t: str) -> str:
 
 def _spark_type_family(t: str) -> str:
     t = t.lower()
-    if t in ("tinyint", "smallint", "int", "bigint", "long"):
-        return "int"
+    if t == "tinyint":
+        return "int8"
+    if t == "smallint":
+        return "int16"
+    if t == "int":
+        return "int32"
+    if t in ("bigint", "long"):
+        return "int64"
     if t in ("float", "double"):
         return "float"
     if t == "string":
