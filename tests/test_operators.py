@@ -675,3 +675,29 @@ def test_round3_plans_have_scale_shapes(spark, sf_dir):
     vocab = _plan_of(QUERIES["q_vocab_oov"](spark, sf_dir))
     assert "TakeOrderedAndProject" in vocab, vocab
     assert "BroadcastHashJoin" in vocab, vocab
+
+
+def test_materialize_reliable_flag_routes_to_checkpoint(spark, sf_dir, tmp_path):
+    """materialize() is the engine-wide lineage-cut chokepoint: default is
+    localCheckpoint (executor-local blocks — fine on local[N], documented
+    local-mode assumption), and the one session flag must flip it to a
+    RELIABLE checkpoint whose blocks live under the configured checkpoint
+    dir and survive executor loss on a real cluster."""
+    import os
+
+    from dataengineering_londonhousingmap_spark.operators.util import materialize
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    local = materialize(df)
+    assert local.count() == 100  # default path: localCheckpoint
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    spark.conf.set("spark.dataengineering_londonhousingmap_spark.reliableCheckpoint", "true")
+    try:
+        rel = materialize(spark.range(100).withColumnRenamed("id", "v"))
+        assert rel.count() == 100
+        # reliable checkpoints land files under the checkpoint dir
+        found = any(files for _, _, files in os.walk(tmp_path / "ckpt"))
+        assert found, "no checkpoint files written under the checkpoint dir"
+    finally:
+        spark.conf.unset("spark.dataengineering_londonhousingmap_spark.reliableCheckpoint")
