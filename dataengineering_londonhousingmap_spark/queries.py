@@ -1711,7 +1711,9 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
     sessions = sessionize_stream(events, gap_minutes=30)
-    out = run_stream_to_memory(sessions, "q_stream_sessions_sink", "append")
+    # the Python stateful function wants task parallelism more than it
+    # fears state-store count — 16 beats the narrow default here
+    out = run_stream_to_memory(sessions, "q_stream_sessions_sink", "append", state_partitions=16)
     return out.select(
         "user_id", "session_start", "session_end", "n_events",
         F.round("total_value", 6).alias("total_value"),
@@ -3842,15 +3844,32 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.util import fan_out
 
     docs = fan_out(_t(spark, sf_dir, "documents"))
-    toks = docs.select(F.explode(tokens("text")).alias("tok"))
-    # the unigram table feeds THREE subtrees (x-join, y-join, total) and the
-    # bigram table two (counts, total) — eager checkpoints materialize each
-    # corpus explode+agg ONCE instead of once per consumer (vocab-sized
-    # results, so the stored blocks are tiny next to the avoided scans)
-    uni = toks.groupBy("tok").agg(F.count("*").alias("c_tok")).transform(materialize)
+    # ONE corpus pass for both vocabularies: tag each unigram 'u' and each
+    # bigram 'b', explode the concatenation, count by (kind, key) — one
+    # scan, one explode, one shuffle where the naive shape pays two of
+    # each. The combined count table is vocab-sized and feeds FIVE
+    # subtrees (x-join, y-join, two totals, the n_xy counts) — checkpoint
+    # it once instead of replaying the corpus agg per consumer.
+    tagged = docs.select(
+        F.explode(
+            F.concat(
+                F.transform(tokens("text"), lambda t: F.struct(F.lit("u").alias("kind"), t.alias("key"))),
+                F.transform(bigrams("text"), lambda b: F.struct(F.lit("b").alias("kind"), b.alias("key"))),
+            )
+        ).alias("e")
+    )
+    counts = (
+        tagged.groupBy(F.col("e.kind").alias("kind"), F.col("e.key").alias("key"))
+        .agg(F.count("*").alias("c"))
+        .transform(materialize)
+    )
+    uni = counts.filter(F.col("kind") == "u").select(
+        F.col("key").alias("tok"), F.col("c").alias("c_tok")
+    )
     t_total = uni.agg(F.sum("c_tok").cast("double").alias("__T"))
-    bg = docs.select(F.explode(bigrams("text")).alias("bg"))
-    bgc_all = bg.groupBy("bg").agg(F.count("*").alias("n_xy")).transform(materialize)
+    bgc_all = counts.filter(F.col("kind") == "b").select(
+        F.col("key").alias("bg"), F.col("c").alias("n_xy")
+    )
     bgc = (
         bgc_all.filter(F.col("n_xy") >= 5)
         .withColumn("__x", F.split(F.col("bg"), " ", 2)[0])

@@ -23,6 +23,7 @@ completion).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -83,6 +84,26 @@ def hourly_rollup_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
         .agg(exact_avg_cents("value").alias("avg_value"), F.count("*").alias("n"))
         .select(F.col("w.start").alias("hour"), "event_type", "avg_value", "n")
     )
+
+
+@contextmanager
+def _few_state_partitions(spark: SparkSession, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` down around
+    ``writeStream.start()``: the stream execution CLONES the session conf at
+    start, and every stateful operator creates one state-store instance per
+    shuffle partition per micro-batch. These harness streams carry KB-sized
+    keyed state, so 32-200 state stores per batch is pure constant overhead
+    (observed: most of the stream queries' wall time). Restored immediately
+    after start — batch queries in the same session never see the narrowed
+    conf. A real deployment sizes this to its key cardinality through its
+    own session conf / existing checkpoint instead."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def _stage_once(df: DataFrame, prep_dir: str) -> None:
@@ -153,12 +174,13 @@ def late_data_rollup(
         spark.catalog.dropTempView(sink_name)
     except Exception:
         pass
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("update")
-        .start()
-    )
+    with _few_state_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("update")
+            .start()
+        )
     try:
         q.processAllAvailable()  # batch 1: establishes the watermark
         _link_batch(os.path.join(stage_dir, "prep_b"), os.path.join(in_dir, "batch_b"))
@@ -226,12 +248,13 @@ def dedup_two_batch_replay(
         spark.catalog.dropTempView(sink_name)
     except Exception:
         pass
-    q = (
-        dd.writeStream.format("memory")
-        .queryName(sink_name)
-        .outputMode("append")
-        .start()
-    )
+    with _few_state_partitions(spark):
+        q = (
+            dd.writeStream.format("memory")
+            .queryName(sink_name)
+            .outputMode("append")
+            .start()
+        )
     try:
         q.processAllAvailable()  # batch 1: seeds state + watermark
         _link_batch(os.path.join(stage_dir, "prep_b"), os.path.join(in_dir, "batch_b"))
@@ -401,14 +424,15 @@ def start_parquet_sink(df: DataFrame, sink_dir: str, checkpoint_dir: str):
     executemany retry double-inserts). Returns the started query; callers
     ``awaitTermination()``.
     """
-    return (
-        df.writeStream.format("parquet")
-        .option("path", sink_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _few_state_partitions(df.sparkSession):
+        return (
+            df.writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def start_upsert_sink(
@@ -497,18 +521,20 @@ def start_upsert_sink(
             .parquet(table_dir)
         )
 
-    return (
-        df.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _few_state_partitions(df.sparkSession):
+        return (
+            df.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
 
 
 def run_stream_to_memory(
     df: DataFrame,
     name: str,
     output_mode: str,
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Drive a finite streaming DataFrame to completion against a memory
     sink and return the materialized result (test/driver harness — a real
@@ -519,12 +545,13 @@ def run_stream_to_memory(
         spark.catalog.dropTempView(name)
     except Exception:
         pass
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .start()
-    )
+    with _few_state_partitions(spark, n=state_partitions):
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .start()
+        )
     try:
         q.processAllAvailable()
     finally:
