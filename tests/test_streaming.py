@@ -380,3 +380,15 @@ def test_late_data_rollup_drop_boundary(spark, tmp_path):
         ("2024-01-01 11:00:00", 1, 8.0),                     # 11:10 kept
         ("2024-01-01 12:00:00", 1, 2.0),
     }
+
+
+def test_stream_harness_restores_shuffle_partitions(spark, sf_dir):
+    """The narrowed state-partition conf is scoped to writeStream.start();
+    a leak would silently shrink every subsequent batch shuffle in the
+    session (the conf is session-global)."""
+    from dataengineering_londonhousingmap_spark.queries import QUERIES
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    QUERIES["q_stream_hourly"](spark, sf_dir).count()
+    assert spark.conf.get(key) == before
