@@ -27,16 +27,27 @@ text, 64-dim embeddings) but injects the plausible nasties:
 Usage:
     python tools/gen_advdata.py
     python .verify/driver_sim.py /root/repo/.advdata   # expect 0 failures
+
+    python tools/gen_advdata.py --skew   # writes .advdata_skew/ instead:
+        same base nasties PLUS hot keys — 85% of events collapse onto one
+        event_type and every third order lands on one customer. Results
+        must be IDENTICAL between engines regardless (skew moves plans —
+        AQE splits, broadcast thresholds — never values); divergences here
+        are real bugs (nondeterministic tiebreaks on newly-tied groups,
+        driver-side assumptions about group sizes).
 """
 
 from __future__ import annotations
 
 import os
+import sys
 
 import duckdb
 
 SRC = "/root/testdata/sf0.01"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".advdata")
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SKEW = "--skew" in sys.argv
+DST = os.path.join(_ROOT, ".advdata_skew" if SKEW else ".advdata")
 
 PASSTHROUGH = [
     "region", "nation", "customer", "supplier", "part",
@@ -51,16 +62,40 @@ def main() -> None:
         con.execute(
             f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{DST}/{t}.parquet' (FORMAT PARQUET)"
         )
+    # --skew: 85% of events collapse onto the lexicographically-first
+    # event_type (every type stays PRESENT — mixture weights fail fast on
+    # absent sources, by design); every third order lands on one customer.
+    etype = (
+        "CASE WHEN event_id % 20 < 17 THEN "
+        "(SELECT min(event_type) FROM '{src}/events.parquet') "
+        "ELSE event_type END".format(src=SRC)
+        if SKEW
+        else "event_type"
+    )
     con.execute(
         f"""
         COPY (
           SELECT * REPLACE (
-            CASE WHEN event_id % 19 = 0 THEN NULL ELSE value END AS value
+            CASE WHEN event_id % 19 = 0 THEN NULL ELSE value END AS value,
+            {etype} AS event_type
           )
           FROM '{SRC}/events.parquet'
         ) TO '{DST}/events.parquet' (FORMAT PARQUET)
         """
     )
+    if SKEW:
+        con.execute(
+            f"""
+            COPY (
+              SELECT * REPLACE (
+                CASE WHEN o_orderkey % 3 = 0 THEN
+                  (SELECT min(c_custkey) FROM '{SRC}/customer.parquet')
+                ELSE o_custkey END AS o_custkey
+              )
+              FROM '{SRC}/orders.parquet'
+            ) TO '{DST}/orders.parquet' (FORMAT PARQUET)
+            """
+        )
     con.execute(
         f"""
         COPY (
