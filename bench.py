@@ -126,13 +126,21 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        best = float("inf")
+        runs: list[float] = []
         for _ in range(2):
             t0 = time.time()
             df = QUERIES[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.time() - t0)
+        # the two runs disagreeing >30% means one of them caught host
+        # noise (firecracker neighbors) — a third rep settles it for the
+        # noisy minority without tripling total wall for the stable rest
+        if min(runs) > 0.3 and max(runs) > 1.3 * min(runs):
+            t0 = time.time()
+            df = QUERIES[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        timings[name] = round(min(runs), 3)
         # drop the plan refs and collect BETWEEN queries: localCheckpoint
         # blocks and broadcasts are ContextCleaner-freed only once the
         # Python DataFrame objects are GC'd, and 60+ queries of retained
@@ -152,7 +160,7 @@ def main() -> None:
         # declared so round-over-round comparisons are apples-to-apples:
         # best-of-2 measures the steady-state plan (JIT + python workers +
         # page cache warm), not a cold driver start
-        "methodology": "best-of-2 warm, noop sink, shared session, per-query gc (untimed)",
+        "methodology": "best-of-2 warm (3rd rep when runs disagree >30%), noop sink, shared session, per-query gc (untimed)",
     }
     print(json.dumps(out))
 
