@@ -2005,7 +2005,10 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus×benchmark pairwise. Output: contaminated doc, how many benchmark
     docs it collides with, and the worst overlap."""
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", w=8)
+    # the bench/corpus filters differ, so without a cut the shingle
+    # explode+distinct (the expensive subtree) replays once per side —
+    # materialize it and both filters read the stored blocks
+    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
     bench = sh.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
