@@ -5250,65 +5250,13 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
     # Ordering contract: the driver verifies the FIRST ~50 entries in dict
-    # order each round. Round-3 priority: (A) the 35 queries with no driver
-    # CORRECTNESS row after r01+r02, (B) the 5 r02 red rows re-verified
-    # after their fixes (exact ANN oracles, tokenizer/packing determinism),
-    # (C) new round-3 entries, then the already-green catalog.
+    # order each round (r01-r04 each took positions 0-49). Round-5 front
+    # block: the 50 queries with no driver CORRECTNESS row after r01-r04
+    # (all green against the local harness at sf0.001/0.01/0.1, the
+    # adversarial vintage, and the hot-key skew vintage); then the
+    # already-driver-green catalog in its prior order.
     # ------------------------------------------------------------------
-    # GROUP A — never driver-sampled (35)
-    "q_anonymize": q_anonymize,
-    "q_embed_norms": q_embed_norms,
-    "q_drift_report": q_drift_report,
-    "q_corpus_stats_score": q_corpus_stats_score,
-    "q_sample_weighted": q_sample_weighted,
-    "q_stream_hourly_append": q_stream_hourly_append,
-    "q_text_normalize": q_text_normalize,
-    "q_funnel": q_funnel,
-    "q_approx_sketches": q_approx_sketches,
-    "q_profile": q_profile,
-    "q_redact_pii": q_redact_pii,
-    "q_text_repetition": q_text_repetition,
-    "q_chunk_docs": q_chunk_docs,
-    "q_decontaminate": q_decontaminate,
-    "q_text_search": q_text_search,
-    "q_merge_upsert": q_merge_upsert,
-    "q_scd2": q_scd2,
-    "q_purge_partitioned": q_purge_partitioned,
-    "q_zorder": q_zorder,
-    "q_fk_audit": q_fk_audit,
-    "q_retention": q_retention,
-    "q_incremental_rollup": q_incremental_rollup,
-    "q_histogram": q_histogram,
-    "q_impute": q_impute,
-    "q_manifest": q_manifest,
-    "q_heavy_hitters": q_heavy_hitters,
-    "q_join_full_outer": q_join_full_outer,
-    "q_array_hof": q_array_hof,
-    "q_pipeline_corpus": q_pipeline_corpus,
-    "q_scan_orc": q_scan_orc,
-    "q_stream_enrich": q_stream_enrich,
-    "q_stream_cdc": q_stream_cdc,
-    "q_multimodal_resize": q_multimodal_resize,
-    "q_dedup_clusters": q_dedup_clusters,
-    "q_dedup_semantic": q_dedup_semantic,
-    # GROUP B — r02 red rows, fixed this round: exact DuckDB oracles for
-    # the ANN family; whitespace-class + window-tiebreak fixes for packing
-    "q_embed_ann_lsh": q_embed_ann_lsh,
-    "q_embed_ann_ivf": q_embed_ann_ivf,
-    "q_embed_ann_ivf_trained": q_embed_ann_ivf_trained,
-    "q_dedup_embed": q_dedup_embed,
-    "q_pack_sequences": q_pack_sequences,
-    # GROUP C — round-3 additions (inside the sampled window)
-    "q_dq_checks": q_dq_checks,
-    "q_session_window": q_session_window,
-    "q_kfold": q_kfold,
-    "q_tfidf": q_tfidf,
-    "q_udtf": q_udtf,
-    "q_recursive_cte": q_recursive_cte,
-    "q_fuzzy_join": q_fuzzy_join,
-    "q_scan_xml": q_scan_xml,
-    "q_stream_sliding": q_stream_sliding,
-    "q_compact_plan": q_compact_plan,
+    # GROUP A — never driver-sampled (50)
     "q_runtime_filter": q_runtime_filter,
     "q_snapshot_diff": q_snapshot_diff,
     "q_corr_matrix": q_corr_matrix,
@@ -5350,8 +5298,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_join_nullsafe": q_join_nullsafe,
     "q_set_ops_all": q_set_ops_all,
     "q_sql_lateral": q_sql_lateral,
-    # GROUP C2 — round-3 additions (after the sampled window this round;
-    # rotate to the front once they've survived a full local-verify cycle)
     "q_triangle_count": q_triangle_count,
     "q_outlier_mad": q_outlier_mad,
     "q_ks_drift": q_ks_drift,
@@ -5361,7 +5307,57 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_string_agg": q_string_agg,
     "q_ewma": q_ewma,
     "q_unigram_logprob": q_unigram_logprob,
-    # GROUP D — already green in CORRECTNESS_r01/r02
+    # GROUP B — driver-green in r01-r04 (145)
+    "q_anonymize": q_anonymize,
+    "q_embed_norms": q_embed_norms,
+    "q_drift_report": q_drift_report,
+    "q_corpus_stats_score": q_corpus_stats_score,
+    "q_sample_weighted": q_sample_weighted,
+    "q_stream_hourly_append": q_stream_hourly_append,
+    "q_text_normalize": q_text_normalize,
+    "q_funnel": q_funnel,
+    "q_approx_sketches": q_approx_sketches,
+    "q_profile": q_profile,
+    "q_redact_pii": q_redact_pii,
+    "q_text_repetition": q_text_repetition,
+    "q_chunk_docs": q_chunk_docs,
+    "q_decontaminate": q_decontaminate,
+    "q_text_search": q_text_search,
+    "q_merge_upsert": q_merge_upsert,
+    "q_scd2": q_scd2,
+    "q_purge_partitioned": q_purge_partitioned,
+    "q_zorder": q_zorder,
+    "q_fk_audit": q_fk_audit,
+    "q_retention": q_retention,
+    "q_incremental_rollup": q_incremental_rollup,
+    "q_histogram": q_histogram,
+    "q_impute": q_impute,
+    "q_manifest": q_manifest,
+    "q_heavy_hitters": q_heavy_hitters,
+    "q_join_full_outer": q_join_full_outer,
+    "q_array_hof": q_array_hof,
+    "q_pipeline_corpus": q_pipeline_corpus,
+    "q_scan_orc": q_scan_orc,
+    "q_stream_enrich": q_stream_enrich,
+    "q_stream_cdc": q_stream_cdc,
+    "q_multimodal_resize": q_multimodal_resize,
+    "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_semantic": q_dedup_semantic,
+    "q_embed_ann_lsh": q_embed_ann_lsh,
+    "q_embed_ann_ivf": q_embed_ann_ivf,
+    "q_embed_ann_ivf_trained": q_embed_ann_ivf_trained,
+    "q_dedup_embed": q_dedup_embed,
+    "q_pack_sequences": q_pack_sequences,
+    "q_dq_checks": q_dq_checks,
+    "q_session_window": q_session_window,
+    "q_kfold": q_kfold,
+    "q_tfidf": q_tfidf,
+    "q_udtf": q_udtf,
+    "q_recursive_cte": q_recursive_cte,
+    "q_fuzzy_join": q_fuzzy_join,
+    "q_scan_xml": q_scan_xml,
+    "q_stream_sliding": q_stream_sliding,
+    "q_compact_plan": q_compact_plan,
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frames": q_multimodal_frames,
