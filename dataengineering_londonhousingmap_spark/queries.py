@@ -4454,6 +4454,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).transform(materialize)
     deg = edges.groupBy("src").agg(F.count("*").alias("__deg"))
+    # fold the degree onto the edge list ONCE — the loop's per-iteration
+    # deg join disappears (3 joins saved); rank/__deg keeps the identical
+    # operand order, so values stay bit-equal to the unrolled oracle CTEs
+    ewd = edges.join(deg, "src").transform(materialize)
     nodes = deg.select(F.col("src").alias("part"))
     n_nodes = nodes.agg(F.count("*").cast("double").alias("__N"))
 
@@ -4461,22 +4465,17 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "part", (F.lit(1.0) / F.col("__N")).alias("rank")
     )
     for _ in range(3):
-        contrib = (
-            ranks.join(edges, ranks.part == edges.src)
-            .join(deg, "src")
+        # symmetric edges ⇒ every node has an in-edge ⇒ the contrib agg
+        # already covers ALL nodes: no nodes left-join / coalesce needed
+        ranks = (
+            ranks.join(ewd, ranks.part == ewd.src)
             .select(F.col("dst").alias("part"), (F.col("rank") / F.col("__deg")).alias("__c"))
             .groupBy("part")
             .agg(F.sum("__c").alias("__in"))
-        )
-        ranks = (
-            nodes.join(contrib, "part", "left")
             .crossJoin(F.broadcast(n_nodes))
             .select(
                 "part",
-                (
-                    F.lit(0.15) / F.col("__N")
-                    + F.lit(0.85) * F.coalesce(F.col("__in"), F.lit(0.0))
-                ).alias("rank"),
+                (F.lit(0.15) / F.col("__N") + F.lit(0.85) * F.col("__in")).alias("rank"),
             )
             .transform(materialize)
         )
