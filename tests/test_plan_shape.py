@@ -52,3 +52,22 @@ def test_plan_scan_count_stays_bounded(name, spark):
         f"{name}: {scans} parquet scans (bound {BOUNDS[name]}) — a shared "
         f"subtree lost its localCheckpoint cut and is being replayed"
     )
+
+
+def test_no_rowwise_python_anywhere_in_catalog(spark):
+    """Catalog-wide sweep: no query may plan a row-at-a-time Python eval
+    (BatchEvalPython) — every Python boundary must be Arrow-batched
+    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas). Streaming
+    harness queries are skipped (building them executes the stream); their
+    stateful exec is Arrow-based by construction."""
+    offenders = []
+    for name in sorted(QUERIES):
+        if name.startswith("q_stream"):
+            continue
+        df = QUERIES[name](spark, SF)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        if "BatchEvalPython" in buf.getvalue():
+            offenders.append(name)
+    assert not offenders, f"row-wise Python eval in: {offenders}"
