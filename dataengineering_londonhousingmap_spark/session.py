@@ -78,4 +78,10 @@ def cluster_conf(executors: int = 1000, cores_per_executor: int = 5) -> dict[str
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
         "spark.sql.ansi.enabled": "false",
+        # with dynamic allocation / spot executors, executor-local
+        # localCheckpoint blocks don't survive executor loss — flip every
+        # materialize() call site to reliable checkpoints (requires
+        # sc.setCheckpointDir on a cluster-visible FS; see
+        # operators/util.materialize)
+        "spark.dataengineering_londonhousingmap_spark.reliableCheckpoint": "true",
     }
