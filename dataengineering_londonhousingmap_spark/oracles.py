@@ -3060,6 +3060,49 @@ from .queries import _SQL_LATERAL as _SQL_LATERAL_TWIN
 
 ORACLES["q_sql_lateral"] = _SQL_LATERAL_TWIN
 
+# file-ingest trio: the oracles REBUILD the staged files' expected content
+# from the documents view / the md5-derived byte construction, so they are
+# standalone (no stage-dir read, no ordering contract). Hex is uppercase on
+# BOTH engines; Spark's base64 chunks long output, hence hex fingerprints.
+ORACLES["q_scan_text"] = """
+    SELECT unnest(string_split(
+        CAST(doc_id AS VARCHAR) || '|' || replace(coalesce(text, ''), chr(13), ' '),
+        chr(10))) AS value
+    FROM documents WHERE doc_id < 40
+"""
+
+ORACLES["q_scan_wholefile"] = """
+    WITH recs AS (
+        SELECT doc_id, doc_id % 4 AS shard,
+               CAST(doc_id AS VARCHAR) || '|' ||
+               replace(coalesce(text, ''), chr(13), ' ') || chr(10) AS rec
+        FROM documents WHERE doc_id < 40
+    ),
+    files AS (
+        SELECT 'shard' || CAST(shard AS VARCHAR) || '.txt' AS fname,
+               string_agg(rec, '' ORDER BY doc_id) AS content
+        FROM recs GROUP BY shard
+    )
+    SELECT fname, CAST(strlen(content) AS BIGINT) AS n_bytes,
+           md5(content) AS content_md5
+    FROM files
+"""
+
+ORACLES["q_scan_binary"] = """
+    WITH parts AS (
+        SELECT i, j, md5('bin' || i || '|' || j) AS p
+        FROM range(8) t(i), range(64) s(j)
+    ),
+    files AS (
+        SELECT 'blob' || CAST(i AS VARCHAR) || '.bin' AS fname,
+               upper(string_agg(p, '' ORDER BY j)) AS hx
+        FROM parts GROUP BY i
+    )
+    SELECT fname, CAST(strlen(hx) // 2 AS BIGINT) AS length,
+           md5(hx) AS content_md5
+    FROM files
+"""
+
 ORACLES["q_export_shards"] = f"""
     WITH toks AS (
         SELECT doc_id,

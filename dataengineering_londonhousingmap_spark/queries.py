@@ -230,6 +230,107 @@ def q_scan_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_file_corpus(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Stage the file-per-shard ingest fixtures once per (process, sf):
+    4 line-delimited ``.txt`` shards built from the first 40 documents
+    (CR-sanitized so Spark's \r-aware line splitting and DuckDB's
+    \n-only split see identical records), plus 8 deterministic ``.bin``
+    blobs (md5-derived bytes — intentionally NOT valid UTF-8, so the
+    binary path is really exercised). Returns (text_dir, bin_dir).
+
+    The marker/underscore file names are invisible to Spark's file
+    sources (leading ``_``) and excluded from the oracles' globs, so both
+    engines list exactly the data files. Bounded driver footprint: 40
+    rows collected once.
+    """
+    import hashlib
+    import pathlib
+
+    tag = re.sub(r"[^A-Za-z0-9]", "_", os.path.basename(sf_dir.rstrip("/")))
+    text_dir = pathlib.Path(STAGE_DIR) / f"file_corpus_{tag}" / "text"
+    bin_dir = pathlib.Path(STAGE_DIR) / f"file_corpus_{tag}" / "bin"
+    marker = text_dir.parent / "_STAGED"
+    if not marker.exists():
+        text_dir.mkdir(parents=True, exist_ok=True)
+        bin_dir.mkdir(parents=True, exist_ok=True)
+        rows = sorted(
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") < 40)
+            .select("doc_id", "text")
+            .collect(),
+            key=lambda r: r["doc_id"],
+        )
+        for shard in range(4):
+            lines = [
+                f"{r['doc_id']}|{(r['text'] or '').replace(chr(13), ' ')}"
+                for r in rows
+                if r["doc_id"] % 4 == shard
+            ]
+            (text_dir / f"shard{shard}.txt").write_text(
+                "".join(line + "\n" for line in lines), encoding="utf-8"
+            )
+        for i in range(8):
+            blob = b"".join(
+                hashlib.md5(f"bin{i}|{j}".encode()).digest() for j in range(64)
+            )
+            (bin_dir / f"blob{i}.bin").write_bytes(blob)
+        marker.write_text("ok")
+    return str(text_dir), str(bin_dir)
+
+
+def q_scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-delimited text-file ingest (``spark.read.text`` over a shard
+    directory) — the rawest corpus landing format (one record per line,
+    no schema, no container). At 100 TB this is the classic
+    crawl-dump/`.jsonl`-sibling entry point: splittable, parallel by
+    file+block. Oracle: DuckDB ``read_text`` + an exact one-trailing-
+    newline-aware split reproduces Spark's line semantics (probed:
+    interior empty lines match; \r stripped at staging — Spark splits on
+    bare \r, DuckDB never does)."""
+    text_dir, _ = _stage_file_corpus(spark, sf_dir)
+    return spark.read.text(text_dir).select("value")
+
+
+def q_scan_wholefile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file text ingest (``wholetext=True``): one row per document
+    file — the direct analog of the reference's per-page HTML fetch (S2:
+    one scraped page per record, parsed downstream). ``_metadata.file_name``
+    supplies provenance without a Python path hack. Byte length (not
+    char length) keeps the oracle immune to the known cross-engine
+    grapheme-vs-codepoint divergence; md5 over UTF-8 bytes matches
+    DuckDB's ``md5(content)`` exactly (probed)."""
+    text_dir, _ = _stage_file_corpus(spark, sf_dir)
+    return (
+        spark.read.text(text_dir, wholetext=True)
+        .select(
+            F.col("_metadata.file_name").alias("fname"),
+            F.octet_length("value").cast("long").alias("n_bytes"),
+            F.md5(F.col("value").cast("binary")).alias("content_md5"),
+        )
+    )
+
+
+def q_scan_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary-file ingest (``binaryFile`` source) — the multimodal
+    landing path: images/audio arrive as whole files, become (path, len,
+    content) rows, and flow into the mapInPandas decode operators
+    (operators/multimodal.py) without ever materializing on the driver.
+    Content is fingerprinted as md5 over the hex rendering — Spark's
+    ``base64`` chunks long output (probed mismatch vs DuckDB's
+    ``to_base64``) while ``hex`` is byte-identical across engines."""
+    _, bin_dir = _stage_file_corpus(spark, sf_dir)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(bin_dir)
+        .select(
+            F.regexp_extract("path", "[^/]+$", 0).alias("fname"),
+            F.col("length"),
+            F.md5(F.hex("content").cast("binary")).alias("content_md5"),
+        )
+    )
+
+
 def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3/R4: semi-structured JSON payload → typed columns
     (the LondonAir payload flatten, pipeline .py:734-747)."""
@@ -5306,6 +5407,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_string_agg": q_string_agg,
     "q_ewma": q_ewma,
     "q_unigram_logprob": q_unigram_logprob,
+    # GROUP A2 — new round-5 entries (file-ingest trio; sampled r06)
+    "q_scan_text": q_scan_text,
+    "q_scan_wholefile": q_scan_wholefile,
+    "q_scan_binary": q_scan_binary,
     # GROUP B — driver-green in r01-r04 (145)
     "q_anonymize": q_anonymize,
     "q_embed_norms": q_embed_norms,
