@@ -199,8 +199,27 @@ def ngram_jaccard_pairs(
     in |candidates| × shingles-per-doc. Without candidates this falls back
     to the full co-occurrence join (only safe for small corpora).
 
+    The candidate path prunes the shingle table to candidate docs with a
+    semi-join BEFORE any wide join: at corpus scale the verify stage then
+    never shuffles the full shingle table — sizes, and both intersection
+    sides, are |candidate docs| × shingles-per-doc. The candidate frame is
+    materialized here (it is pair-sized and feeds three subtrees: the id
+    prune, the intersection, and — via lineage — the band join it came
+    from, which must not replay per consumer). No broadcast hint on the
+    prune: AQE converts it when the id list is small, and a multi-GB
+    candidate set at 100 TB falls back to a shuffled semi-join instead of
+    blowing the broadcast limit.
+
     Returns (id_a, id_b, jaccard) for pairs ≥ threshold.
     """
+    if candidates is not None:
+        candidates = materialize(candidates)
+        ids = (
+            candidates.select(F.col("id_a").alias(id_col))
+            .union(candidates.select(F.col("id_b").alias(id_col)))
+            .distinct()
+        )
+        shingles = shingles.join(ids, id_col, "left_semi")
     sizes = shingles.groupBy(id_col).agg(F.count("*").alias("__sz"))
     a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
