@@ -50,6 +50,11 @@ SCALEUP_SET = [
     "q_tpch_local_volume",
     "q_triangle_count",
     "q_join_asof_nearest",
+    # round-5 additions: the candidate-pruned Jaccard verify (no full
+    # shingle-table shuffle may appear as data grows) and the standing-index
+    # incremental dedup (cost must track the increment, not the corpus)
+    "q_ngram_jaccard",
+    "q_dedup_incremental",
 ]
 
 
