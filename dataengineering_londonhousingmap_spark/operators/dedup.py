@@ -182,6 +182,49 @@ def lsh_candidate_pairs(
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+def _candidate_intersection(
+    shingles: DataFrame, id_col: str, candidates: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Shared candidate-driven verify core: per-pair shingle-intersection
+    counts plus per-doc set sizes, pruned to candidate docs.
+
+    Scale-proofing, probed on the 10x-replicated ~sf1 vintage: every frame
+    here is CORPUS-PROPORTIONAL (candidate pairs, pruned shingles, per-doc
+    sizes all grow with the duplicate density), but checkpointed inputs
+    carry LogicalRDD stats that underestimate through the semi-join, and
+    the static planner happily picked a BroadcastHashJoin whose build side
+    was the multi-GB pruned shingle table — an instant driver OOM at 10x.
+    Explicit ``merge`` hints pin every corpus-sized join to sort-merge
+    (spill-able, shuffle-partitioned); only the id-list semi-join is left
+    to the optimizer, since its small side really is bounded.
+    """
+    candidates = materialize(candidates)
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    pruned = shingles.join(ids, id_col, "left_semi")
+    sizes = pruned.groupBy(id_col).agg(F.count("*").alias("__sz"))
+    a = pruned.select(F.col(id_col).alias("id_a"), "shingle").hint("merge")
+    b = pruned.select(F.col(id_col).alias("id_b"), "shingle").hint("merge")
+    inter = (
+        candidates.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("__inter"))
+    )
+    return inter, sizes
+
+
+def _attach_sizes(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Join per-doc set sizes onto the pair-level intersection counts —
+    merge-hinted: both sides are candidate-scaled."""
+    sa = sizes.select(F.col(sizes.columns[0]).alias("id_a"), F.col("__sz").alias("__sza"))
+    sb = sizes.select(F.col(sizes.columns[0]).alias("id_b"), F.col("__sz").alias("__szb"))
+    return inter.join(sa.hint("merge"), "id_a").join(sb.hint("merge"), "id_b")
+
+
 def ngram_jaccard_pairs(
     shingles: DataFrame,
     id_col: str,
@@ -199,50 +242,29 @@ def ngram_jaccard_pairs(
     in |candidates| × shingles-per-doc. Without candidates this falls back
     to the full co-occurrence join (only safe for small corpora).
 
-    The candidate path prunes the shingle table to candidate docs with a
-    semi-join BEFORE any wide join: at corpus scale the verify stage then
-    never shuffles the full shingle table — sizes, and both intersection
-    sides, are |candidate docs| × shingles-per-doc. The candidate frame is
-    materialized here (it is pair-sized and feeds three subtrees: the id
-    prune, the intersection, and — via lineage — the band join it came
-    from, which must not replay per consumer). No broadcast hint on the
-    prune: AQE converts it when the id list is small, and a multi-GB
-    candidate set at 100 TB falls back to a shuffled semi-join instead of
-    blowing the broadcast limit.
+    The candidate path (see :func:`_candidate_intersection`) prunes the
+    shingle table to candidate docs with a semi-join BEFORE any wide join —
+    at corpus scale the verify never shuffles the full shingle table — and
+    pins every corpus-proportional join to sort-merge so no stats
+    misestimate can ever pick a corpus-sized broadcast build.
 
     Returns (id_a, id_b, jaccard) for pairs ≥ threshold.
     """
     if candidates is not None:
-        candidates = materialize(candidates)
-        ids = (
-            candidates.select(F.col("id_a").alias(id_col))
-            .union(candidates.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
-        shingles = shingles.join(ids, id_col, "left_semi")
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("__sz"))
-    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
-    if candidates is not None:
         # candidate-driven intersection: |cand| × shingles/doc, never d²
-        inter = (
-            candidates.join(a, "id_a")
-            .join(b, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("__inter"))
-        )
+        inter, sizes = _candidate_intersection(shingles, id_col, candidates)
     else:
+        sizes = shingles.groupBy(id_col).agg(F.count("*").alias("__sz"))
+        a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+        b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
         inter = (
             a.join(b, "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("__inter"))
         )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"))
-    out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+    return (
+        _attach_sizes(inter, sizes)
         .withColumn(
             "jaccard",
             F.col("__inter") / (F.col("__sza") + F.col("__szb") - F.col("__inter")),
@@ -250,7 +272,6 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def lsh_candidate_pairs_against(
@@ -306,32 +327,25 @@ def ngram_containment_pairs(
     quote/excerpt dedup and benchmark-contamination sweeps.
 
     Same distributed shape as :func:`ngram_jaccard_pairs` (intersection via
-    equi-join on shingle, candidate-prefiltered at scale — never a pairwise
-    array op); only the denominator differs. Returns (id_a, id_b,
-    containment) for pairs ≥ threshold, id_a < id_b.
+    equi-join on shingle, candidate-prefiltered AND candidate-pruned at
+    scale — never a pairwise array op, never a corpus-sized broadcast);
+    only the denominator differs. Returns (id_a, id_b, containment) for
+    pairs ≥ threshold, id_a < id_b.
     """
-    sizes = shingles.groupBy(id_col).agg(F.count("*").alias("__sz"))
-    a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
-    b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
     if candidates is not None:
-        inter = (
-            candidates.join(a, "id_a")
-            .join(b, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
-            .agg(F.count("*").alias("__inter"))
-        )
+        inter, sizes = _candidate_intersection(shingles, id_col, candidates)
     else:
+        sizes = shingles.groupBy(id_col).agg(F.count("*").alias("__sz"))
+        a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
+        b = shingles.select(F.col(id_col).alias("id_b"), "shingle")
         inter = (
             a.join(b, "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b")
             .agg(F.count("*").alias("__inter"))
         )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        _attach_sizes(inter, sizes)
         .withColumn(
             "containment", F.col("__inter") / F.least("__sza", "__szb")
         )
