@@ -54,6 +54,50 @@ def test_plan_scan_count_stays_bounded(name, spark):
     )
 
 
+NO_SHINGLE_BROADCAST = [
+    "q_ngram_jaccard",
+    "q_containment",
+    "q_dedup_agreement",
+    "q_dedup_incremental",
+]
+
+
+def _broadcast_output_cols(df) -> list[list[str]]:
+    """Column names output by every BroadcastExchange in the executed plan
+    (pre-execution AQE initial plan — exactly what the static planner
+    chose, which is where the misestimate lived)."""
+    out: list[list[str]] = []
+
+    def walk(node):
+        if "BroadcastExchange" in node.nodeName():
+            seq = node.output()
+            out.append([seq.apply(i).name() for i in range(seq.size())])
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+@pytest.mark.parametrize("name", NO_SHINGLE_BROADCAST)
+def test_candidate_verify_never_broadcasts_shingles(name, spark):
+    """The 10x-vintage probe caught the static planner broadcasting the
+    pruned shingle table (LogicalRDD stats underestimate through the
+    candidate semi-join) — a driver OOM at scale. The verify core pins
+    corpus-proportional joins to sort-merge; this guards that no refactor
+    reintroduces a shingle-carrying broadcast build side."""
+    df = QUERIES[name](spark, SF)
+    offenders = [
+        cols for cols in _broadcast_output_cols(df)
+        if any("shingle" in c for c in cols)
+    ]
+    assert not offenders, (
+        f"{name}: BroadcastExchange over a shingle-carrying frame "
+        f"{offenders} — corpus-proportional; must be sort-merge"
+    )
+
+
 def test_no_rowwise_python_anywhere_in_catalog(spark):
     """Catalog-wide sweep: no query may plan a row-at-a-time Python eval
     (BatchEvalPython) — every Python boundary must be Arrow-batched
