@@ -19,6 +19,11 @@ text, 64-dim embeddings) but injects the plausible nasties:
   text of doc_id - 7) — floods the dedup family with real exact- and
   near-duplicates and stresses every tiebreak on tied fingerprints,
   minhash signatures, and quality scores.
+* documents.text EMPTY ('' — non-NULL, ~2%) on doc_id % 53 == 3 (with
+  n_chars=0 kept consistent) — zero-shingle docs, zero-token quality
+  denominators, empty-string regex/split/substring edges: every
+  length-normalized score and explode path must agree with its oracle
+  when the value exists but is vacuous.
 * events.ts stored as TIMESTAMP(NANOS) — the round-1 driver vintage that
   Spark's vectorized reader rejects as TimestampType; exercises the
   nanosAsLong + magnitude-classifying rebuild in read_testdata end-to-end
@@ -100,8 +105,12 @@ def main() -> None:
         f"""
         COPY (
           SELECT d.* REPLACE (
-            CASE WHEN d.doc_id % 11 = 7 AND twin.text IS NOT NULL
-                 THEN twin.text ELSE d.text END AS text
+            CASE WHEN d.doc_id % 53 = 3 THEN ''
+                 WHEN d.doc_id % 11 = 7 AND twin.text IS NOT NULL
+                 THEN twin.text ELSE d.text END AS text,
+            CASE WHEN d.doc_id % 53 = 3 THEN 0
+                 WHEN d.doc_id % 11 = 7 AND twin.text IS NOT NULL
+                 THEN length(twin.text) ELSE d.n_chars END AS n_chars
           )
           FROM '{SRC}/documents.parquet' d
           LEFT JOIN '{SRC}/documents.parquet' twin
