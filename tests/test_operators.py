@@ -701,3 +701,32 @@ def test_materialize_reliable_flag_routes_to_checkpoint(spark, sf_dir, tmp_path)
         assert found, "no checkpoint files written under the checkpoint dir"
     finally:
         spark.conf.unset("spark.dataengineering_londonhousingmap_spark.reliableCheckpoint")
+
+
+def test_file_corpus_staging_is_deterministic(spark, sf_dir):
+    """The file-ingest fixtures (q_scan_text/wholefile/binary) must stage
+    byte-identical files on every rebuild — the oracles recompute the
+    expected bytes from the documents view, so any nondeterminism in the
+    staging (collect order, line endings, blob construction) would show
+    up as a driver-red that passes locally. Force a restage and compare
+    content digests file by file."""
+    import hashlib
+    import pathlib
+    import shutil
+
+    from dataengineering_londonhousingmap_spark.queries import _stage_file_corpus
+
+    def digest_tree(text_dir: str, bin_dir: str) -> dict[str, str]:
+        out = {}
+        for d in (text_dir, bin_dir):
+            for p in sorted(pathlib.Path(d).iterdir()):
+                out[p.name] = hashlib.md5(p.read_bytes()).hexdigest()
+        return out
+
+    text_dir, bin_dir = _stage_file_corpus(spark, sf_dir)
+    first = digest_tree(text_dir, bin_dir)
+    assert len(first) == 12, f"expected 4 text shards + 8 blobs, got {sorted(first)}"
+
+    shutil.rmtree(pathlib.Path(text_dir).parent)  # drop the _STAGED marker too
+    text_dir2, bin_dir2 = _stage_file_corpus(spark, sf_dir)
+    assert digest_tree(text_dir2, bin_dir2) == first

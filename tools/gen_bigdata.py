@@ -74,7 +74,25 @@ def main() -> None:
         )
         n = con.sql(f"select count(*) from '{dst}'").fetchone()[0]
         print(f"{table}: {n} rows")
-    print(f"wrote {OUT}")
+
+    # FK closure: a shard whose keys drifted would silently turn joins
+    # into partial misses and make every probe ratio meaningless
+    fks = [
+        ("orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("events", "user_id", "customer", "c_custkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    for child, ck, parent, pk in fks:
+        orphans = con.sql(
+            f"SELECT count(*) FROM '{OUT}/{child}.parquet' c "
+            f"WHERE NOT EXISTS (SELECT 1 FROM '{OUT}/{parent}.parquet' p "
+            f"WHERE p.{pk} = c.{ck})"
+        ).fetchone()[0]
+        assert orphans == 0, f"{child}.{ck} -> {parent}.{pk}: {orphans} orphans"
+    print(f"wrote {OUT} (FK closure verified)")
 
 
 if __name__ == "__main__":
