@@ -171,7 +171,11 @@ def lsh_candidate_pairs(
     a = long.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
     b = long.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     return (
-        a.join(b, ["band_idx", "band_hash"])
+        # merge hint: both sides are the corpus-sized banded table behind a
+        # checkpoint whose stats underestimate — the static planner chose a
+        # BroadcastHashJoin build over the full band table at the 10x probe
+        # scale, the same driver-OOM class as the shingle verify
+        a.join(b.hint("merge"), ["band_idx", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -198,7 +202,12 @@ def _candidate_intersection(
     (spill-able, shuffle-partitioned); only the id-list semi-join is left
     to the optimizer, since its small side really is bounded.
     """
-    candidates = materialize(candidates)
+    # skip the cut if the caller already checkpointed the pair frame
+    # (q_dedup_agreement shares ONE candidate set across the jaccard and
+    # containment verifies) — re-materializing a bare checkpoint leaf
+    # would run an extra eager job per call just to copy the blocks
+    if candidates._jdf.queryExecution().analyzed().nodeName() != "LogicalRDD":
+        candidates = materialize(candidates)
     ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
@@ -311,7 +320,13 @@ def lsh_candidate_pairs_against(
 
     a = to_bands(sig_new, "id_a")
     b = to_bands(sig_index, "id_b")
-    return a.join(b, ["band_idx", "band_hash"]).select("id_a", "id_b").distinct()
+    # merge hint: the INDEX side is the standing corpus — the one side that
+    # must never be chosen as a broadcast build, whatever the stats say
+    return (
+        a.join(b.hint("merge"), ["band_idx", "band_hash"])
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def ngram_containment_pairs(

@@ -2115,7 +2115,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = sh.filter(F.col("doc_id") % 50 != 0)
     overlaps = (
-        corpus.join(bench, "shingle")
+        # merge hint: the bench side is a fixed FRACTION of the corpus
+        # (corpus-proportional, behind a checkpoint with underestimating
+        # stats) — the 10x probe showed the planner picking it as a
+        # broadcast build; at real scale that is a driver OOM
+        corpus.join(bench.hint("merge"), "shingle")
         .groupBy("doc_id", "bench_id")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)

@@ -54,24 +54,35 @@ def test_plan_scan_count_stays_bounded(name, spark):
     )
 
 
-NO_SHINGLE_BROADCAST = [
-    "q_ngram_jaccard",
-    "q_containment",
-    "q_dedup_agreement",
-    "q_dedup_incremental",
-]
+# query -> column-name markers that identify a CORPUS-PROPORTIONAL frame;
+# none may appear in any BroadcastExchange output. q_lsh_recall is exempt
+# by design (it runs on a bounded 1000-doc subset, so its shingle/band
+# broadcasts are genuinely small).
+NO_CORPUS_BROADCAST = {
+    "q_ngram_jaccard": ("shingle", "band_hash"),
+    "q_containment": ("shingle", "band_hash"),
+    "q_dedup_agreement": ("shingle", "band_hash"),
+    "q_dedup_incremental": ("shingle", "band_hash"),
+    "q_dedup_minhash": ("shingle", "band_hash"),
+    "q_decontaminate": ("shingle",),
+}
 
 
 def _broadcast_output_cols(df) -> list[list[str]]:
-    """Column names output by every BroadcastExchange in the executed plan
-    (pre-execution AQE initial plan — exactly what the static planner
-    chose, which is where the misestimate lived)."""
+    """Column names output by every BroadcastExchange in the pre-execution
+    physical plan — exactly what the static planner chose, which is where
+    the misestimate lived. Under AQE (this session's default) executedPlan
+    is an AdaptiveSparkPlan LEAF (children() is empty — verified live), so
+    the walk must descend through its initialPlan; a walk that only follows
+    children() silently returns [] and the guard is vacuous."""
     out: list[list[str]] = []
 
     def walk(node):
         if "BroadcastExchange" in node.nodeName():
             seq = node.output()
             out.append([seq.apply(i).name() for i in range(seq.size())])
+        if node.nodeName() == "AdaptiveSparkPlan":
+            walk(node.initialPlan())
         kids = node.children()
         for i in range(kids.size()):
             walk(kids.apply(i))
@@ -80,21 +91,34 @@ def _broadcast_output_cols(df) -> list[list[str]]:
     return out
 
 
-@pytest.mark.parametrize("name", NO_SHINGLE_BROADCAST)
-def test_candidate_verify_never_broadcasts_shingles(name, spark):
-    """The 10x-vintage probe caught the static planner broadcasting the
-    pruned shingle table (LogicalRDD stats underestimate through the
-    candidate semi-join) — a driver OOM at scale. The verify core pins
-    corpus-proportional joins to sort-merge; this guards that no refactor
-    reintroduces a shingle-carrying broadcast build side."""
+def test_broadcast_walk_is_not_vacuous(spark):
+    """Self-check for the guard below: a query that provably plans a
+    broadcast join must yield a non-empty BroadcastExchange list — if the
+    AQE wrapper ever hides the tree again, THIS fails rather than the
+    shingle guard silently passing forever."""
+    small = spark.range(10).withColumnRenamed("id", "k")
+    big = spark.range(100000).withColumnRenamed("id", "k")
+    df = big.join(small.hint("broadcast"), "k")
+    assert _broadcast_output_cols(df), "walk found no BroadcastExchange in a broadcast join"
+
+
+@pytest.mark.parametrize("name", sorted(NO_CORPUS_BROADCAST))
+def test_candidate_verify_never_broadcasts_corpus_frames(name, spark):
+    """The 10x-vintage probe caught the static planner broadcasting
+    corpus-proportional frames (pruned shingle table, banded signature
+    table, bench-side shingles) — LogicalRDD stats underestimate through
+    semi-joins/filters, and a misestimated broadcast build is a driver
+    OOM at scale. The dedup core pins those joins to sort-merge; this
+    guards that no refactor reintroduces one."""
+    markers = NO_CORPUS_BROADCAST[name]
     df = QUERIES[name](spark, SF)
     offenders = [
         cols for cols in _broadcast_output_cols(df)
-        if any("shingle" in c for c in cols)
+        if any(m in c for c in cols for m in markers)
     ]
     assert not offenders, (
-        f"{name}: BroadcastExchange over a shingle-carrying frame "
-        f"{offenders} — corpus-proportional; must be sort-merge"
+        f"{name}: BroadcastExchange over a corpus-proportional frame "
+        f"{offenders} — must be sort-merge"
     )
 
 

@@ -43,24 +43,28 @@ def main() -> int:
     if not never:
         print("every entry has been sampled at least once — any order works")
         return 0
-    # optimal layout: as many never-sampled entries as fit occupy the
-    # front window (overflow queues immediately behind, becoming the next
-    # round's front after the reorder)
-    stale_in_front = [n for n in front if n in sampled][: len(never)]
-    if not stale_in_front or len(never) <= len(front) - len(stale_in_front):
+    # optimal layout: the first min(|never|, WINDOW) dict positions must
+    # ALL be never-sampled (overflow queues immediately behind, becoming
+    # the next round's front after the reorder). Any sampled entry inside
+    # that prefix is a wasted driver slot while a never-sampled one waits.
+    required = min(len(never), WINDOW)
+    stale_in_prefix = [n for n in names[:required] if n in sampled]
+    if not stale_in_prefix:
         queued = max(0, len(never) - WINDOW)
         print(
-            f"OK: the front {WINDOW} spends the whole driver budget on "
-            f"never-sampled entries"
+            f"OK: the front {required} positions are all never-sampled"
             + (f" ({queued} more queued right behind)" if queued else "")
         )
         return 0
     print(
-        f"REORDER NEEDED — {len(stale_in_front)} already-sampled entries sit "
-        f"in the front {WINDOW} while never-sampled entries wait behind:"
+        f"REORDER NEEDED — {len(stale_in_prefix)} already-sampled entries "
+        f"occupy the front {required} positions while never-sampled entries "
+        f"wait behind:"
     )
-    for n in [x for x in never if x not in front][: len(stale_in_front)]:
-        print(f"  move up: {n} (position {names.index(n)})")
+    for n in stale_in_prefix:
+        print(f"  move down: {n} (position {names.index(n)})")
+    for n in [x for x in never if x not in names[:required]][: len(stale_in_prefix)]:
+        print(f"  move up:   {n} (position {names.index(n)})")
     return 1
 
 
