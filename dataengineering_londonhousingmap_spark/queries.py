@@ -5354,13 +5354,18 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
     # Ordering contract: the driver verifies the FIRST ~50 entries in dict
-    # order each round (r01-r04 each took positions 0-49). Round-5 front
-    # block: the 50 queries with no driver CORRECTNESS row after r01-r04
-    # (all green against the local harness at sf0.001/0.01/0.1, the
-    # adversarial vintage, and the hot-key skew vintage); then the
-    # already-driver-green catalog in its prior order.
+    # order each round (r01-r05 each took positions 0-49). Round-6 front
+    # block: the ONLY 3 queries with no driver CORRECTNESS row after
+    # r01-r05 (the round-5 file-ingest trio, which landed at positions
+    # 50-52 — one slot outside r05's window); then the already-sampled
+    # catalog in its prior order. `tools/check_catalog_order.py` must
+    # exit 0 after any edit here (enforced by tests/test_catalog_order.py).
     # ------------------------------------------------------------------
-    # GROUP A — never driver-sampled (50)
+    # GROUP A — never driver-sampled (3): file-ingest trio, added r05
+    "q_scan_text": q_scan_text,
+    "q_scan_wholefile": q_scan_wholefile,
+    "q_scan_binary": q_scan_binary,
+    # GROUP B — driver-green in r01-r05 (195)
     "q_runtime_filter": q_runtime_filter,
     "q_snapshot_diff": q_snapshot_diff,
     "q_corr_matrix": q_corr_matrix,
@@ -5411,11 +5416,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_string_agg": q_string_agg,
     "q_ewma": q_ewma,
     "q_unigram_logprob": q_unigram_logprob,
-    # GROUP A2 — new round-5 entries (file-ingest trio; sampled r06)
-    "q_scan_text": q_scan_text,
-    "q_scan_wholefile": q_scan_wholefile,
-    "q_scan_binary": q_scan_binary,
-    # GROUP B — driver-green in r01-r04 (145)
     "q_anonymize": q_anonymize,
     "q_embed_norms": q_embed_norms,
     "q_drift_report": q_drift_report,

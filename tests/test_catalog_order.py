@@ -1,0 +1,30 @@
+"""The driver samples QUERIES dict positions 0..49 each round, so any
+never-driver-sampled catalog entry must sit at the front of the dict or a
+whole round of verification coverage is wasted (this happened in r04).
+
+`tools/check_catalog_order.py` computes the never-sampled set from the
+committed CORRECTNESS_r*.json union and exits 1 when a sampled entry
+occupies a front slot a never-sampled one should hold. Running it here
+makes a stale catalog order fail CI instead of the judge.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_catalog_order_check_exits_zero():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "check_catalog_order.py")],
+        capture_output=True,
+        text=True,
+        timeout=120,
+    )
+    assert proc.returncode == 0, (
+        "tools/check_catalog_order.py exited "
+        f"{proc.returncode} — reorder QUERIES in queries.py:\n{proc.stdout}"
+    )
