@@ -81,30 +81,30 @@ def nearest_join(
     return out.drop("__rn")
 
 
-def nearest_join_gridded(
+# join-back winner tables at or below this row count are force-broadcast;
+# above it the join is pinned to sort-merge. The decision comes from an
+# exact count over the materialized winner frame, never from Catalyst
+# stats — checkpoint-derived (LogicalRDD) frames underestimate and a
+# misestimated broadcast build is a driver OOM at scale (round-5 lesson).
+_COORD_BROADCAST_ROWS = 200_000
+
+
+def _gridded_nn(
     left: DataFrame,
     right: DataFrame,
-    left_key: str,
-    lat: str = "latitude",
-    lon: str = "longitude",
-    right_prefix: str = "r_",
-    cell_deg: float = 0.05,
-    tiebreak: list[str] | None = None,
+    key_cols: list[str],
+    lat: str,
+    lon: str,
+    rlat: str,
+    rlon: str,
+    cell_deg: float,
+    tiebreak: list[str] | None,
 ) -> DataFrame:
-    """Scale-path nearest neighbour: equi-join on spatial grid cells.
-
-    Both inputs get a cell id ``(floor(lat/cell), floor(lon/cell))``; the
-    right side is exploded into its 3×3 neighborhood so any left point's
-    true nearest within ``cell_deg`` is guaranteed to share a join key.
-    L1 metric to match the reference (ipynb:50-57). Left rows with no
-    in-radius candidate are resolved by the exact broadcast path, then
-    unioned back — completeness is never sacrificed for speed.
-
-    Right columns must be pre-renamed with ``right_prefix`` (its lat/lon as
-    ``{prefix}latitude``/``{prefix}longitude``).
-    """
-    rlat, rlon = f"{right_prefix}latitude", f"{right_prefix}longitude"
-
+    """Grid-bucketed NN core shared by both :func:`nearest_join_gridded`
+    paths: 3×3-neighborhood equi-join, min(struct) winner per left row,
+    exact broadcast fallback for rows whose grid winner is unprovable
+    (``__dist > cell_deg``) or absent. ``key_cols`` identify left rows for
+    the escalation anti-join."""
     cell = lambda c: F.floor(F.col(c) / cell_deg).cast("long")  # noqa: E731
     lcell = left.withColumn("__cx", cell(lat)).withColumn("__cy", cell(lon))
     # explode right into neighborhood cells: candidate set per left cell is
@@ -143,20 +143,113 @@ def nearest_join_gridded(
     # unexamined cell — those rows escalate to the exact path below
     matched = best.filter(F.col("__dist") <= cell_deg)
     # completeness fallback: lefts whose neighborhood held no candidate
-    # (or only unprovable ones).
+    # (or only unprovable ones). NULL-coordinate rows never grid-match
+    # (NULL cell ids join to nothing) and an equi-anti-join never removes
+    # them, so they always land here — same winner semantics as the
+    # pre-grid exact path.
     # Distance built from column NAMES (unambiguous post-join), not the
     # original DataFrame refs — referencing `right` again would trip
     # Spark's ambiguous-self-join analysis.
-    unmatched = left.join(matched.select(left_key), left_key, "left_anti")
+    unmatched = left.join(matched.select(*key_cols), key_cols, "left_anti")
     exact = nearest_join(
         unmatched,
         right,
         lambda l, r: F.abs(F.col(lat) - F.col(rlat)) + F.abs(F.col(lon) - F.col(rlon)),
-        left_key,
+        key_cols[0],
         tiebreak=tiebreak,
         spread=False,  # unmatched is post-join, already shuffle-partitioned
     )
     return matched.unionByName(exact)
+
+
+def nearest_join_gridded(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    lat: str = "latitude",
+    lon: str = "longitude",
+    right_prefix: str = "r_",
+    cell_deg: float = 0.05,
+    tiebreak: list[str] | None = None,
+    dedup_coords: bool = True,
+) -> DataFrame:
+    """Scale-path nearest neighbour: equi-join on spatial grid cells.
+
+    Both inputs get a cell id ``(floor(lat/cell), floor(lon/cell))``; the
+    right side is exploded into its 3×3 neighborhood so any left point's
+    true nearest within ``cell_deg`` is guaranteed to share a join key.
+    L1 metric to match the reference (ipynb:50-57). Left rows with no
+    in-radius candidate are resolved by the exact broadcast path, then
+    unioned back — completeness is never sacrificed for speed.
+
+    Right columns must be pre-renamed with ``right_prefix`` (its lat/lon as
+    ``{prefix}latitude``/``{prefix}longitude``).
+
+    Hot-cell hardening (``dedup_coords``, default on): the winner row is a
+    pure function of the left COORDINATE — identical coordinates always
+    pick the identical nearest right row — so both sides are first reduced
+    to distinct coordinates (right keeps, per coordinate, the row that
+    min(struct(tiebreak…, cols…)) would pick at equal distance, which is
+    exactly the final winner ordering once ``__dist`` ties), the NN runs
+    once per coordinate pair, and winners fan back out with one equi-join.
+    This is what survives real-corpus hot cells: every listing stacked on
+    one building (or a replicated vintage) contributes ONE row to the
+    quadratic within-cell candidate product instead of its full stack —
+    candidate work scales with distinct coordinates, not rows. The
+    join-back broadcast decision uses an exact count of the materialized
+    winner table (≤ ``_COORD_BROADCAST_ROWS`` → broadcast: no shuffle of
+    the big left side at all, so a hot coordinate can't straggle; larger →
+    pinned sort-merge, where mostly-unique coordinates imply shallow
+    stacks and thus no skew) — never Catalyst stats, which underestimate
+    on checkpoint-derived frames.
+
+    With ``dedup_coords=False`` (the pre-hardening shape, kept for A/B and
+    oracle-parity tests) ``left_key`` must uniquely identify left rows —
+    the k=1 groupBy collapses duplicate identical rows to one output row.
+    """
+    rlat, rlon = f"{right_prefix}latitude", f"{right_prefix}longitude"
+
+    if not dedup_coords:
+        return _gridded_nn(
+            left, right, [left_key], lat, lon, rlat, rlon, cell_deg, tiebreak
+        )
+
+    tie = tiebreak or []
+    rcols = [c for c in right.columns if c not in tie]
+    # distinct left coordinates (Spark normalizes -0.0/NaN in grouping and
+    # join keys, so the fan-out join below sees the same equivalence
+    # classes the dedup produced)
+    lpts = left.select(lat, lon).dropDuplicates([lat, lon])
+    # one representative right row per distinct right coordinate: at equal
+    # distance the winner struct falls through to (tiebreak…, rcols…), so
+    # the per-coordinate min over that same ordering preserves the winner
+    rep = F.min(
+        F.struct(*[F.col(c) for c in tie], *[F.col(c) for c in rcols])
+    ).alias("__rep")
+    reps = (
+        right.groupBy(F.col(rlat).alias("__glat"), F.col(rlon).alias("__glon"))
+        .agg(rep)
+        .select(*[F.col(f"__rep.{c}").alias(c) for c in right.columns])
+    )
+    core = _gridded_nn(
+        lpts, reps, [lat, lon], lat, lon, rlat, rlon, cell_deg, tiebreak
+    ).transform(materialize)
+    n_coords = core.count()  # one long to the driver; blocks already stored
+    out_cols = [c for c in core.columns if c not in (lat, lon)]
+    winners = core.select(
+        F.col(lat).alias("__wlat"), F.col(lon).alias("__wlon"), *out_cols
+    )
+    winners = (
+        F.broadcast(winners)
+        if n_coords <= _COORD_BROADCAST_ROWS
+        else winners.hint("merge")
+    )
+    # null-safe equality: NULL-coordinate left rows must still pick up
+    # their (exact-path) winner row
+    cond = F.col(lat).eqNullSafe(F.col("__wlat")) & F.col(lon).eqNullSafe(
+        F.col("__wlon")
+    )
+    return left.join(winners, cond).select(*left.columns, *out_cols)
 
 
 def asof_join(

@@ -50,6 +50,62 @@ def test_gridded_nn_equals_exact(spark):
     assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, grid.collect()))
 
 
+def test_gridded_nn_dedup_equals_legacy_on_stacked_coords(spark):
+    """Hot-cell hardening must be invisible in the results: a left side
+    with deep identical-coordinate stacks (the replicated-vintage / city-
+    center shape) returns exactly the legacy per-row answer, winner ties
+    included. 400 rows stack onto 8 distinct coordinates; the right side
+    stacks too (duplicate coordinates with different ids) so the per-
+    coordinate representative reduction is exercised, not just passed
+    through."""
+    left = spark.createDataFrame(
+        [(i, float(i % 8), float((i * 3) % 8)) for i in range(400)],
+        "id long, latitude double, longitude double",
+    )
+    right = spark.createDataFrame(
+        [(j, float(j % 4) * 2.0, float((j * 5) % 4) * 2.0) for j in range(40)],
+        "rid long, r_latitude double, r_longitude double",
+    )
+    kw = dict(left_key="id", cell_deg=1.0, tiebreak=["rid"])
+    legacy = nearest_join_gridded(left, right, dedup_coords=False, **kw).select(
+        "id", "rid", F.round("__dist", 9).alias("d")
+    )
+    hardened = nearest_join_gridded(left, right, dedup_coords=True, **kw).select(
+        "id", "rid", F.round("__dist", 9).alias("d")
+    )
+    assert sorted(map(tuple, legacy.collect())) == sorted(map(tuple, hardened.collect()))
+
+
+def test_gridded_nn_null_coords_get_exact_winner(spark):
+    """NULL-coordinate left rows can never grid-match (NULL cell ids join
+    to nothing) — they must escalate to the exact path and still come back
+    through the null-safe fan-out join, one output row each."""
+    left = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, None, 0.5), (3, None, None)],
+        "id long, latitude double, longitude double",
+    )
+    right = spark.createDataFrame(
+        [(7, 0.4, 0.4), (8, 9.0, 9.0)],
+        "rid long, r_latitude double, r_longitude double",
+    )
+    out = nearest_join_gridded(
+        left, right, left_key="id", cell_deg=1.0, tiebreak=["rid"]
+    ).collect()
+    by_id = {r.id: r for r in out}
+    assert set(by_id) == {1, 2, 3}
+    assert by_id[1].rid == 7  # provable grid winner
+    # NULL-distance candidates: winner falls through to the tiebreak —
+    # deterministic, and identical to the legacy path's behavior
+    legacy = {
+        r.id: r.rid
+        for r in nearest_join_gridded(
+            left, right, left_key="id", cell_deg=1.0, tiebreak=["rid"],
+            dedup_coords=False,
+        ).collect()
+    }
+    assert {r.id: r.rid for r in out} == legacy
+
+
 def test_dedup_survivor_rules(spark):
     df = spark.createDataFrame(
         [(1, "b", "x"), (2, "a", "x"), (3, "c", "y")], "id long, ord string, key string"

@@ -122,6 +122,53 @@ def test_candidate_verify_never_broadcasts_corpus_frames(name, spark):
     )
 
 
+def test_gridded_nn_joinback_broadcasts_small_winner_table(spark):
+    """Hot-cell hardening contract, small side: when the distinct-
+    coordinate winner table is small (exact count ≤ _COORD_BROADCAST_ROWS)
+    the fan-out join must BROADCAST it — the big left side is then never
+    shuffled, so a hot coordinate cannot straggle a task. Pin: a
+    BroadcastExchange whose output carries the renamed __wlat key."""
+    from dataengineering_londonhousingmap_spark.operators.joins import nearest_join_gridded
+
+    left = spark.createDataFrame(
+        [(i, float(i % 5), float(i % 5)) for i in range(100)],
+        "id long, latitude double, longitude double",
+    )
+    right = spark.createDataFrame(
+        [(j, float(j), float(j)) for j in range(5)],
+        "rid long, r_latitude double, r_longitude double",
+    )
+    df = nearest_join_gridded(left, right, left_key="id", cell_deg=1.0, tiebreak=["rid"])
+    hits = [cols for cols in _broadcast_output_cols(df) if "__wlat" in cols]
+    assert hits, "winner-table fan-out join is not broadcast despite a tiny winner set"
+
+
+def test_gridded_nn_joinback_merge_pinned_when_winner_table_large(spark, monkeypatch):
+    """Hot-cell hardening contract, large side: above the row threshold
+    the fan-out join must be pinned to sort-merge regardless of what
+    Catalyst stats claim (checkpoint-derived frames underestimate; a
+    misestimated broadcast of a corpus-proportional winner table is a
+    driver OOM at scale). Threshold monkeypatched to 0 so the same tiny
+    fixture exercises the big-table branch."""
+    from dataengineering_londonhousingmap_spark.operators import joins
+
+    monkeypatch.setattr(joins, "_COORD_BROADCAST_ROWS", 0)
+    left = spark.createDataFrame(
+        [(i, float(i % 5), float(i % 5)) for i in range(100)],
+        "id long, latitude double, longitude double",
+    )
+    right = spark.createDataFrame(
+        [(j, float(j), float(j)) for j in range(5)],
+        "rid long, r_latitude double, r_longitude double",
+    )
+    df = joins.nearest_join_gridded(left, right, left_key="id", cell_deg=1.0, tiebreak=["rid"])
+    hits = [cols for cols in _broadcast_output_cols(df) if "__wlat" in cols]
+    assert not hits, (
+        "winner-table fan-out join was broadcast above the threshold — "
+        "the merge pin is gone and stats misestimates can OOM the driver"
+    )
+
+
 def test_no_rowwise_python_anywhere_in_catalog(spark):
     """Catalog-wide sweep: no query may plan a row-at-a-time Python eval
     (BatchEvalPython) — every Python boundary must be Arrow-batched
