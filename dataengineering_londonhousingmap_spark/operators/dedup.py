@@ -187,7 +187,10 @@ def lsh_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 def _candidate_intersection(
-    shingles: DataFrame, id_col: str, candidates: DataFrame
+    shingles: DataFrame,
+    id_col: str,
+    candidates: DataFrame,
+    candidates_materialized: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Shared candidate-driven verify core: per-pair shingle-intersection
     counts plus per-doc set sizes, pruned to candidate docs.
@@ -202,11 +205,14 @@ def _candidate_intersection(
     (spill-able, shuffle-partitioned); only the id-list semi-join is left
     to the optimizer, since its small side really is bounded.
     """
-    # skip the cut if the caller already checkpointed the pair frame
-    # (q_dedup_agreement shares ONE candidate set across the jaccard and
-    # containment verifies) — re-materializing a bare checkpoint leaf
-    # would run an extra eager job per call just to copy the blocks
-    if candidates._jdf.queryExecution().analyzed().nodeName() != "LogicalRDD":
+    # skip the cut if the caller declares the pair frame already
+    # materialized (q_dedup_agreement shares ONE candidate set across the
+    # jaccard and containment verifies) — re-materializing it would run an
+    # extra eager job per call just to copy the blocks. An explicit flag,
+    # not plan sniffing: probing analyzed().nodeName() via _jdf breaks
+    # under Spark Connect and silently mis-skips any other
+    # LogicalRDD-backed input (e.g. createDataFrame from an RDD).
+    if not candidates_materialized:
         candidates = materialize(candidates)
     ids = (
         candidates.select(F.col("id_a").alias(id_col))
@@ -239,6 +245,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    candidates_materialized: bool = False,
 ) -> DataFrame:
     """Jaccard similarity over distinct shingle sets, computed the
     distributed way: |A∩B| via self-join on shingle (never pairwise array
@@ -261,7 +268,9 @@ def ngram_jaccard_pairs(
     """
     if candidates is not None:
         # candidate-driven intersection: |cand| × shingles/doc, never d²
-        inter, sizes = _candidate_intersection(shingles, id_col, candidates)
+        inter, sizes = _candidate_intersection(
+            shingles, id_col, candidates, candidates_materialized
+        )
     else:
         sizes = shingles.groupBy(id_col).agg(F.count("*").alias("__sz"))
         a = shingles.select(F.col(id_col).alias("id_a"), "shingle")
@@ -334,6 +343,7 @@ def ngram_containment_pairs(
     id_col: str,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    candidates_materialized: bool = False,
 ) -> DataFrame:
     """Jaccard CONTAINMENT over distinct shingle sets:
     ``|A∩B| / min(|A|,|B|)`` — the near-SUBSET detector. A short document
@@ -348,7 +358,9 @@ def ngram_containment_pairs(
     pairs ≥ threshold, id_a < id_b.
     """
     if candidates is not None:
-        inter, sizes = _candidate_intersection(shingles, id_col, candidates)
+        inter, sizes = _candidate_intersection(
+            shingles, id_col, candidates, candidates_materialized
+        )
     else:
         sizes = shingles.groupBy(id_col).agg(F.count("*").alias("__sz"))
         a = shingles.select(F.col(id_col).alias("id_a"), "shingle")

@@ -69,6 +69,22 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
         "spark.dataengineering_londonhousingmap_spark.reliableCheckpoint", "false"
     )
     if str(reliable).lower() == "true":
+        # fail fast with an actionable message: the conf profile
+        # (session.cluster_conf) can set the flag but cannot set the
+        # required checkpoint dir — without this check the user gets an
+        # opaque SparkException deep inside the first eager checkpoint
+        # job at runtime
+        try:
+            dir_set = sess.sparkContext._jsc.sc().checkpointDir().isDefined()
+        except Exception:
+            dir_set = True  # introspection unavailable (e.g. Connect) — let Spark decide
+        if not dir_set:
+            raise RuntimeError(
+                "spark.dataengineering_londonhousingmap_spark.reliableCheckpoint=true requires a "
+                "checkpoint directory: call "
+                "spark.sparkContext.setCheckpointDir('<cluster-visible path>') "
+                "before running any query (see operators/util.materialize)"
+            )
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
 

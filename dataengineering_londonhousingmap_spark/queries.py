@@ -4376,17 +4376,21 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
-    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4).localCheckpoint(
-        eager=True
+    # the SHARED candidate set is cut once here (through the materialize()
+    # chokepoint, so the reliable-checkpoint cluster flag applies) and the
+    # verifies are told so — they skip their internal cut instead of
+    # re-copying the blocks
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4).transform(
+        materialize
     )
     from .operators.dedup import ngram_containment_pairs
 
-    jac = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
-    )
-    con = ngram_containment_pairs(sh, "doc_id", threshold=0.3, candidates=cand).select(
-        "id_a", "id_b", F.round("containment", 6).alias("containment")
-    )
+    jac = ngram_jaccard_pairs(
+        sh, "doc_id", threshold=0.2, candidates=cand, candidates_materialized=True
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    con = ngram_containment_pairs(
+        sh, "doc_id", threshold=0.3, candidates=cand, candidates_materialized=True
+    ).select("id_a", "id_b", F.round("containment", 6).alias("containment"))
     fp = docs.select("doc_id", doc_fingerprint("text").alias("__fp"))
     ex = (
         fp.alias("x")

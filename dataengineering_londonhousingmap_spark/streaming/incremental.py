@@ -96,13 +96,28 @@ def _few_state_partitions(spark: SparkSession, n: int = 8):
     (observed: most of the stream queries' wall time). Restored immediately
     after start — batch queries in the same session never see the narrowed
     conf. A real deployment sizes this to its key cardinality through its
-    own session conf / existing checkpoint instead."""
+    own session conf / existing checkpoint instead.
+
+    NOT concurrency-safe: the narrow-and-restore mutates session-global
+    conf, so two streams started concurrently from one session (or a batch
+    action racing the with-block) could observe or restore the wrong
+    value. Safe here because the harness is single-threaded per session;
+    the restore asserts the conf still holds the narrowed value so an
+    interleaving writer fails loudly instead of silently persisting the
+    wrong setting."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
-    spark.conf.set(key, str(n))
+    token = str(n)
+    spark.conf.set(key, token)
     try:
         yield
     finally:
+        current = spark.conf.get(key)
+        assert current == token, (
+            f"{key} changed inside a _few_state_partitions block "
+            f"(expected {token!r}, found {current!r}) — a concurrent "
+            f"conf writer raced the stream-start scope"
+        )
         spark.conf.set(key, old)
 
 

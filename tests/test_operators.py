@@ -733,6 +733,27 @@ def test_round3_plans_have_scale_shapes(spark, sf_dir):
     assert "BroadcastHashJoin" in vocab, vocab
 
 
+def test_materialize_reliable_without_checkpoint_dir_fails_fast(spark):
+    """The cluster conf profile can set the reliableCheckpoint flag but
+    cannot set the required checkpoint dir — materialize() must fail fast
+    with an actionable message instead of an opaque SparkException deep
+    inside the first eager checkpoint job. Must run BEFORE the routing
+    test below (same file, definition order), which permanently defines
+    the shared session's checkpoint dir."""
+    import pytest as _pytest
+
+    from dataengineering_londonhousingmap_spark.operators.util import materialize
+
+    if spark.sparkContext._jsc.sc().checkpointDir().isDefined():
+        _pytest.skip("checkpoint dir already defined in this session")
+    spark.conf.set("spark.dataengineering_londonhousingmap_spark.reliableCheckpoint", "true")
+    try:
+        with _pytest.raises(RuntimeError, match="setCheckpointDir"):
+            materialize(spark.range(10).withColumnRenamed("id", "v"))
+    finally:
+        spark.conf.unset("spark.dataengineering_londonhousingmap_spark.reliableCheckpoint")
+
+
 def test_materialize_reliable_flag_routes_to_checkpoint(spark, sf_dir, tmp_path):
     """materialize() is the engine-wide lineage-cut chokepoint: default is
     localCheckpoint (executor-local blocks — fine on local[N], documented
