@@ -24,6 +24,41 @@ from pyspark.sql import functions as F
 
 from .util import fan_out, materialize
 
+# fan-out winner tables at or below this row count are force-broadcast;
+# above it the rejoin is pinned to sort-merge. The decision comes from an
+# exact count over the materialized winner frame, never from Catalyst
+# stats — checkpoint-derived (LogicalRDD) frames underestimate and a
+# misestimated broadcast build is a driver OOM at scale (round-5 lesson).
+_COORD_BROADCAST_ROWS = 200_000
+
+
+def _rejoin_winners(left: DataFrame, core: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Fan per-key winner rows back out onto the full left side.
+
+    ``core`` holds one (k=1) or k winner rows per distinct ``key_cols``
+    tuple. The broadcast decision comes from an EXACT COUNT of the
+    materialized winner table, never Catalyst stats — checkpoint-derived
+    frames underestimate and a misestimated broadcast build is a driver
+    OOM at scale. Small winner sets broadcast (the big left side is never
+    shuffled, so a hot key cannot straggle a task); larger ones pin to
+    sort-merge (mostly-unique keys imply shallow stacks, hence no skew).
+    Null-safe equality so NULL-keyed left rows still pick up their winner.
+    """
+    core = materialize(core)
+    n = core.count()  # one long to the driver; blocks already stored
+    out_cols = [c for c in core.columns if c not in key_cols]
+    winners = core.select(
+        *[F.col(c).alias(f"__w{i}") for i, c in enumerate(key_cols)], *out_cols
+    )
+    winners = (
+        F.broadcast(winners) if n <= _COORD_BROADCAST_ROWS else winners.hint("merge")
+    )
+    cond = None
+    for i, c in enumerate(key_cols):
+        clause = F.col(c).eqNullSafe(F.col(f"__w{i}"))
+        cond = clause if cond is None else cond & clause
+    return left.join(winners, cond).select(*left.columns, *out_cols)
+
 
 def nearest_join(
     left: DataFrame,
@@ -33,6 +68,8 @@ def nearest_join(
     tiebreak: list[str] | None = None,
     k: int = 1,
     spread: bool = True,
+    left_metric_cols: list[str] | None = None,
+    right_metric_cols: list[str] | None = None,
 ) -> DataFrame:
     """For each left row, attach the k nearest right rows by ``distance``.
 
@@ -55,7 +92,51 @@ def nearest_join(
     each left row's |right| candidates map-side, so the shuffle carries
     |left| rows instead of |left|×|right| (a windowed rank would shuffle
     and sort the full cross product). k>1 falls back to the window.
+
+    Hot-stack hardening (``left_metric_cols``): when the caller declares
+    that ``distance`` reads the left side ONLY through these columns, the
+    winner rows are a pure function of that tuple — so the cross product
+    runs once per DISTINCT metric tuple and winners fan back out with one
+    null-safe equi-join (see :func:`_rejoin_winners`). Cross-join work
+    then scales with distinct metric values, not rows: duplicate-heavy
+    inputs (every listing at one building, a replicated vintage) stop
+    paying |left|×|right|. Mostly-unique inputs pay one narrow extra
+    dedup shuffle. Declaring columns ``distance`` doesn't cover is the
+    caller's contract — results would silently collapse rows that differ
+    on an undeclared metric input.
+
+    ``right_metric_cols`` is the symmetric reduction for the broadcast
+    side, k=1 ONLY: at equal distance the winner struct falls through to
+    (tiebreak…, right-cols…), so keeping one min-struct representative
+    per distinct right metric tuple preserves the winner exactly. It is
+    NOT valid at k>1 — two right rows with identical metric values are
+    distinct top-k entries — so that combination raises.
     """
+    if right_metric_cols:
+        if k != 1:
+            raise ValueError(
+                "right_metric_cols requires k=1: metric-twin right rows are "
+                "distinct top-k entries and must not be collapsed"
+            )
+        tie = tiebreak or []
+        rcols = [c for c in right.columns if c not in tie]
+        rep = F.min(
+            F.struct(*[F.col(c) for c in tie], *[F.col(c) for c in rcols])
+        ).alias("__rep")
+        right = (
+            right.groupBy(
+                *[F.col(c).alias(f"__g{i}") for i, c in enumerate(right_metric_cols)]
+            )
+            .agg(rep)
+            .select(*[F.col(f"__rep.{c}").alias(c) for c in right.columns])
+        )
+    if left_metric_cols:
+        pts = left.select(*left_metric_cols).dropDuplicates(list(left_metric_cols))
+        core = nearest_join(
+            pts, right, distance, left_metric_cols[0],
+            tiebreak=tiebreak, k=k, spread=spread,
+        )
+        return _rejoin_winners(left, core, list(left_metric_cols))
     dist = distance(left, right).alias("__dist")
     # the cross-join stage does |left|×|right| work before its first shuffle
     # — spread a narrow left scan across cores first (``spread=False`` when
@@ -79,14 +160,6 @@ def nearest_join(
     w = Window.partitionBy(left_key).orderBy(*order)
     out = joined.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
     return out.drop("__rn")
-
-
-# join-back winner tables at or below this row count are force-broadcast;
-# above it the join is pinned to sort-merge. The decision comes from an
-# exact count over the materialized winner frame, never from Catalyst
-# stats — checkpoint-derived (LogicalRDD) frames underestimate and a
-# misestimated broadcast build is a driver OOM at scale (round-5 lesson).
-_COORD_BROADCAST_ROWS = 200_000
 
 
 def _gridded_nn(
@@ -233,23 +306,8 @@ def nearest_join_gridded(
     )
     core = _gridded_nn(
         lpts, reps, [lat, lon], lat, lon, rlat, rlon, cell_deg, tiebreak
-    ).transform(materialize)
-    n_coords = core.count()  # one long to the driver; blocks already stored
-    out_cols = [c for c in core.columns if c not in (lat, lon)]
-    winners = core.select(
-        F.col(lat).alias("__wlat"), F.col(lon).alias("__wlon"), *out_cols
     )
-    winners = (
-        F.broadcast(winners)
-        if n_coords <= _COORD_BROADCAST_ROWS
-        else winners.hint("merge")
-    )
-    # null-safe equality: NULL-coordinate left rows must still pick up
-    # their (exact-path) winner row
-    cond = F.col(lat).eqNullSafe(F.col("__wlat")) & F.col(lon).eqNullSafe(
-        F.col("__wlon")
-    )
-    return left.join(winners, cond).select(*left.columns, *out_cols)
+    return _rejoin_winners(left, core, [lat, lon])
 
 
 def asof_join(

@@ -693,7 +693,11 @@ def q_join_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Column pruning BEFORE the cross join matters: every extra column rides
     the |left|×|right| intermediate, and group-key width drives the agg
-    cost — project to the key+metric first."""
+    cost — project to the key+metric first. The metric reads the left side
+    only through c_acctbal, so left_metric_cols lets the cross product run
+    once per DISTINCT balance and fan winners back out — work scales with
+    distinct metric values, not customers (the 10x-replicated probe ran
+    this query 100x before the dedup shell)."""
     customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
     out = nearest_join(
@@ -702,6 +706,8 @@ def q_join_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         distance=lambda l, r: F.abs(l["c_acctbal"] - r["s_acctbal"]),
         left_key="c_custkey",
         tiebreak=["s_suppkey"],
+        left_metric_cols=["c_acctbal"],
+        right_metric_cols=["s_acctbal"],
     )
     return out.select(
         "c_custkey",
@@ -724,6 +730,7 @@ def q_join_nn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_key="c_custkey",
         tiebreak=["s_suppkey"],
         k=3,
+        left_metric_cols=["c_acctbal"],
     )
     return out.select(
         "c_custkey",

@@ -76,6 +76,65 @@ def test_gridded_nn_dedup_equals_legacy_on_stacked_coords(spark):
     assert sorted(map(tuple, legacy.collect())) == sorted(map(tuple, hardened.collect()))
 
 
+def test_nearest_join_metric_dedup_equals_direct(spark):
+    """left_metric_cols declares that the distance reads the left side only
+    through those columns — the dedup shell (distinct metric tuples →
+    winner per tuple → null-safe fan-out) must return exactly the direct
+    path's rows for both k=1 and k=3, on input with deep duplicate-metric
+    stacks and a NULL metric row."""
+    left = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(300)] + [(900, None)],
+        "id long, bal double",
+    )
+    right = spark.createDataFrame(
+        [(j, float(j) * 1.7) for j in range(11)], "rid long, r_bal double"
+    )
+    dist = lambda l, r: F.abs(l["bal"] - r["r_bal"])  # noqa: E731
+    for k in (1, 3):
+        direct = nearest_join(
+            left, right, dist, "id", tiebreak=["rid"], k=k
+        ).select("id", "rid", F.round("__dist", 9).alias("d"))
+        shelled = nearest_join(
+            left, right, dist, "id", tiebreak=["rid"], k=k,
+            left_metric_cols=["bal"],
+        ).select("id", "rid", F.round("__dist", 9).alias("d"))
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, shelled.collect())
+        ), f"k={k}"
+
+
+def test_nearest_join_right_metric_dedup(spark):
+    """k=1: reducing the right side to one representative per distinct
+    metric value preserves the winner exactly — including the tiebreak on
+    metric-twin right rows (min rid wins among equal-distance twins).
+    k>1 must refuse the reduction: metric twins are distinct top-k rows."""
+    import pytest as _pytest
+
+    left = spark.createDataFrame(
+        [(i, float(i % 4)) for i in range(40)], "id long, bal double"
+    )
+    # rows 0..5 stacked on 2 distinct metric values (twins differ by rid)
+    right = spark.createDataFrame(
+        [(j, float(j % 2) * 2.0) for j in range(6)], "rid long, r_bal double"
+    )
+    dist = lambda l, r: F.abs(l["bal"] - r["r_bal"])  # noqa: E731
+    direct = nearest_join(left, right, dist, "id", tiebreak=["rid"]).select(
+        "id", "rid", F.round("__dist", 9).alias("d")
+    )
+    reduced = nearest_join(
+        left, right, dist, "id", tiebreak=["rid"],
+        left_metric_cols=["bal"], right_metric_cols=["r_bal"],
+    ).select("id", "rid", F.round("__dist", 9).alias("d"))
+    assert sorted(map(tuple, direct.collect())) == sorted(
+        map(tuple, reduced.collect())
+    )
+    with _pytest.raises(ValueError, match="k=1"):
+        nearest_join(
+            left, right, dist, "id", tiebreak=["rid"], k=3,
+            right_metric_cols=["r_bal"],
+        )
+
+
 def test_gridded_nn_null_coords_get_exact_winner(spark):
     """NULL-coordinate left rows can never grid-match (NULL cell ids join
     to nothing) — they must escalate to the exact path and still come back

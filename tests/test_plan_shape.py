@@ -127,7 +127,7 @@ def test_gridded_nn_joinback_broadcasts_small_winner_table(spark):
     coordinate winner table is small (exact count ≤ _COORD_BROADCAST_ROWS)
     the fan-out join must BROADCAST it — the big left side is then never
     shuffled, so a hot coordinate cannot straggle a task. Pin: a
-    BroadcastExchange whose output carries the renamed __wlat key."""
+    BroadcastExchange whose output carries the renamed __w0 key."""
     from dataengineering_londonhousingmap_spark.operators.joins import nearest_join_gridded
 
     left = spark.createDataFrame(
@@ -139,7 +139,7 @@ def test_gridded_nn_joinback_broadcasts_small_winner_table(spark):
         "rid long, r_latitude double, r_longitude double",
     )
     df = nearest_join_gridded(left, right, left_key="id", cell_deg=1.0, tiebreak=["rid"])
-    hits = [cols for cols in _broadcast_output_cols(df) if "__wlat" in cols]
+    hits = [cols for cols in _broadcast_output_cols(df) if "__w0" in cols]
     assert hits, "winner-table fan-out join is not broadcast despite a tiny winner set"
 
 
@@ -162,7 +162,7 @@ def test_gridded_nn_joinback_merge_pinned_when_winner_table_large(spark, monkeyp
         "rid long, r_latitude double, r_longitude double",
     )
     df = joins.nearest_join_gridded(left, right, left_key="id", cell_deg=1.0, tiebreak=["rid"])
-    hits = [cols for cols in _broadcast_output_cols(df) if "__wlat" in cols]
+    hits = [cols for cols in _broadcast_output_cols(df) if "__w0" in cols]
     assert not hits, (
         "winner-table fan-out join was broadcast above the threshold — "
         "the merge pin is gone and stats misestimates can OOM the driver"
