@@ -169,6 +169,19 @@ def test_gridded_nn_joinback_merge_pinned_when_winner_table_large(spark, monkeyp
     )
 
 
+@pytest.mark.parametrize("name", ["q_join_nn", "q_join_nn_topk", "q_join_nn_gridded"])
+def test_catalog_nn_queries_use_winner_rejoin(name, spark):
+    """The catalog NN queries must run through the reduce-then-min shell
+    (distinct metric values → winner per value → fan-out rejoin): dropping
+    left_metric_cols / dedup_coords from a call site silently reverts to
+    the |left|×|right| plan that ran 60-105x on the 10x probe. Pin: the
+    rejoin's renamed __w0 key appears in the executed plan's broadcast
+    (tiny winner tables at this SF always broadcast)."""
+    df = QUERIES[name](spark, SF)
+    hits = [cols for cols in _broadcast_output_cols(df) if "__w0" in cols]
+    assert hits, f"{name}: no winner-table rejoin in the plan — metric dedup lost"
+
+
 def test_no_rowwise_python_anywhere_in_catalog(spark):
     """Catalog-wide sweep: no query may plan a row-at-a-time Python eval
     (BatchEvalPython) — every Python boundary must be Arrow-batched

@@ -56,6 +56,39 @@ a deliberate scale-first shape that is a no-op on a real multi-split
 input) plus the host's +-50% firecracker timing noise documented in the
 r01 verify notes. Cause: host/vintage timing shift, not an engine
 regression; treat <1s entries as noise-bounded.
+
+## Merge-pin cost contract (r05/r06 — do NOT "optimize" these hints out)
+
+The explicit `.hint("merge")` sites in operators/dedup.py:138 (LSH band
+self-join), dedup.py:189 (jaccard intersection joins), dedup.py:286
+(incremental-dedup signature join), queries.py q_decontaminate (bench-side
+shingle join), and the large-winner-table branch of
+operators/joins.py:_rejoin_winners (both NN shapes) exist because
+checkpoint-derived (LogicalRDD) frames carry underestimated stats: the
+static planner chose BroadcastHashJoin builds over corpus-proportional
+frames, which is a driver OOM on a real cluster — the 10x probe
+(BENCH_BIGSCALE.json) caught two live instances in r05. The pins cost
+measured sf0.1 time: q_dedup_incremental +18% (2.52→2.97s) and
+q_ngram_jaccard ~3.1s, and that trade is deliberate — sort-merge spills
+where a misestimated broadcast kills the driver. Any future round that
+removes one of these hints must first show the build side is provably
+bounded (not corpus-proportional); the guard tests
+(tests/test_plan_shape.py::test_candidate_verify_never_broadcasts_corpus_frames
+and ::test_gridded_nn_joinback_merge_pinned_when_winner_table_large)
+fail on removal by design.
+
+## Reduce-then-min cost contract (r06)
+
+nearest_join's metric-dedup shell (left_metric_cols/right_metric_cols)
+and nearest_join_gridded's coordinate dedup cost a measured ~+0.3s at
+sf0.1 on mostly-unique metrics (q_join_nn isolated best-of-3 0.91→1.19s:
+one narrow dropDuplicates shuffle, the winner-table count job, and the
+rejoin). That trade buys the scale property: 10x-probe wall dropped
+110.4s→1.7s (q_join_nn), 74.8s→1.1s (gridded), 85.2s→8.2s (topk) with
+linear output — duplicate-heavy corpora stop paying |left|x|right|.
+Removing the shell to win back the 0.3s reverts the probe to quadratic;
+tests/test_plan_shape.py::test_catalog_nn_queries_use_winner_rejoin
+fails on removal by design.
 '''
 
 
