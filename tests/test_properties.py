@@ -460,3 +460,62 @@ def test_text_avoids_known_cross_engine_unicode_divergences(sf):
         assert not any(unicodedata.combining(ch) for ch in t), (
             f"combining mark (grapheme/codepoint length divergence) in: {t[:60]!r}"
         )
+
+
+# duplicate-heavy coordinates from a tiny value pool force deep stacks and
+# winner ties; None exercises the NULL-metric escalation path
+_COORD = st.one_of(st.none(), st.sampled_from([0.0, -0.0, 0.4, 1.0, 1.6, 7.0]))
+
+
+@settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(_COORD, _COORD), min_size=1, max_size=12),
+    st.lists(st.tuples(_COORD, _COORD), min_size=1, max_size=6),
+)
+def test_nearest_join_reduce_then_min_invariant(spark, lpts, rpts):
+    """The reduce-then-min shells must be result-invariant on arbitrary
+    point sets: deep duplicate stacks, exact winner ties (same distance
+    from twin coordinates), ±0.0, and NULL coordinates. Checks BOTH
+    hardened paths against the direct shapes: nearest_join with
+    left+right metric dedup vs plain, and nearest_join_gridded default
+    vs dedup_coords=False."""
+    from dataengineering_londonhousingmap_spark.operators.joins import (
+        nearest_join,
+        nearest_join_gridded,
+    )
+
+    left = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(lpts)],
+        "id long, latitude double, longitude double",
+    )
+    right = spark.createDataFrame(
+        [(j, la, lo) for j, (la, lo) in enumerate(rpts)],
+        "rid long, r_latitude double, r_longitude double",
+    )
+    dist = lambda l, r: (  # noqa: E731
+        F.abs(F.col("latitude") - F.col("r_latitude"))
+        + F.abs(F.col("longitude") - F.col("r_longitude"))
+    )
+
+    def rows(df):
+        return sorted(
+            (r.id, r.rid, None if r.d is None else round(r.d, 9))
+            for r in df.select("id", "rid", F.col("__dist").alias("d")).collect()
+        )
+
+    direct = nearest_join(left, right, dist, "id", tiebreak=["rid"])
+    shelled = nearest_join(
+        left, right, dist, "id", tiebreak=["rid"],
+        left_metric_cols=["latitude", "longitude"],
+        right_metric_cols=["r_latitude", "r_longitude"],
+    )
+    assert rows(direct) == rows(shelled)
+
+    legacy = nearest_join_gridded(
+        left, right, left_key="id", cell_deg=1.0, tiebreak=["rid"],
+        dedup_coords=False,
+    )
+    hardened = nearest_join_gridded(
+        left, right, left_key="id", cell_deg=1.0, tiebreak=["rid"]
+    )
+    assert rows(legacy) == rows(hardened)
