@@ -105,12 +105,22 @@ def main() -> None:
         f"""
         COPY (
           SELECT d.* REPLACE (
+            -- %37=5: INTERIOR newline (first space becomes chr(10), 1:1 so
+            -- n_chars holds): real corpora are multi-line; probes every
+            -- tokenizer/regex/split path's newline symmetry across engines.
+            -- %61=9: TRAILING newline: probes the line-reader/split tail
+            -- semantics and the dollar-anchor audit class.
             CASE WHEN d.doc_id % 53 = 3 THEN ''
                  WHEN d.doc_id % 11 = 7 AND twin.text IS NOT NULL
-                 THEN twin.text ELSE d.text END AS text,
+                 THEN twin.text
+                 WHEN d.doc_id % 37 = 5 THEN regexp_replace(d.text, ' ', chr(10))
+                 WHEN d.doc_id % 61 = 9 THEN d.text || chr(10)
+                 ELSE d.text END AS text,
             CASE WHEN d.doc_id % 53 = 3 THEN 0
                  WHEN d.doc_id % 11 = 7 AND twin.text IS NOT NULL
-                 THEN length(twin.text) ELSE d.n_chars END AS n_chars
+                 THEN length(twin.text)
+                 WHEN d.doc_id % 61 = 9 THEN length(d.text) + 1
+                 ELSE d.n_chars END AS n_chars
           )
           FROM '{SRC}/documents.parquet' d
           LEFT JOIN '{SRC}/documents.parquet' twin
