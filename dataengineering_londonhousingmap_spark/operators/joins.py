@@ -24,12 +24,18 @@ from pyspark.sql import functions as F
 
 from .util import fan_out, materialize
 
-# fan-out winner tables at or below this row count are force-broadcast;
-# above it the rejoin is pinned to sort-merge. The decision comes from an
-# exact count over the materialized winner frame, never from Catalyst
-# stats — checkpoint-derived (LogicalRDD) frames underestimate and a
-# misestimated broadcast build is a driver OOM at scale (round-5 lesson).
+# fan-out winner tables at or below this row count AND this estimated
+# byte size are force-broadcast; beyond either bound the rejoin is pinned
+# to sort-merge. The decision comes from an exact count over the
+# materialized winner frame, never from Catalyst stats — checkpoint-
+# derived (LogicalRDD) frames underestimate and a misestimated broadcast
+# build is a driver OOM at scale (round-5 lesson). The byte estimate
+# (fixed per-column cost) is an order-of-magnitude guard so a WIDE winner
+# table can't ride a row count that was calibrated for narrow ones; it is
+# deliberately not a sampled size (no extra job).
 _COORD_BROADCAST_ROWS = 200_000
+_WINNER_BROADCAST_BYTES = 64 << 20
+_EST_BYTES_PER_COL = 24
 
 
 def _rejoin_winners(left: DataFrame, core: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -50,8 +56,11 @@ def _rejoin_winners(left: DataFrame, core: DataFrame, key_cols: list[str]) -> Da
     winners = core.select(
         *[F.col(c).alias(f"__w{i}") for i, c in enumerate(key_cols)], *out_cols
     )
+    est_bytes = n * _EST_BYTES_PER_COL * len(core.columns)
     winners = (
-        F.broadcast(winners) if n <= _COORD_BROADCAST_ROWS else winners.hint("merge")
+        F.broadcast(winners)
+        if n <= _COORD_BROADCAST_ROWS and est_bytes <= _WINNER_BROADCAST_BYTES
+        else winners.hint("merge")
     )
     cond = None
     for i, c in enumerate(key_cols):
