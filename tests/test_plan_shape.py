@@ -182,6 +182,45 @@ def test_catalog_nn_queries_use_winner_rejoin(name, spark):
     assert hits, f"{name}: no winner-table rejoin in the plan — metric dedup lost"
 
 
+def test_aqe_skew_join_split_fires_under_engine_session(spark):
+    """Direct evidence that the engine's session config keeps AQE's
+    skew-join split live: a hot-key sort-merge join (75% of 1M rows on one
+    key) must finalize as SortMergeJoin(skew=true) with an AQEShuffleRead
+    marked 'skewed'. Thresholds are lowered (and restored) so the unit-
+    scale fixture crosses the skew classifier the way a hot cell at 100 TB
+    crosses the 256MB default — the mechanism under test is identical."""
+    from pyspark.sql import functions as F
+
+    scoped = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(1000000).select(
+            F.when(F.col("id") % 4 != 3, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.concat(F.lit("x" * 128), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(2000).select(F.col("id").alias("k"), F.lit("r").alias("rv"))
+        j = left.join(right, "k")
+        j.foreach(lambda r: None)  # finalize THIS DataFrame's adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed join"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_no_rowwise_python_anywhere_in_catalog(spark):
     """Catalog-wide sweep: no query may plan a row-at-a-time Python eval
     (BatchEvalPython) — every Python boundary must be Arrow-batched
