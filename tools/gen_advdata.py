@@ -115,11 +115,16 @@ def main() -> None:
                  THEN twin.text
                  WHEN d.doc_id % 37 = 5 THEN regexp_replace(d.text, ' ', chr(10))
                  WHEN d.doc_id % 61 = 9 THEN d.text || chr(10)
+                 -- %71=13: LONG repetitive doc (~30x) — shingle/token
+                 -- explodes, chunking, and repetition scores on the
+                 -- multi-KB docs a real crawl always contains
+                 WHEN d.doc_id % 71 = 13 THEN repeat(d.text || ' ', 30)
                  ELSE d.text END AS text,
             CASE WHEN d.doc_id % 53 = 3 THEN 0
                  WHEN d.doc_id % 11 = 7 AND twin.text IS NOT NULL
                  THEN length(twin.text)
                  WHEN d.doc_id % 61 = 9 THEN length(d.text) + 1
+                 WHEN d.doc_id % 71 = 13 THEN length(repeat(d.text || ' ', 30))
                  ELSE d.n_chars END AS n_chars
           )
           FROM '{SRC}/documents.parquet' d
