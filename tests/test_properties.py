@@ -519,3 +519,58 @@ def test_nearest_join_reduce_then_min_invariant(spark, lpts, rpts):
         left, right, left_key="id", cell_deg=1.0, tiebreak=["rid"]
     )
     assert rows(legacy) == rows(hardened)
+
+
+_TS = st.integers(min_value=0, max_value=20)  # tight range forces equal-ts ties
+
+
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(st.sampled_from(["a", "b"]), _TS), min_size=1, max_size=10),
+    st.lists(st.tuples(st.sampled_from(["a", "b"]), _TS), min_size=0, max_size=8),
+)
+def test_asof_join_matches_pandas_merge_asof_model(spark, lrows, rrows):
+    """asof_join's single-shuffle union shape must reproduce pandas
+    merge_asof backward-inclusive semantics exactly — including left rows
+    with no prior right row (NULL payload), equal-timestamp inclusivity,
+    and keys present on only one side. Right side is deduped per
+    (key, ts) first — the operator's documented precondition."""
+    import pandas as pd
+
+    from dataengineering_londonhousingmap_spark.operators.joins import asof_join
+
+    rdedup: dict[tuple[str, int], int] = {}
+    for i, (k, ts) in enumerate(rrows):
+        rdedup.setdefault((k, ts), i)  # arbitrary-but-fixed payload per (k, ts)
+    rlist = [(k, ts, v) for (k, ts), v in sorted(rdedup.items())]
+
+    left = spark.createDataFrame(
+        [(i, k, f"2024-01-01 00:00:{ts:02d}") for i, (k, ts) in enumerate(lrows)],
+        "id long, k string, ts string",
+    )
+    right = spark.createDataFrame(
+        [(k, f"2024-01-01 00:00:{ts:02d}", v) for k, ts, v in rlist]
+        or [("zz", "2024-01-01 00:00:00", 0)],  # empty frames need a schema row
+        "k string, rts string, v long",
+    )
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="rts")
+    got = {r.id: r.v for r in out.collect()}
+
+    lpd = pd.DataFrame(
+        [(i, k, pd.Timestamp(2024, 1, 1, 0, 0, ts)) for i, (k, ts) in enumerate(lrows)],
+        columns=["id", "k", "ts"],
+    ).sort_values("ts", kind="stable")
+    rpd = pd.DataFrame(
+        [(k, pd.Timestamp(2024, 1, 1, 0, 0, ts), v) for k, ts, v in rlist]
+        or [("zz", pd.Timestamp(2024, 1, 1), 0)],
+        columns=["k", "rts", "v"],
+    ).sort_values("rts", kind="stable")
+    want_df = pd.merge_asof(
+        lpd, rpd, left_on="ts", right_on="rts", by="k", direction="backward",
+        allow_exact_matches=True,
+    )
+    want = {
+        int(r.id): (None if pd.isna(r.v) else int(r.v))
+        for r in want_df.itertuples()
+    }
+    assert got == want
