@@ -119,12 +119,18 @@ def main() -> None:
                  -- explodes, chunking, and repetition scores on the
                  -- multi-KB docs a real crawl always contains
                  WHEN d.doc_id % 71 = 13 THEN repeat(d.text || ' ', 30)
+                 -- %83=17: WHITESPACE-ONLY text (non-zero chars, zero
+                 -- tokens) — distinct from the empty-string class: every
+                 -- trim/token/ratio denominator must agree when length>0
+                 -- but the tokenizer yields nothing
+                 WHEN d.doc_id % 83 = 17 THEN '   '
                  ELSE d.text END AS text,
             CASE WHEN d.doc_id % 53 = 3 THEN 0
                  WHEN d.doc_id % 11 = 7 AND twin.text IS NOT NULL
                  THEN length(twin.text)
                  WHEN d.doc_id % 61 = 9 THEN length(d.text) + 1
                  WHEN d.doc_id % 71 = 13 THEN length(repeat(d.text || ' ', 30))
+                 WHEN d.doc_id % 83 = 17 THEN 3
                  ELSE d.n_chars END AS n_chars
           )
           FROM '{SRC}/documents.parquet' d
