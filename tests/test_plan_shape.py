@@ -221,13 +221,23 @@ def test_aqe_skew_join_split_fires_under_engine_session(spark):
                 spark.conf.set(k, v)
 
 
+# catalog-wide parquet-scan ceiling: the widest legitimate plan is the
+# star join (6 distinct tables, audited r06). A plan exceeding this has
+# almost certainly lost a checkpoint cut and is replaying a shared
+# subtree per consumer (q_outlier_mad once compiled to 36 scans).
+_MAX_SCANS_ANY_PLAN = 8
+
+
 def test_no_rowwise_python_anywhere_in_catalog(spark):
-    """Catalog-wide sweep: no query may plan a row-at-a-time Python eval
-    (BatchEvalPython) — every Python boundary must be Arrow-batched
-    (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas). Streaming
+    """Catalog-wide sweep, one plan build per query: (a) no row-at-a-time
+    Python eval (BatchEvalPython) — every Python boundary must be
+    Arrow-batched (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas);
+    (b) no plan may exceed the global parquet-scan ceiling — a replayed
+    shared subtree shows up as scans >> tables referenced. Streaming
     harness queries are skipped (building them executes the stream); their
     stateful exec is Arrow-based by construction."""
     offenders = []
+    replayers = []
     for name in sorted(QUERIES):
         if name.startswith("q_stream"):
             continue
@@ -235,6 +245,14 @@ def test_no_rowwise_python_anywhere_in_catalog(spark):
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        if "BatchEvalPython" in buf.getvalue():
+        plan = buf.getvalue()
+        if "BatchEvalPython" in plan:
             offenders.append(name)
+        scans = len(re.findall(r"\(\d+\)\s+Scan parquet", plan))
+        if scans > _MAX_SCANS_ANY_PLAN:
+            replayers.append((name, scans))
     assert not offenders, f"row-wise Python eval in: {offenders}"
+    assert not replayers, (
+        f"plans over the {_MAX_SCANS_ANY_PLAN}-scan ceiling (lost checkpoint "
+        f"cut, subtree replayed per consumer): {replayers}"
+    )
