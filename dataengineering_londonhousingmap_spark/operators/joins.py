@@ -115,30 +115,45 @@ def nearest_join(
     on an undeclared metric input.
 
     ``right_metric_cols`` is the symmetric reduction for the broadcast
-    side, k=1 ONLY: at equal distance the winner struct falls through to
+    side. k=1: at equal distance the winner struct falls through to
     (tiebreak…, right-cols…), so keeping one min-struct representative
-    per distinct right metric tuple preserves the winner exactly. It is
-    NOT valid at k>1 — two right rows with identical metric values are
-    distinct top-k entries — so that combination raises.
+    per distinct right metric tuple preserves the winner exactly. k>1:
+    rows sharing a metric tuple share every left row's distance, so only
+    a tuple's k smallest rows under the tiebreak ordering can ever reach
+    any left row's top-k — keep those k per tuple (requires a
+    ``tiebreak`` that totally orders right rows, the same precondition
+    the direct window path already needs for determinism; raises
+    without one).
     """
     if right_metric_cols:
-        if k != 1:
-            raise ValueError(
-                "right_metric_cols requires k=1: metric-twin right rows are "
-                "distinct top-k entries and must not be collapsed"
-            )
         tie = tiebreak or []
         rcols = [c for c in right.columns if c not in tie]
-        rep = F.min(
-            F.struct(*[F.col(c) for c in tie], *[F.col(c) for c in rcols])
-        ).alias("__rep")
-        right = (
-            right.groupBy(
-                *[F.col(c).alias(f"__g{i}") for i, c in enumerate(right_metric_cols)]
+        if k == 1:
+            rep = F.min(
+                F.struct(*[F.col(c) for c in tie], *[F.col(c) for c in rcols])
+            ).alias("__rep")
+            right = (
+                right.groupBy(
+                    *[F.col(c).alias(f"__g{i}") for i, c in enumerate(right_metric_cols)]
+                )
+                .agg(rep)
+                .select(*[F.col(f"__rep.{c}").alias(c) for c in right.columns])
             )
-            .agg(rep)
-            .select(*[F.col(f"__rep.{c}").alias(c) for c in right.columns])
-        )
+        else:
+            if not tie:
+                raise ValueError(
+                    "right_metric_cols with k>1 needs a tiebreak that totally "
+                    "orders right rows — dominance within a metric tuple is "
+                    "defined by the tiebreak ordering"
+                )
+            w = Window.partitionBy(*right_metric_cols).orderBy(
+                *[F.col(c).asc() for c in tie]
+            )
+            right = (
+                right.withColumn("__rrn", F.row_number().over(w))
+                .filter(F.col("__rrn") <= k)
+                .drop("__rrn")
+            )
     if left_metric_cols:
         pts = left.select(*left_metric_cols).dropDuplicates(list(left_metric_cols))
         core = nearest_join(

@@ -731,6 +731,7 @@ def q_join_nn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak=["s_suppkey"],
         k=3,
         left_metric_cols=["c_acctbal"],
+        right_metric_cols=["s_acctbal"],
     )
     return out.select(
         "c_custkey",

@@ -104,10 +104,13 @@ def test_nearest_join_metric_dedup_equals_direct(spark):
 
 
 def test_nearest_join_right_metric_dedup(spark):
-    """k=1: reducing the right side to one representative per distinct
-    metric value preserves the winner exactly — including the tiebreak on
-    metric-twin right rows (min rid wins among equal-distance twins).
-    k>1 must refuse the reduction: metric twins are distinct top-k rows."""
+    """Right-side metric reduction exactness: k=1 keeps one min-struct
+    representative per distinct metric value (tiebreak decides among
+    equal-distance twins); k>1 keeps each tuple's k smallest rows under
+    the tiebreak ordering (metric twins ARE distinct top-k entries — with
+    6 rows stacked on 2 values, a top-3 must contain same-value twins).
+    Both must equal the direct path row-for-row. k>1 without a total-
+    order tiebreak raises."""
     import pytest as _pytest
 
     left = spark.createDataFrame(
@@ -118,20 +121,20 @@ def test_nearest_join_right_metric_dedup(spark):
         [(j, float(j % 2) * 2.0) for j in range(6)], "rid long, r_bal double"
     )
     dist = lambda l, r: F.abs(l["bal"] - r["r_bal"])  # noqa: E731
-    direct = nearest_join(left, right, dist, "id", tiebreak=["rid"]).select(
-        "id", "rid", F.round("__dist", 9).alias("d")
-    )
-    reduced = nearest_join(
-        left, right, dist, "id", tiebreak=["rid"],
-        left_metric_cols=["bal"], right_metric_cols=["r_bal"],
-    ).select("id", "rid", F.round("__dist", 9).alias("d"))
-    assert sorted(map(tuple, direct.collect())) == sorted(
-        map(tuple, reduced.collect())
-    )
-    with _pytest.raises(ValueError, match="k=1"):
+    for k in (1, 3):
+        direct = nearest_join(
+            left, right, dist, "id", tiebreak=["rid"], k=k
+        ).select("id", "rid", F.round("__dist", 9).alias("d"))
+        reduced = nearest_join(
+            left, right, dist, "id", tiebreak=["rid"], k=k,
+            left_metric_cols=["bal"], right_metric_cols=["r_bal"],
+        ).select("id", "rid", F.round("__dist", 9).alias("d"))
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, reduced.collect())
+        ), f"k={k}"
+    with _pytest.raises(ValueError, match="tiebreak"):
         nearest_join(
-            left, right, dist, "id", tiebreak=["rid"], k=3,
-            right_metric_cols=["r_bal"],
+            left, right, dist, "id", k=3, right_metric_cols=["r_bal"]
         )
 
 
