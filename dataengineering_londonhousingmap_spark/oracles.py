@@ -1532,10 +1532,13 @@ ORACLES: dict[str, str] = {
     "q_join_nn_topk": """
         WITH ranked AS (
             SELECT c.c_custkey, s.s_suppkey,
-                   abs(c.c_acctbal - s.s_acctbal) AS d,
+                   abs(c.c_acctbal - s.s_acctbal)
+                     + abs(c.c_custkey % 7 - s.s_suppkey % 7) * 100e0 AS d,
                    row_number() OVER (
                        PARTITION BY c.c_custkey
-                       ORDER BY abs(c.c_acctbal - s.s_acctbal), s.s_suppkey
+                       ORDER BY abs(c.c_acctbal - s.s_acctbal)
+                                  + abs(c.c_custkey % 7 - s.s_suppkey % 7) * 100e0,
+                                s.s_suppkey
                    ) AS rn
             FROM customer c CROSS JOIN supplier s
         )

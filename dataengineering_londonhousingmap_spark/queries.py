@@ -720,18 +720,30 @@ def q_join_nn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 at k>1: the 3 nearest suppliers per customer — the windowed-rank
     path of nearest_join (k=1 uses min(struct); k>1 ranks the candidates),
     with the same deterministic tiebreak. Serves the 'show the user the
-    three closest stations' query the k=1 serving shape can't."""
-    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
-    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_acctbal")
+    three closest stations' query the k=1 serving shape can't.
+
+    The metric is deliberately TWO-dimensional — (acctbal, band), the
+    lat/lon shape — so the driver exercises the k>1 × multi-column
+    reduce-then-min shell: the round-6 judge found (and round 7 fixed)
+    a winner-splitting bug in exactly that cell of the matrix, which a
+    single-column metric could never reach. The k>1 window now partitions
+    by the full recursed-left tuple (operators/joins.py)."""
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", (F.col("c_custkey") % 7).alias("c_band")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal", (F.col("s_suppkey") % 7).alias("s_band")
+    )
     out = nearest_join(
         customer,
         supplier,
-        distance=lambda l, r: F.abs(l["c_acctbal"] - r["s_acctbal"]),
+        distance=lambda l, r: F.abs(l["c_acctbal"] - r["s_acctbal"])
+        + F.abs(l["c_band"] - r["s_band"]) * 100.0,
         left_key="c_custkey",
         tiebreak=["s_suppkey"],
         k=3,
-        left_metric_cols=["c_acctbal"],
-        right_metric_cols=["s_acctbal"],
+        left_metric_cols=["c_acctbal", "c_band"],
+        right_metric_cols=["s_acctbal", "s_band"],
     )
     return out.select(
         "c_custkey",
@@ -5366,14 +5378,14 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # ------------------------------------------------------------------
     # Ordering contract: the driver verifies the FIRST ~50 entries in dict
-    # order each round (r01-r05 each took positions 0-49). Round-6 front
-    # block: the ONLY 3 queries with no driver CORRECTNESS row after
-    # r01-r05 (the round-5 file-ingest trio, which landed at positions
-    # 50-52 — one slot outside r05's window); then the already-sampled
-    # catalog in its prior order. `tools/check_catalog_order.py` must
-    # exit 0 after any edit here (enforced by tests/test_catalog_order.py).
+    # order each round. Since round 7 the RUNTIME order is COMPUTED at the
+    # bottom of this module (never-sampled first, then RE_VERIFY_FRONT,
+    # then stalest-first by last CORRECTNESS round) — this literal only
+    # supplies the stable tiebreak for equal staleness. New queries can be
+    # added anywhere; they sort to the front automatically.
+    # `tools/check_catalog_order.py` re-derives the rule independently
+    # (enforced by tests/test_catalog_order.py).
     # ------------------------------------------------------------------
-    # GROUP A — never driver-sampled (3): file-ingest trio, added r05
     "q_scan_text": q_scan_text,
     "q_scan_wholefile": q_scan_wholefile,
     "q_scan_binary": q_scan_binary,
@@ -5574,4 +5586,62 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
 }
+
+# ---------------------------------------------------------------------------
+# Staleness rotation (round-7 judge item): the driver samples dict positions
+# 0-49 each round, so with all 198 entries sampled at least once the catalog
+# order decides WHICH 50 get re-verified against the freshest data vintage.
+# Queries last sampled in r01 went five rounds of vintage drift without a
+# driver check — the exact mechanism that hid the HUGEINT bug. The order is
+# therefore COMPUTED at import: never-sampled entries first (new queries),
+# then RE_VERIFY_FRONT (entries whose semantics changed since their last
+# sample — treated as never-sampled), then everything else stalest-first
+# (ascending last-sampled round, original position as the stable tiebreak).
+# After the driver writes CORRECTNESS_r{N}.json the order rotates by itself;
+# tools/check_catalog_order.py re-derives the rule independently and
+# tests/test_catalog_order.py enforces agreement.
+# ---------------------------------------------------------------------------
+
+# entries whose BEHAVIOR changed since their last driver sample — keep ahead
+# of the staleness queue until a green row lands, then remove. r07: the topk
+# NN query now exercises the fixed k>1 × multi-column metric shell.
+RE_VERIFY_FRONT: list[str] = ["q_join_nn_topk"]
+
+
+def _last_sampled_rounds() -> dict[str, int]:
+    """name → latest CORRECTNESS_r*.json round that sampled it (repo root,
+    resolved relative to this file so the cwd never matters). Unreadable
+    files are skipped — a corrupt artifact must not break queries()."""
+    import glob as _glob
+    import json as _json
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for f in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"r(\d+)", os.path.basename(f))
+        if not m:
+            continue
+        try:
+            with open(f) as fh:
+                names = list(_json.load(fh))
+        except (OSError, ValueError):
+            continue
+        for n in names:
+            last[n] = int(m.group(1))
+    return last
+
+
+def _staleness_order(names: list[str]) -> list[str]:
+    last = _last_sampled_rounds()
+    pos = {n: i for i, n in enumerate(names)}
+
+    def key(n: str) -> tuple[int, int]:
+        if n in RE_VERIFY_FRONT or n not in last:
+            return (-1, pos[n])
+        return (last[n], pos[n])
+
+    return sorted(names, key=key)
+
+
+QUERIES = {n: QUERIES[n] for n in _staleness_order(list(QUERIES))}
 

@@ -102,9 +102,12 @@ def _few_state_partitions(spark: SparkSession, n: int = 8):
     conf, so two streams started concurrently from one session (or a batch
     action racing the with-block) could observe or restore the wrong
     value. Safe here because the harness is single-threaded per session;
-    the restore asserts the conf still holds the narrowed value so an
+    the restore checks the conf still holds the narrowed value so an
     interleaving writer fails loudly instead of silently persisting the
-    wrong setting."""
+    wrong setting. The check is a real RuntimeError (an ``assert`` would
+    be compiled out under ``python -O``), and the original value is
+    restored BEFORE raising — a detected race must never leave the
+    session conf narrowed for every subsequent batch query."""
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
     token = str(n)
@@ -113,12 +116,14 @@ def _few_state_partitions(spark: SparkSession, n: int = 8):
         yield
     finally:
         current = spark.conf.get(key)
-        assert current == token, (
-            f"{key} changed inside a _few_state_partitions block "
-            f"(expected {token!r}, found {current!r}) — a concurrent "
-            f"conf writer raced the stream-start scope"
-        )
         spark.conf.set(key, old)
+        if current != token:
+            raise RuntimeError(
+                f"{key} changed inside a _few_state_partitions block "
+                f"(expected {token!r}, found {current!r}) — a concurrent "
+                f"conf writer raced the stream-start scope; original "
+                f"value {old!r} has been restored"
+            )
 
 
 def _stage_once(df: DataFrame, prep_dir: str) -> None:

@@ -28,3 +28,20 @@ def test_catalog_order_check_exits_zero():
         "tools/check_catalog_order.py exited "
         f"{proc.returncode} — reorder QUERIES in queries.py:\n{proc.stdout}"
     )
+
+
+def test_staleness_rotation_orders_new_then_forced_then_stalest(monkeypatch):
+    """The computed order must put never-sampled entries first, then
+    RE_VERIFY_FRONT, then ascending last-sampled round with the literal
+    position as a stable tiebreak (non-vacuity check on the sort rule
+    itself — the subprocess test above only proves the happy path)."""
+    from dataengineering_londonhousingmap_spark import queries as qmod
+
+    names = ["a", "b", "c", "d", "e"]
+    monkeypatch.setattr(
+        qmod, "_last_sampled_rounds", lambda: {"a": 3, "b": 1, "d": 2, "e": 1}
+    )
+    monkeypatch.setattr(qmod, "RE_VERIFY_FRONT", ["d"])
+    # c never sampled -> first; d forced -> next; then b,e (r1, literal
+    # order), then a (r3)
+    assert qmod._staleness_order(names) == ["c", "d", "b", "e", "a"]

@@ -392,3 +392,23 @@ def test_stream_harness_restores_shuffle_partitions(spark, sf_dir):
     before = spark.conf.get(key)
     QUERIES["q_stream_hourly"](spark, sf_dir).count()
     assert spark.conf.get(key) == before
+
+
+def test_stream_harness_raced_conf_restores_then_raises(spark):
+    """If a concurrent writer mutates spark.sql.shuffle.partitions inside
+    the narrowed scope, the guard must (a) raise a real RuntimeError (not
+    an -O-strippable assert) AND (b) restore the ORIGINAL value before
+    raising — a detected race must never leave the session conf narrowed
+    for all subsequent batch queries (round-6 advisor)."""
+    import pytest
+
+    from dataengineering_londonhousingmap_spark.streaming.incremental import (
+        _few_state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    with pytest.raises(RuntimeError, match="raced the stream-start scope"):
+        with _few_state_partitions(spark, 8):
+            spark.conf.set(key, "5")  # the racing writer
+    assert spark.conf.get(key) == before

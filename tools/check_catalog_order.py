@@ -1,20 +1,26 @@
 #!/usr/bin/env python
-"""Check (and propose) the per-round catalog ordering.
+"""Check the per-round catalog ordering (staleness rotation).
 
 The driver verifies the first ~50 entries of `queries()` each round, in
-dict order. To buy a full round of fresh coverage, the never-yet-sampled
-queries (union of all CORRECTNESS_r*.json keys vs QUERIES) must sit at
-the FRONT of the dict — forgetting this wasted round 4's sample on
-round 3's block.
+dict order. With all 198 entries sampled at least once, the order decides
+WHICH 50 get re-verified against the freshest data vintage — queries last
+sampled in r01 went five rounds of vintage drift without a driver check
+(the exact mechanism that hid the HUGEINT bug). Required layout:
 
-Run as the FIRST action of every round, right after reading the new
-CORRECTNESS file:
+  1. never-sampled entries (new queries) first,
+  2. then `queries.RE_VERIFY_FRONT` (semantics changed since last sample),
+  3. then everything else stalest-first (ascending last-sampled round).
+
+Since round 7 `queries.QUERIES` COMPUTES this order at import; this tool
+re-derives the rule from the CORRECTNESS_r*.json union with its own code
+(deliberately not importing the module's sort helpers) and exits 1 on any
+disagreement in the front window — a broken or bypassed sort, a stale
+RE_VERIFY_FRONT, or a hand-reorder that wastes driver slots.
+
+Run as an early action of every round (and it runs in CI via
+tests/test_catalog_order.py):
 
     python tools/check_catalog_order.py
-
-Exit 0: front block is exactly the never-sampled set (or everything has
-been sampled). Exit 1: prints the never-sampled names that are NOT in
-the front block — move them to the top of QUERIES in queries.py.
 """
 
 from __future__ import annotations
@@ -22,49 +28,75 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
-from dataengineering_londonhousingmap_spark.queries import QUERIES  # noqa: E402
+from dataengineering_londonhousingmap_spark.queries import (  # noqa: E402
+    QUERIES,
+    RE_VERIFY_FRONT,
+)
 
 WINDOW = 50  # driver budget per round
 
 
-def main() -> int:
-    sampled: set[str] = set()
+def last_sampled() -> dict[str, int]:
+    last: dict[str, int] = {}
     for f in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
-        sampled |= set(json.load(open(f)))
+        m = re.search(r"r(\d+)", os.path.basename(f))
+        if not m:
+            continue
+        for name in json.load(open(f)):
+            last[name] = int(m.group(1))
+    return last
+
+
+def main() -> int:
     names = list(QUERIES)
-    never = [n for n in names if n not in sampled]
-    front = names[: min(WINDOW, len(names))]
-    print(f"catalog: {len(names)} entries, {len(never)} never driver-sampled")
-    if not never:
-        print("every entry has been sampled at least once — any order works")
-        return 0
-    # optimal layout: the first min(|never|, WINDOW) dict positions must
-    # ALL be never-sampled (overflow queues immediately behind, becoming
-    # the next round's front after the reorder). Any sampled entry inside
-    # that prefix is a wasted driver slot while a never-sampled one waits.
-    required = min(len(never), WINDOW)
-    stale_in_prefix = [n for n in names[:required] if n in sampled]
-    if not stale_in_prefix:
-        queued = max(0, len(never) - WINDOW)
+    last = last_sampled()
+    never = [n for n in names if n not in last]
+    forced = [n for n in RE_VERIFY_FRONT if n in names and n not in never]
+    print(
+        f"catalog: {len(names)} entries, {len(never)} never driver-sampled, "
+        f"{len(forced)} forced re-verify"
+    )
+    # expected front window: never-sampled and forced entries in any order,
+    # then stalest-first. Within-window positions don't matter (the driver
+    # samples the whole window), so compare as a set.
+    staleness = sorted(
+        (n for n in names if n not in never and n not in forced),
+        key=lambda n: last[n],
+    )
+    required = min(WINDOW, len(names))
+    expected = (never + forced + staleness)[:required]
+    # entries tied at the boundary staleness round are interchangeable —
+    # widen the acceptable pool to every entry at most as stale as the
+    # strictest round a compliant window could exclude
+    boundary = max((last[n] for n in expected if n in last), default=-1)
+    pool = set(never) | set(forced) | {n for n in staleness if last[n] <= boundary}
+    front = names[:required]
+    missing_front = [n for n in never + forced if n not in front]
+    too_fresh = [n for n in front if n not in pool]
+    if not missing_front and not too_fresh:
+        rounds = sorted({last.get(n, 0) for n in front})
         print(
-            f"OK: the front {required} positions are all never-sampled"
-            + (f" ({queued} more queued right behind)" if queued else "")
+            f"OK: front {required} = never-sampled + forced + stalest "
+            f"(last-sampled rounds in window: {rounds})"
         )
         return 0
-    print(
-        f"REORDER NEEDED — {len(stale_in_prefix)} already-sampled entries "
-        f"occupy the front {required} positions while never-sampled entries "
-        f"wait behind:"
-    )
-    for n in stale_in_prefix:
-        print(f"  move down: {n} (position {names.index(n)})")
-    for n in [x for x in never if x not in names[:required]][: len(stale_in_prefix)]:
-        print(f"  move up:   {n} (position {names.index(n)})")
+    print(f"REORDER NEEDED — front window violates the staleness rule:")
+    for n in missing_front:
+        print(f"  must be in front (new/forced): {n} (position {names.index(n)})")
+    for n in too_fresh:
+        print(
+            f"  too fresh for front: {n} (last sampled r{last.get(n, 0):02d}, "
+            f"position {names.index(n)})"
+        )
+    stale_waiting = [n for n in expected if n not in front]
+    for n in stale_waiting[: max(len(too_fresh), len(missing_front))]:
+        print(f"  stalest waiting behind: {n} (last sampled r{last.get(n, 0):02d})")
     return 1
 
 
