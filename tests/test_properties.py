@@ -613,3 +613,63 @@ def test_asof_join_matches_pandas_merge_asof_model(spark, lrows, rrows):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(st.tuples(_COORD, _COORD), min_size=1, max_size=10),
+    st.lists(
+        st.tuples(st.sampled_from([0, 1]), _COORD, _COORD), min_size=1, max_size=6
+    ),
+    st.sampled_from([1, 3]),
+)
+def test_nearest_join_multi_col_tiebreak_shell_invariant(spark, lpts, rrows, k):
+    """Multi-COLUMN TIEBREAKS complete the shell audit matrix: the k>1
+    right-side dominance reduction keeps each metric tuple's k smallest
+    rows under the tiebreak ordering, and the k=1 representative is
+    min(struct(tiebreak..., cols...)) — both must survive a composite
+    (grp, rid) tiebreak where the first component has heavy duplicates,
+    alongside NULL metrics, ±0.0, and duplicate stacks. Gridded's
+    per-coordinate rep reduction gets the same composite tiebreak."""
+    from dataengineering_londonhousingmap_spark.operators.joins import (
+        nearest_join,
+        nearest_join_gridded,
+    )
+
+    left = spark.createDataFrame(
+        [(i, la, lo) for i, (la, lo) in enumerate(lpts)],
+        "id long, latitude double, longitude double",
+    )
+    right = spark.createDataFrame(
+        [(j, g, la, lo) for j, (g, la, lo) in enumerate(rrows)],
+        "rid long, grp long, r_latitude double, r_longitude double",
+    )
+    dist = lambda l, r: (  # noqa: E731
+        F.abs(F.col("latitude") - F.col("r_latitude"))
+        + F.abs(F.col("longitude") - F.col("r_longitude"))
+    )
+    tie = ["grp", "rid"]
+
+    def rows(df):
+        return sorted(
+            (r.id, r.rid, None if r.d is None else round(r.d, 9))
+            for r in df.select("id", "rid", F.col("__dist").alias("d")).collect()
+        )
+
+    direct = nearest_join(left, right, dist, "id", tiebreak=tie, k=k)
+    shelled = nearest_join(
+        left, right, dist, "id", tiebreak=tie, k=k,
+        left_metric_cols=["latitude", "longitude"],
+        right_metric_cols=["r_latitude", "r_longitude"],
+    )
+    assert rows(direct) == rows(shelled)
+
+    if k == 1:
+        legacy = nearest_join_gridded(
+            left, right, left_key="id", cell_deg=1.0, tiebreak=tie,
+            dedup_coords=False,
+        )
+        hardened = nearest_join_gridded(
+            left, right, left_key="id", cell_deg=1.0, tiebreak=tie
+        )
+        assert rows(legacy) == rows(hardened)
