@@ -169,6 +169,42 @@ def test_gridded_nn_joinback_merge_pinned_when_winner_table_large(spark, monkeyp
     )
 
 
+def test_winner_joinback_byte_bound_pins_merge_for_wide_payloads(spark, monkeypatch):
+    """Hot-cell hardening contract, byte bound: a winner table UNDER the
+    row threshold but whose schema-weighted byte estimate exceeds
+    _WINNER_BROADCAST_BYTES must still pin to sort-merge — the round-6
+    advisor's hole was a flat per-column cost letting long-string payload
+    columns ride a row count calibrated for narrow numeric tables.
+    Byte threshold monkeypatched down so the tiny fixture (rows well
+    under _COORD_BROADCAST_ROWS, one string payload column at 128
+    estimated bytes) trips the byte bound alone."""
+    from dataengineering_londonhousingmap_spark.operators import joins
+
+    # 100 winner rows x (~128 string + 3x16 scalar) ≈ 17.6KB estimated;
+    # threshold of 1KB forces the byte branch while rows stay tiny
+    monkeypatch.setattr(joins, "_WINNER_BROADCAST_BYTES", 1 << 10)
+    left = spark.createDataFrame(
+        [(i, float(i % 5), float(i % 5)) for i in range(100)],
+        "id long, latitude double, longitude double",
+    )
+    right = spark.createDataFrame(
+        [(j, float(j), float(j), "payload-" * 40) for j in range(5)],
+        "rid long, r_latitude double, r_longitude double, blob string",
+    )
+    df = joins.nearest_join_gridded(left, right, left_key="id", cell_deg=1.0, tiebreak=["rid"])
+    hits = [cols for cols in _broadcast_output_cols(df) if "__w0" in cols]
+    assert not hits, (
+        "wide-payload winner table was broadcast despite exceeding the "
+        "byte estimate — the schema-weighted byte guard is gone"
+    )
+    # and the estimate itself must weight variable-width types above scalars
+    from pyspark.sql import functions as F
+
+    narrow = spark.range(1).select(F.col("id"), F.col("id").cast("double"))
+    wide = spark.range(1).select(F.col("id"), F.col("id").cast("string"))
+    assert joins._est_row_bytes(wide) > joins._est_row_bytes(narrow)
+
+
 @pytest.mark.parametrize("name", ["q_join_nn", "q_join_nn_topk", "q_join_nn_gridded"])
 def test_catalog_nn_queries_use_winner_rejoin(name, spark):
     """The catalog NN queries must run through the reduce-then-min shell
