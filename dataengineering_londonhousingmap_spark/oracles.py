@@ -1530,19 +1530,27 @@ ORACLES: dict[str, str] = {
         LEFT JOIN hourly h ON s.event_type = h.event_type AND s.hour = h.hour
     """,
     "q_join_nn_topk": """
-        WITH ranked AS (
-            SELECT c.c_custkey, s.s_suppkey,
-                   abs(c.c_acctbal - s.s_acctbal)
-                     + abs(c.c_custkey % 7 - s.s_suppkey % 7) * 100e0 AS d,
+        WITH l AS (
+            SELECT c_custkey, c_custkey % 10 AS c_lat,
+                   (c_custkey // 10) % 10 AS c_lon
+            FROM customer
+        ),
+        r AS (
+            SELECT s_suppkey, s_suppkey % 10 AS s_lat,
+                   (s_suppkey // 7) % 10 AS s_lon
+            FROM supplier
+        ),
+        ranked AS (
+            SELECT l.c_custkey, r.s_suppkey,
+                   abs(l.c_lat - r.s_lat) + abs(l.c_lon - r.s_lon) AS d,
                    row_number() OVER (
-                       PARTITION BY c.c_custkey
-                       ORDER BY abs(c.c_acctbal - s.s_acctbal)
-                                  + abs(c.c_custkey % 7 - s.s_suppkey % 7) * 100e0,
-                                s.s_suppkey
+                       PARTITION BY l.c_custkey
+                       ORDER BY abs(l.c_lat - r.s_lat) + abs(l.c_lon - r.s_lon),
+                                r.s_suppkey
                    ) AS rn
-            FROM customer c CROSS JOIN supplier s
+            FROM l CROSS JOIN r
         )
-        SELECT c_custkey, s_suppkey AS near_suppkey, round(d, 6) AS dist
+        SELECT c_custkey, s_suppkey AS near_suppkey, CAST(d AS BIGINT) AS dist
         FROM ranked WHERE rn <= 3
     """,
     "q_profile": """

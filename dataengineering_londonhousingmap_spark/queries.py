@@ -722,33 +722,45 @@ def q_join_nn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the same deterministic tiebreak. Serves the 'show the user the
     three closest stations' query the k=1 serving shape can't.
 
-    The metric is deliberately TWO-dimensional — (acctbal, band), the
-    lat/lon shape — so the driver exercises the k>1 × multi-column
-    reduce-then-min shell: the round-6 judge found (and round 7 fixed)
-    a winner-splitting bug in exactly that cell of the matrix, which a
-    single-column metric could never reach. The k>1 window now partitions
-    by the full recursed-left tuple (operators/joins.py)."""
+    The metric is deliberately TWO-dimensional — synthetic (lat, lon)
+    grid coordinates, FIXTURES.md §7 style — so the driver exercises the
+    k>1 × multi-column reduce-then-min shell: the round-6 judge found
+    (and round 7 fixed) a winner-splitting bug in exactly that cell of
+    the matrix, which a single-column metric could never reach, and the
+    10-lat × 10-lon grid makes many distinct tuples share a first
+    coordinate (the collision the bug needed). Bounded coordinate
+    cardinality is also the honest scale shape: like real lat/lon (fixed
+    decimal precision), distinct metric tuples are O(grid²) regardless
+    of row count, so the shell's cross product stays ~100×|right-reps|
+    on any vintage — an UNBOUNDED high-cardinality metric at k>1 belongs
+    on the gridded/ANN paths instead (measured: a near-unique 2-D metric
+    ran this query 69.9s on the 10× probe; this grid form runs it in
+    seconds). Integer L1 distance — exact on both engines, no rounding."""
     customer = _t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal", (F.col("c_custkey") % 7).alias("c_band")
+        "c_custkey",
+        (F.col("c_custkey") % 10).alias("c_lat"),
+        F.expr("(c_custkey DIV 10) % 10").alias("c_lon"),
     )
     supplier = _t(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_acctbal", (F.col("s_suppkey") % 7).alias("s_band")
+        "s_suppkey",
+        (F.col("s_suppkey") % 10).alias("s_lat"),
+        F.expr("(s_suppkey DIV 7) % 10").alias("s_lon"),
     )
     out = nearest_join(
         customer,
         supplier,
-        distance=lambda l, r: F.abs(l["c_acctbal"] - r["s_acctbal"])
-        + F.abs(l["c_band"] - r["s_band"]) * 100.0,
+        distance=lambda l, r: F.abs(l["c_lat"] - r["s_lat"])
+        + F.abs(l["c_lon"] - r["s_lon"]),
         left_key="c_custkey",
         tiebreak=["s_suppkey"],
         k=3,
-        left_metric_cols=["c_acctbal", "c_band"],
-        right_metric_cols=["s_acctbal", "s_band"],
+        left_metric_cols=["c_lat", "c_lon"],
+        right_metric_cols=["s_lat", "s_lon"],
     )
     return out.select(
         "c_custkey",
         F.col("s_suppkey").alias("near_suppkey"),
-        F.round("__dist", 6).alias("dist"),
+        F.col("__dist").alias("dist"),
     )
 
 
@@ -5602,10 +5614,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # tests/test_catalog_order.py enforces agreement.
 # ---------------------------------------------------------------------------
 
-# entries whose BEHAVIOR changed since their last driver sample — keep ahead
-# of the staleness queue until a green row lands, then remove. r07: the topk
-# NN query now exercises the fixed k>1 × multi-column metric shell.
-RE_VERIFY_FRONT: list[str] = ["q_join_nn_topk"]
+# entries whose BEHAVIOR changed since their last driver sample → the round
+# the change landed. Forced ahead of the staleness queue until a CORRECTNESS
+# row from that round (or later) exists, then the entry expires by itself —
+# no cleanup edit, and a forgotten entry can't waste a driver slot forever.
+# r07: the topk NN query now exercises the fixed k>1 × multi-column shell.
+RE_VERIFY_FRONT: dict[str, int] = {"q_join_nn_topk": 7}
 
 
 def _last_sampled_rounds() -> dict[str, int]:
@@ -5636,7 +5650,7 @@ def _staleness_order(names: list[str]) -> list[str]:
     pos = {n: i for i, n in enumerate(names)}
 
     def key(n: str) -> tuple[int, int]:
-        if n in RE_VERIFY_FRONT or n not in last:
+        if n not in last or last[n] < RE_VERIFY_FRONT.get(n, 0):
             return (-1, pos[n])
         return (last[n], pos[n])
 

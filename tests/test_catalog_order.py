@@ -41,7 +41,9 @@ def test_staleness_rotation_orders_new_then_forced_then_stalest(monkeypatch):
     monkeypatch.setattr(
         qmod, "_last_sampled_rounds", lambda: {"a": 3, "b": 1, "d": 2, "e": 1}
     )
-    monkeypatch.setattr(qmod, "RE_VERIFY_FRONT", ["d"])
+    # d changed in r3 and was last sampled r2 -> forced; a changed in r3
+    # but was last sampled r3 -> the force EXPIRED, ordinary staleness
+    monkeypatch.setattr(qmod, "RE_VERIFY_FRONT", {"d": 3, "a": 3})
     # c never sampled -> first; d forced -> next; then b,e (r1, literal
-    # order), then a (r3)
+    # order), then a (r3, expired force)
     assert qmod._staleness_order(names) == ["c", "d", "b", "e", "a"]

@@ -57,7 +57,13 @@ def main() -> int:
     names = list(QUERIES)
     last = last_sampled()
     never = [n for n in names if n not in last]
-    forced = [n for n in RE_VERIFY_FRONT if n in names and n not in never]
+    # forced entries expire once a CORRECTNESS row from the change round
+    # (or later) lands — mirror the self-expiry rule independently
+    forced = [
+        n
+        for n, since in RE_VERIFY_FRONT.items()
+        if n in names and n not in never and last[n] < since
+    ]
     print(
         f"catalog: {len(names)} entries, {len(never)} never driver-sampled, "
         f"{len(forced)} forced re-verify"
