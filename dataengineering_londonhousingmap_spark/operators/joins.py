@@ -113,8 +113,9 @@ def nearest_join(
     the reference's station dimension, and for pandas ``idxmin`` whose
     unique index this mirrors). With duplicate identical left rows the k=1
     path's groupBy collapses them to one output row, and the k>1 window
-    path returns k rows per KEY — pre-dedup or add a discriminator column
-    if duplicates are possible.
+    path returns k rows per distinct ROW TUPLE (it partitions by all left
+    columns) — pre-dedup or add a discriminator column if duplicates are
+    possible.
 
     Physical shape: for k=1 the winner is ``min(struct(dist, tiebreak…,
     right-cols…))`` grouped by the left row — partial aggregation collapses
@@ -384,8 +385,20 @@ def asof_join(
 
     ``right`` must be unique per (key, right_ts) — pre-aggregate if not
     (duplicate timestamps make every engine's as-of nondeterministic).
+
+    NULL semantics (probed round 7): a NULL ``key`` never matches — SQL
+    equi-join semantics (NULL ≠ NULL), so NULL-key right rows are dropped
+    from the union up front (the window partition would otherwise group
+    them WITH NULL-key left rows and hand those a payload no SQL ASOF
+    join would). NULL ``left_ts`` rows also match nothing (``ts >= rts``
+    is unknown on NULL): they sort NULLS FIRST, before every right row.
+    Note DuckDB's native ASOF sorts NULLS LAST and therefore matches a
+    NULL left ts to the key's LATEST right row — an engine ordering
+    convention, not predicate semantics; any oracle pair over
+    nullable-ts data must filter ``ts IS NOT NULL`` on both sides.
     """
     rcols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
+    right = right.filter(F.col(key).isNotNull())
     payload = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]
     )

@@ -304,6 +304,34 @@ def test_asof_join_semantics(spark):
     assert out.count() == 4  # left-outer: every left row exactly once
 
 
+def test_asof_join_null_key_and_null_ts_match_nothing(spark):
+    """SQL equi semantics on NULLs (probed r07 against DuckDB ASOF): a
+    NULL key must never match — without the up-front right-side filter
+    the union's window partition groups NULL-key LEFT rows with NULL-key
+    RIGHT rows and hands them a payload no SQL ASOF join would. NULL
+    left ts also matches nothing (ts >= rts unknown), unlike DuckDB's
+    NULLS-LAST ordering convention which matches the latest right row."""
+    from dataengineering_londonhousingmap_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-02 00:00:00", None),  # NULL key → no match
+            (2, "2024-01-02 00:00:00", 1),  # normal match
+            (3, None, 1),  # NULL ts → no match
+        ],
+        "id long, ts string, k long",
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"), "k")
+    right = spark.createDataFrame(
+        [(None, "2024-01-01 00:00:00", "nullkey"), (1, "2024-01-01 00:00:00", "a")],
+        "k long, rts string, v string",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "v")
+
+    out = asof_join(left, right, key="k", left_ts="ts", right_ts="rts")
+    rows = {r.id: r.v for r in out.collect()}
+    assert rows == {1: None, 2: "a", 3: None}
+    assert out.count() == 3  # left-outer preserved for NULL-key rows
+
+
 def test_embedding_near_dup_candidate_path_is_subset(spark, sf_dir):
     from dataengineering_londonhousingmap_spark.operators.similarity import (
         embedding_near_dup,
