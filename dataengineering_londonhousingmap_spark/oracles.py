@@ -1741,11 +1741,16 @@ ORACLES: dict[str, str] = {
         FROM chg
     """,
     "q_purge_partitioned": """
+        -- NULL-key rows SURVIVE a purge: the engine deletes via anti-join
+        -- (NULL never equals a purge key), so the survivor predicate must
+        -- keep NULLs explicitly — a bare user_id % 97 <> 0 is unknown on
+        -- NULL and silently drops the anonymous rows (round-7 NULL-key
+        -- advdata nasty caught exactly this).
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS value_cents
         FROM events
-        WHERE user_id % 97 <> 0
+        WHERE user_id IS NULL OR user_id % 97 <> 0
         GROUP BY event_type
     """,
     "q_manifest": f"""

@@ -15,6 +15,11 @@ text, 64-dim embeddings) but injects the plausible nasties:
 * events.value NULL on event_id % 19 == 0 (~5%) — exercises every
   window/aggregate path's NULL symmetry (the q_ewma/q_window_median
   class: Spark collect_list drops NULLs, DuckDB list() keeps them).
+* events.user_id NULL on event_id % 97 == 11 (~1%) — anonymous/missing
+  actors, the NULL-KEY class (round-7 asof_join finding: a window
+  partition groups NULL keys while SQL equi predicates reject them —
+  every keyed join/window/sessionization path must agree with its
+  oracle on how NULL keys group, join, and sort).
 * documents.text duplicated on doc_id % 11 == 7 (each such doc takes the
   text of doc_id - 7) — floods the dedup family with real exact- and
   near-duplicates and stresses every tiebreak on tied fingerprints,
@@ -82,6 +87,7 @@ def main() -> None:
         COPY (
           SELECT * REPLACE (
             CASE WHEN event_id % 19 = 0 THEN NULL ELSE value END AS value,
+            CASE WHEN event_id % 97 = 11 THEN NULL ELSE user_id END AS user_id,
             {etype} AS event_type
           )
           FROM '{SRC}/events.parquet'
