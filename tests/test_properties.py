@@ -391,6 +391,18 @@ def test_vintage_invariants_the_engine_depends_on(sf):
         f"SELECT count(*) FROM '/root/testdata/{sf}/documents.parquet' WHERE text IS NULL"
     ).fetchone()[0]
     assert n_null_text == 0, f"{n_null_text} NULL document texts"
+    # NULL event TIME is a known systematic cross-engine divergence
+    # (probed r07: Spark F.window() DROPS NULL-ts rows entirely while
+    # date_trunc keeps a NULL group on both engines) — every F.window
+    # rollup vs date_trunc oracle pair silently disagrees the moment ts
+    # goes nullable. Deliberately NOT an advdata nasty (event time is the
+    # one column a stream pipeline always requires); pinned here instead
+    # so a vintage drift fails by name. If this ever fires: add
+    # `ts IS NOT NULL` to BOTH sides of every time-grouped pair.
+    n_null_ts = con.execute(
+        f"SELECT count(*) FROM '/root/testdata/{sf}/events.parquet' WHERE ts IS NULL"
+    ).fetchone()[0]
+    assert n_null_ts == 0, f"{n_null_ts} NULL event timestamps"
     con.close()
 
 
