@@ -47,3 +47,48 @@ def test_staleness_rotation_orders_new_then_forced_then_stalest(monkeypatch):
     # c never sampled -> first; d forced -> next; then b,e (r1, literal
     # order), then a (r3, expired force)
     assert qmod._staleness_order(names) == ["c", "d", "b", "e", "a"]
+
+
+def test_staleness_rotation_invariants_hold_on_random_histories(monkeypatch):
+    """Property check (no Spark): for arbitrary sampling histories and
+    forced sets, the computed order must (1) put every never-sampled or
+    unexpired-forced entry before every ordinary entry, (2) order the
+    ordinary tail by ascending last-sampled round, (3) break ties by
+    literal position — the exact contract the driver's front-window
+    sampling relies on."""
+    import random
+
+    from dataengineering_londonhousingmap_spark import queries as qmod
+
+    rng = random.Random(7)
+    for trial in range(50):
+        names = [f"q{i}" for i in range(rng.randint(1, 40))]
+        last = {
+            n: rng.randint(1, 6) for n in names if rng.random() < 0.8
+        }
+        forced = {
+            n: rng.randint(1, 7)
+            for n in rng.sample(names, k=min(len(names), rng.randint(0, 3)))
+        }
+        monkeypatch.setattr(qmod, "_last_sampled_rounds", lambda last=last: last)
+        monkeypatch.setattr(qmod, "RE_VERIFY_FRONT", forced)
+        order = qmod._staleness_order(names)
+        assert sorted(order) == sorted(names)  # permutation, nothing lost
+
+        def is_front(n):
+            return n not in last or last[n] < forced.get(n, 0)
+
+        # (1) front class strictly precedes ordinary class
+        seen_ordinary = False
+        for n in order:
+            if is_front(n):
+                assert not seen_ordinary, f"trial {trial}: front entry {n} after ordinary"
+            else:
+                seen_ordinary = True
+        # (2)+(3) ordinary tail ascends by (last round, literal position)
+        pos = {n: i for i, n in enumerate(names)}
+        tail = [(last[n], pos[n]) for n in order if not is_front(n)]
+        assert tail == sorted(tail), f"trial {trial}: ordinary tail out of order"
+        # front class itself is position-stable
+        front = [pos[n] for n in order if is_front(n)]
+        assert front == sorted(front), f"trial {trial}: front block out of order"
