@@ -20,6 +20,11 @@ text, 64-dim embeddings) but injects the plausible nasties:
   partition groups NULL keys while SQL equi predicates reject them —
   every keyed join/window/sessionization path must agree with its
   oracle on how NULL keys group, join, and sort).
+* events.value NEGATED on event_id % 23 == 1 (~4%) — sensor deltas go
+  below zero in real feeds while the benign generator emits 0.01..490:
+  exercises signed rounding (the -0.0 class), signed floor/cast cents,
+  winsorize/percentile brackets spanning zero, and every abs-free
+  aggregate's sign symmetry. NULL (% 19) wins where the slices overlap.
 * documents.text duplicated on doc_id % 11 == 7 (each such doc takes the
   text of doc_id - 7) — floods the dedup family with real exact- and
   near-duplicates and stresses every tiebreak on tied fingerprints,
@@ -86,7 +91,9 @@ def main() -> None:
         f"""
         COPY (
           SELECT * REPLACE (
-            CASE WHEN event_id % 19 = 0 THEN NULL ELSE value END AS value,
+            CASE WHEN event_id % 19 = 0 THEN NULL
+                 WHEN event_id % 23 = 1 THEN -value
+                 ELSE value END AS value,
             CASE WHEN event_id % 97 = 11 THEN NULL ELSE user_id END AS user_id,
             {etype} AS event_type
           )
