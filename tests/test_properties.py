@@ -475,8 +475,10 @@ def test_text_avoids_known_cross_engine_unicode_divergences(sf):
 
 
 # duplicate-heavy coordinates from a tiny value pool force deep stacks and
-# winner ties; None exercises the NULL-metric escalation path
-_COORD = st.one_of(st.none(), st.sampled_from([0.0, -0.0, 0.4, 1.0, 1.6, 7.0]))
+# winner ties; None exercises the NULL-metric escalation path; -1.3 puts
+# points in NEGATIVE grid cells (floor(-1.3) = -2, not trunc's -1 — the
+# gridded cell ids must bucket consistently below zero)
+_COORD = st.one_of(st.none(), st.sampled_from([-1.3, 0.0, -0.0, 0.4, 1.0, 1.6, 7.0]))
 
 
 @settings(max_examples=10, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
