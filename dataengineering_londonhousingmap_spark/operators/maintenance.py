@@ -93,7 +93,14 @@ def purge_keys(
     if isinstance(keys, _DF):
         survivors = scoped.join(key_df, key_col, "left_anti")
     else:
-        survivors = scoped.filter(~F.col(key_col).isin(list(keys)))
+        # NULL-key rows SURVIVE: a bare ~isin() is NULL on NULL keys and
+        # would silently delete the anonymous rows — diverging from the
+        # anti-join path above (NULL never equals a purge key). A deletion
+        # operator must not change survivors with the key-list
+        # representation (round-7 audit finding).
+        survivors = scoped.filter(
+            F.col(key_col).isNull() | ~F.col(key_col).isin(list(keys))
+        )
     survivors = survivors.transform(materialize)
 
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

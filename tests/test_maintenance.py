@@ -78,6 +78,25 @@ def test_purge_accepts_dataframe_keys_and_noops_on_miss(spark, tmp_path):
     assert purge_keys(spark, path, [999], "k", "part") == []
 
 
+def test_purge_null_key_rows_survive_on_both_key_paths(spark, tmp_path):
+    """NULL-key rows must SURVIVE a purge identically whether the purge set
+    arrives as a Python list (isin) or a DataFrame (anti-join): a bare
+    ~isin() is NULL on NULL keys and silently deleted the anonymous rows
+    while the anti-join kept them — a deletion operator whose survivors
+    depend on the key-list representation (round-7 audit finding)."""
+    rows = [(1, "A", 1.0), (2, "A", 2.0), (None, "A", 3.0), (10, "B", 4.0)]
+
+    for mode in ("list", "df"):
+        path = str(tmp_path / f"t_{mode}")
+        spark.createDataFrame(rows, "k long, part string, v double").write.partitionBy(
+            "part"
+        ).parquet(path)
+        keys = [1] if mode == "list" else spark.createDataFrame([(1,)], "k long")
+        assert purge_keys(spark, path, keys, "k", "part") == ["A"]
+        survivors = {r.k for r in spark.read.parquet(path).collect()}
+        assert survivors == {2, None, 10}, f"{mode} path lost the NULL-key row"
+
+
 def _interleave16(a: int, b: int) -> int:
     z = 0
     for i in range(16):
