@@ -497,7 +497,7 @@ def start_upsert_sink(
         if not batch.columns or batch.isEmpty():
             return
         cols = batch.columns
-        affected = [r[0] for r in batch.select(partition_col).distinct().collect()]
+        affected = {r[0] for r in batch.select(partition_col).distinct().collect()}
         new = batch.withColumn("__pri", F.lit(0))
         try:
             table = spark.read.parquet(table_dir)
@@ -512,9 +512,21 @@ def start_upsert_sink(
                     .distinct()
                     .collect()
                 )
-                affected = sorted({*affected, *[r[0] for r in moved]})
+                affected |= {r[0] for r in moved}
+            # a NULL partition value (Hive's __HIVE_DEFAULT_PARTITION__)
+            # needs an explicit isNull arm: isin() never matches NULL, so
+            # the existing NULL-partition rows would be skipped here and
+            # then DROPPED when the dynamic overwrite rewrites that
+            # partition with only the batch's keys (round-7 audit: same
+            # negated/positive-isin-over-nullable class as purge_keys)
+            non_null = [v for v in affected if v is not None]
+            cond = (
+                F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+            )
+            if None in affected:
+                cond = cond | F.col(partition_col).isNull()
             existing = (
-                table.filter(F.col(partition_col).isin(affected))
+                table.filter(cond)
                 .select(cols)
                 .withColumn("__pri", F.lit(1))
             )

@@ -350,6 +350,50 @@ def test_upsert_sink_retires_moved_key_rows(spark, tmp_path):
     assert got == {(1, "B", 100.0), (2, "A", 2.0), (3, "B", 3.0)}, got
 
 
+def test_upsert_sink_null_partition_rows_are_merged_not_dropped(spark, tmp_path):
+    """NULL partition values (Hive's __HIVE_DEFAULT_PARTITION__) must merge
+    like any other partition: isin() never matches NULL, so pre-fix the
+    existing NULL-partition rows were skipped from the merge and then
+    DROPPED when the dynamic overwrite rewrote that partition with only
+    the batch's keys (round-7 audit). Also covers the sorted() TypeError
+    on None-vs-str under keys_move_partitions."""
+    import pandas as pd
+
+    from dataengineering_londonhousingmap_spark.streaming.incremental import (
+        start_upsert_sink,
+    )
+
+    src = str(tmp_path / "np_src")
+    table = str(tmp_path / "np_table")
+    cp = str(tmp_path / "np_cp")
+
+    def land(rows):
+        # explicit schema: an all-None pandas column would infer BOOLEAN
+        spark.createDataFrame(
+            rows, "k long, part string, v double, seq long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "k long, part string, v double, seq long"
+        ).parquet(src)
+        q = start_upsert_sink(
+            stream, table, cp,
+            key_col="k", partition_col="part", order_col="seq",
+            keys_move_partitions=True,
+        )
+        q.awaitTermination(60)
+
+    land([(1, None, 1.0, 1), (2, None, 2.0, 1), (3, "B", 3.0, 1)])
+    run_once()
+    # update k=1 inside the NULL partition: k=2's existing NULL-partition
+    # row must SURVIVE the rewrite
+    land([(1, None, 10.0, 2)])
+    run_once()
+    got = {(r.k, r.part, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, None, 10.0), (2, None, 2.0), (3, "B", 3.0)}, got
+
+
 def test_late_data_rollup_drop_boundary(spark, tmp_path):
     """Pins the watermark drop rule the q_stream_late oracle replays:
     batch-2 rows are kept iff window_end > (max ts of batch 1 − delay);
