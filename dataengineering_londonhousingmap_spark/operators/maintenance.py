@@ -89,7 +89,18 @@ def purge_keys(
     if not affected:
         return affected
 
-    scoped = df.filter(F.col(partition_col).isin(affected))  # partition-pruned
+    # partition-pruned scope — with an explicit isNull arm: purge targets
+    # living in a NULL partition (__HIVE_DEFAULT_PARTITION__) would
+    # otherwise be missed by isin() and silently NOT deleted — the worst
+    # failure mode a right-to-be-forgotten job can have (round-7 audit,
+    # same isin-over-nullable class as the upsert sink).
+    non_null_parts = [v for v in affected if v is not None]
+    pcond = (
+        F.col(partition_col).isin(non_null_parts) if non_null_parts else F.lit(False)
+    )
+    if any(v is None for v in affected):
+        pcond = pcond | F.col(partition_col).isNull()
+    scoped = df.filter(pcond)
     if isinstance(keys, _DF):
         survivors = scoped.join(key_df, key_col, "left_anti")
     else:
@@ -120,7 +131,10 @@ def purge_keys(
     kept = {r[0] for r in survivors.select(partition_col).distinct().collect()}
     jvm = spark._jvm
     for part in set(affected) - kept:
-        jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={part}")
+        # Hive spells a NULL partition value __HIVE_DEFAULT_PARTITION__ on
+        # disk — f"...={None}" would target a nonexistent "=None" dir
+        dirname = "__HIVE_DEFAULT_PARTITION__" if part is None else str(part)
+        jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={dirname}")
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(jpath, True)
     return affected

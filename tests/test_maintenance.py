@@ -97,6 +97,32 @@ def test_purge_null_key_rows_survive_on_both_key_paths(spark, tmp_path):
         assert survivors == {2, None, 10}, f"{mode} path lost the NULL-key row"
 
 
+def test_purge_reaches_null_partition_targets(spark, tmp_path):
+    """Purge targets living in a NULL partition (__HIVE_DEFAULT_PARTITION__)
+    must actually be deleted: isin() over the affected-partition list never
+    matches NULL, so pre-fix the scoping filter skipped them and the purge
+    silently did NOTHING — the worst failure for a right-to-be-forgotten
+    job. Also pins the fully-purged NULL partition's on-disk dir drop
+    (Hive spells it __HIVE_DEFAULT_PARTITION__, not '=None')."""
+    import glob as _glob
+
+    path = str(tmp_path / "t_nullpart")
+    spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0), (3, "B", 3.0)],
+        "k long, part string, v double",
+    ).write.partitionBy("part").parquet(path)
+
+    affected = purge_keys(spark, path, [1], "k", "part")
+    assert affected == [None]
+    got = {(r.k, r.part) for r in spark.read.parquet(path).collect()}
+    assert got == {(2, None), (3, "B")}, got
+
+    # purge the rest of the NULL partition → its dir must be dropped
+    purge_keys(spark, path, [2], "k", "part")
+    assert not _glob.glob(f"{path}/part=__HIVE_DEFAULT_PARTITION__/*")
+    assert {r.k for r in spark.read.parquet(path).collect()} == {3}
+
+
 def _interleave16(a: int, b: int) -> int:
     z = 0
     for i in range(16):
