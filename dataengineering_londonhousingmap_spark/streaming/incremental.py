@@ -552,6 +552,20 @@ def start_upsert_sink(
             .partitionBy(partition_col)
             .parquet(table_dir)
         )
+        # dynamic overwrite only replaces partitions PRESENT in the written
+        # data — an affected partition whose every row was retired (a moved
+        # key was its only occupant) must be dropped explicitly or its old
+        # files survive as a stale cross-partition duplicate of the key
+        # (round-7 repro; same empty-partition gap purge_keys closes).
+        kept = {r[0] for r in winners.select(partition_col).distinct().collect()}
+        jvm = spark._jvm
+        for part in affected - kept:
+            dirname = "__HIVE_DEFAULT_PARTITION__" if part is None else str(part)
+            jpath = jvm.org.apache.hadoop.fs.Path(
+                f"{table_dir}/{partition_col}={dirname}"
+            )
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            fs.delete(jpath, True)
 
     with _few_state_partitions(df.sparkSession):
         return (

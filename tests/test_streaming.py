@@ -348,6 +348,14 @@ def test_upsert_sink_retires_moved_key_rows(spark, tmp_path):
     run_once()
     got = {(r.k, r.part, r.v) for r in spark.read.parquet(table).collect()}
     assert got == {(1, "B", 100.0), (2, "A", 2.0), (3, "B", 3.0)}, got
+    # k=2 also moves away — partition A is now EMPTY. Dynamic overwrite
+    # only replaces partitions present in the written data, so without the
+    # explicit empty-partition drop A's old file would survive as a stale
+    # cross-partition duplicate of k=2 (round-7 repro).
+    land([(2, "B", 200.0, 3)])
+    run_once()
+    got = {(r.k, r.part, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, "B", 100.0), (2, "B", 200.0), (3, "B", 3.0)}, got
 
 
 def test_upsert_sink_null_partition_rows_are_merged_not_dropped(spark, tmp_path):
