@@ -526,9 +526,12 @@ def zip_join(left: DataFrame, right: DataFrame, order_left: list[str], order_rig
     """J5 — positional concat (``pd.concat(axis=1)``, google_maps_api.ipynb
     cell 13). Spark has no row order, so the fragile positional semantics are
     made explicit: both sides are ranked by a caller-chosen sort and joined
-    on rank. Deterministic where the reference was accidentally so.
-    Estimated-large inputs are refused rather than silently serialized
-    through the single-partition rank (guard_global_sort)."""
+    on rank. Deterministic where the reference was accidentally so —
+    PROVIDED each side's order columns totally order its rows; ties make
+    row_number assignment partition-order dependent again (pass a unique
+    id as the final order column). Estimated-large inputs are refused
+    rather than silently serialized through the single-partition rank
+    (guard_global_sort)."""
     from .util import guard_global_sort
 
     guard_global_sort(left, "zip_join (left)")
@@ -552,7 +555,12 @@ def broadcast_map_join(
     """J2 — the ``Series.map(dict)`` analog (google_maps_api.ipynb cell 17;
     station_names_mapping table database_schema.sql:61-66): left join against
     a broadcast mapping table; unmapped keys keep their original value when
-    ``keep_unmapped`` (the reference's map-with-fallback behavior)."""
+    ``keep_unmapped`` (the reference's map-with-fallback behavior).
+
+    Precondition: ``map_key`` must be unique in ``mapping`` — a dict can't
+    hold duplicate keys, and a duplicate-keyed mapping table would inflate
+    matched rows ×duplicates here (pre-dedup with ``dropDuplicates`` and an
+    explicit survivor rule if the source is dirty)."""
     m = F.broadcast(mapping.select(F.col(map_key).alias("__mk"), F.col(map_value).alias("__mv")))
     joined = df.join(m, df[key] == m["__mk"], "left")
     value = F.coalesce(F.col("__mv"), F.col(key)) if keep_unmapped else F.col("__mv")
