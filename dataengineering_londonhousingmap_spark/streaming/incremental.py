@@ -531,7 +531,19 @@ def start_upsert_sink(
                 .withColumn("__pri", F.lit(1))
             )
             merged = new.unionByName(existing)
-        except Exception:  # first batch: table does not exist yet
+        except Exception as e:
+            # ONLY the first-batch case (table dir not created yet) may
+            # fall back to batch-only merge. A bare except here turned any
+            # OTHER read failure (corrupt footer, transient FS error) into
+            # "pretend the table is empty" — and the subsequent dynamic
+            # overwrite then rewrote the batch's partitions WITHOUT the
+            # table's existing rows: silent data loss on a transient
+            # error (round-7 audit). Anything but path-not-found re-raises
+            # and fails the micro-batch, which is what checkpointed
+            # streaming retries are for.
+            msg = str(e)
+            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+                raise
             merged = new
         order = [F.col("__pri").asc()]
         if order_col is not None:

@@ -402,6 +402,43 @@ def test_upsert_sink_null_partition_rows_are_merged_not_dropped(spark, tmp_path)
     assert got == {(1, None, 10.0), (2, None, 2.0), (3, "B", 3.0)}, got
 
 
+def test_upsert_sink_fails_loudly_on_unreadable_table(spark, tmp_path):
+    """Only path-not-found may fall back to the batch-only merge: any other
+    table read failure (corrupt footer, transient FS error) must FAIL the
+    micro-batch instead of silently rewriting the batch's partitions
+    without the table's existing rows (round-7 audit: the bare
+    except-Exception was a silent-data-loss path)."""
+    import os
+
+    import pandas as pd
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dataengineering_londonhousingmap_spark.streaming.incremental import (
+        start_upsert_sink,
+    )
+
+    src = str(tmp_path / "bad_src")
+    table = str(tmp_path / "bad_table")
+    cp = str(tmp_path / "bad_cp")
+    # a table dir that EXISTS but is unreadable as parquet
+    os.makedirs(table)
+    with open(os.path.join(table, "part-corrupt.parquet"), "w") as fh:
+        fh.write("this is not parquet")
+
+    pdf = pd.DataFrame([(1, "A", 1.0, 1)], columns=["k", "part", "v", "seq"])
+    spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "k long, part string, v double, seq long"
+    ).parquet(src)
+    q = start_upsert_sink(
+        stream, table, cp, key_col="k", partition_col="part", order_col="seq"
+    )
+    with pytest.raises(StreamingQueryException):
+        q.processAllAvailable()
+    q.stop()
+
+
 def test_late_data_rollup_drop_boundary(spark, tmp_path):
     """Pins the watermark drop rule the q_stream_late oracle replays:
     batch-2 rows are kept iff window_end > (max ts of batch 1 − delay);
