@@ -57,6 +57,35 @@ input) plus the host's +-50% firecracker timing noise documented in the
 r01 verify notes. Cause: host/vintage timing shift, not an engine
 regression; treat <1s entries as noise-bounded.
 
+## q_corpus_stats_score bimodality (r07, pinned cause)
+
+Round history 1.59 / 1.51 / 1.51 / 0.94 / 1.51 (r02–r06, code unchanged
+r04+) — the r06 judge asked whether the adaptive third rep failed or
+best-of-N kept a cold run. Probed r07 on a quiet host, TWO consecutive
+fresh-session runs, 4–5 reps each: reps settle unimodally at
+[4.11, 1.87, 1.55, 1.60, 1.60] and [4.41, 1.81, 1.74, 1.50] — bests
+1.554 and 1.501, 1.04× apart (inside the 1.2× stability bar). Within a
+session there is no bimodality for the trigger to catch: only the first
+rep is slow (python-worker + broadcast-build cold start; min-of-N
+discards it by construction, so best-of-N can never keep a cold run —
+it can only latch a freak-FAST run). The >30% trigger fires on the
+cold-vs-warm rep-1/rep-2 gap and the third rep correctly settles at
+steady state. Conclusion: the stable value on the current vintage is
+~1.5s; the r05 0.944 was a cross-ROUND artifact (each round re-times on
+a driver-regenerated data vintage, and min-statistics latch downside
+outliers), not a plan or methodology defect — the same class as the r04
+bench-variance note above. No code change; watch only if two
+consecutive same-vintage fresh-session runs ever disagree >1.2×.
+
+r07 addendum — q_dedup_incremental 3.06→3.8-4.0s at sf0.1 (three
+consistent measurements incl. isolated best-of-3; code and vintage
+unchanged): watched, not chased. The discriminating evidence is the 10×
+probe, where its cost is ROUND-INVARIANT (r06 13.0s, r07 12.4s on the
+same .bigdata) and its executed plan matches the pinned all-sort-merge
+shape (zero broadcasts, re-verified r07) — a real plan or data
+regression would scale, not vanish, at 10×. Same host-condition class
+as the rest of this section.
+
 ## Merge-pin cost contract (r05/r06 — do NOT "optimize" these hints out)
 
 The explicit `.hint("merge")` sites in operators/dedup.py:138 (LSH band
@@ -86,9 +115,34 @@ one narrow dropDuplicates shuffle, the winner-table count job, and the
 rejoin). That trade buys the scale property: 10x-probe wall dropped
 110.4s→1.7s (q_join_nn), 74.8s→1.1s (gridded), 85.2s→8.2s (topk) with
 linear output — duplicate-heavy corpora stop paying |left|x|right|.
+(r07: topk now uses bounded-cardinality grid coordinates — see the k>1
+note below — and runs the 10x probe in 6.3s including the probe
+session's cold start; its first r07 two-column metric was near-unique
+per row, shelled to no effect, and ran 69.9s, which is the measured
+counterfactual for what an unshellable high-cardinality metric costs.)
 Removing the shell to win back the 0.3s reverts the probe to quadratic;
 tests/test_plan_shape.py::test_catalog_nn_queries_use_winner_rejoin
 fails on removal by design.
+
+### k>1 full-tuple window fix (r07) — no cost, don't "optimize" back
+
+The r06 judge's confirmed wrong-answer bug (k>1 + multi-column
+left_metric_cols: the shell recursed with left_key=left_metric_cols[0]
+and the top-k window partitioned by that single column, splitting k
+winners across distinct metric tuples that share a first-column value)
+is fixed by partitioning the k>1 window by the FULL left tuple —
+mirroring the k=1 groupBy(*left.columns). Cost: none measurable. The
+plan keeps the same exchange COUNT (one window shuffle of the deduped
+cross product + the rejoin exchange; 2 Exchanges total in
+q_join_nn_topk's formatted plan) — the hash keys widen from one column
+to the row tuple, which changes bytes hashed, not rows shuffled.
+Isolated best-of-4 at sf0.1 for the NEW two-column q_join_nn_topk:
+1.46s (vs 1.17s r06 single-column — the delta is the second metric
+column + band arithmetic riding the cross product, not the window
+change). Narrowing the window partition back to left_key re-opens the
+winner-split bug; tests/test_properties.py draws k∈{1,3} × {1,2 metric
+cols} × {1,2 tiebreak cols} against the direct path and fails on
+reversion by design.
 '''
 
 
