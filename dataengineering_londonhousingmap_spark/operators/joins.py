@@ -390,15 +390,20 @@ def asof_join(
     equi-join semantics (NULL ≠ NULL), so NULL-key right rows are dropped
     from the union up front (the window partition would otherwise group
     them WITH NULL-key left rows and hand those a payload no SQL ASOF
-    join would). NULL ``left_ts`` rows also match nothing (``ts >= rts``
-    is unknown on NULL): they sort NULLS FIRST, before every right row.
+    join would). A NULL ``right_ts`` row likewise matches nothing
+    (``ts >= NULL`` is unknown), and is dropped up front for the same
+    mechanical reason: its payload struct is non-NULL, and NULLS-FIRST
+    ordering would sort it before every row in its key partition, so
+    ``last(ignorenulls)`` would hand it to left rows that have no real
+    prior match. NULL ``left_ts`` rows also match nothing: they sort
+    NULLS FIRST, before every right row.
     Note DuckDB's native ASOF sorts NULLS LAST and therefore matches a
     NULL left ts to the key's LATEST right row — an engine ordering
     convention, not predicate semantics; any oracle pair over
     nullable-ts data must filter ``ts IS NOT NULL`` on both sides.
     """
     rcols = right_cols or [c for c in right.columns if c not in (key, right_ts)]
-    right = right.filter(F.col(key).isNotNull())
+    right = right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
     payload = F.struct(
         F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]
     )

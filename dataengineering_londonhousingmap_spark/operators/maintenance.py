@@ -14,7 +14,7 @@ import math
 
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
-from .util import materialize
+from .util import hive_partition_dirname, materialize
 
 
 def dir_bytes(spark: SparkSession, path: str, suffix: str = ".parquet") -> int:
@@ -131,9 +131,12 @@ def purge_keys(
     kept = {r[0] for r in survivors.select(partition_col).distinct().collect()}
     jvm = spark._jvm
     for part in set(affected) - kept:
-        # Hive spells a NULL partition value __HIVE_DEFAULT_PARTITION__ on
-        # disk — f"...={None}" would target a nonexistent "=None" dir
-        dirname = "__HIVE_DEFAULT_PARTITION__" if part is None else str(part)
+        # the dir name must be built exactly the way Spark writes it:
+        # NULL → __HIVE_DEFAULT_PARTITION__, and values carrying
+        # Hive-escaped chars ('=', '/', ':', '%', control chars) are
+        # %XX-escaped on disk — str(part) would target a nonexistent dir
+        # and the stale files would silently survive (round-8 advisor)
+        dirname = hive_partition_dirname(part)
         jpath = jvm.org.apache.hadoop.fs.Path(f"{path}/{partition_col}={dirname}")
         fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(jpath, True)

@@ -55,7 +55,19 @@ def stratified_hash_sample(
     """Per-stratum deterministic sampling — the class-rebalance operator
     (downsample the over-represented language/source/domain, keep the rest).
     ``rates`` maps stratum value → keep fraction. Still a narrow filter:
-    the rate lookup is a CASE expression, never a join or shuffle."""
+    the rate lookup is a CASE expression, never a join or shuffle.
+
+    A ``None`` key is rejected up front: SQL equality never matches NULL,
+    so a NULL-keyed rate could only ever silently apply ``default_rate``
+    (and ``sorted()`` over mixed None/str crashes) — callers wanting a
+    NULL-stratum rate must handle it explicitly (fillna/isNull filter).
+    NULL-stratum ROWS are fine: they take ``default_rate``."""
+    if any(k is None for k in rates):
+        raise ValueError(
+            "rates key None can never match a stratum (SQL equality is "
+            "unknown on NULL) — coalesce the stratum column or filter "
+            "isNull explicitly"
+        )
     rate_expr: Column = F.lit(int(default_rate * _BUCKETS))
     for value, rate in sorted(rates.items()):
         rate_expr = F.when(
@@ -101,6 +113,11 @@ def mixture_sample(
     the data itself at any corpus size. Returns (sampled df, the bucket
     thresholds used) so callers can log/audit the realized rates.
     """
+    if any(k is None for k in weights):
+        raise ValueError(
+            "weights key None can never match a source (SQL equality is "
+            "unknown on NULL) — coalesce the source column first"
+        )
     counts = {
         r[source_col]: r["n"]
         for r in df.groupBy(source_col).agg(F.count("*").alias("n")).collect()

@@ -70,7 +70,7 @@ def ann_topk_bruteforce(
     # |corpus|×|queries| dot products happen before the first shuffle —
     # spread a narrow corpus scan across cores first
     corpus_n = fan_out(corpus).withColumn("__cn", l2_norm(F.col(vec_col)))
-    joined = corpus_n.crossJoin(q).filter(F.col(id_col) != F.col("query_id"))
+    joined = corpus_n.crossJoin(q).filter(F.col(id_col) != F.col("query_id"))  # null-audited: embedding ids are non-null (pinned vintage invariant); a NULL id could never be a query anchor
     denom = F.col("__cn") * F.col("__qn")
     scored = joined.select(
         F.col("query_id"),
@@ -206,7 +206,7 @@ def ann_topk_lsh(
         queries.select(F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qvec")),
         "__qvec", num_tables, planes_per_table, dim,
     )
-    joined = c.join(q, ["__t", "__b"]).filter(F.col(id_col) != F.col("query_id"))
+    joined = c.join(q, ["__t", "__b"]).filter(F.col(id_col) != F.col("query_id"))  # null-audited: embedding ids are non-null (pinned vintage invariant); a NULL id could never be a query anchor
     scored = (
         joined.select("query_id", F.col(id_col).alias("match_id"), "__qvec", F.col(vec_col))
         .dropDuplicates(["query_id", "match_id"])
@@ -443,7 +443,7 @@ def ann_topk_ivf(
 
     scored = (
         assigned.join(probes, "__cid")
-        .filter(F.col(id_col) != F.col("query_id"))
+        .filter(F.col(id_col) != F.col("query_id"))  # null-audited: embedding ids are non-null (pinned vintage invariant); a NULL id could never be a query anchor
         .select(
             "query_id",
             F.col(id_col).alias("match_id"),

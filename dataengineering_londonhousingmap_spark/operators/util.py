@@ -134,3 +134,38 @@ def exact_avg_cents(col: str):
     from pyspark.sql import functions as F
 
     return F.round(F.sum(col) * 100, 0).cast("long") / (F.count(col) * 100.0)
+
+
+# chars Spark Hive-escapes in partition directory names, mirrored from
+# org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.charToEscape
+# (ASCII 0x01-0x1F control chars plus the literal set below; bytes >= 0x80
+# and NUL are written raw). Parity with the JVM implementation is pinned
+# by tests/test_operators.py::test_hive_partition_dirname_matches_jvm.
+_HIVE_ESCAPE_CHARS = frozenset(
+    [chr(c) for c in range(0x01, 0x20)]
+    + list('"#%\'*/:=?\\\x7f{[]^')
+)
+
+
+def hive_partition_dirname(value) -> str:
+    """The directory-name component Spark writes for a partition VALUE —
+    ``part_col=<this>`` on disk. NULL and the empty string both land in
+    ``__HIVE_DEFAULT_PARTITION__`` (ExternalCatalogUtils.
+    getPartitionValueString), every other value is Hive-escaped
+    (``escapePathName``: ``%XX`` uppercase hex for control chars and
+    ``" # % ' * / : = ? \\ DEL { [ ] ^``).
+
+    Any writer that retires a fully-emptied partition by deleting its
+    directory MUST build the path with this, not ``str(value)`` — a value
+    containing an escaped char (``a/b``, ``x=y``) otherwise targets a
+    nonexistent dir and the stale files silently survive (round-8
+    advisor; same gap the round-7 NULL fix closed for None).
+    """
+    if value is None:
+        return "__HIVE_DEFAULT_PARTITION__"
+    s = str(value)
+    if s == "":
+        return "__HIVE_DEFAULT_PARTITION__"
+    return "".join(
+        f"%{ord(c):02X}" if c in _HIVE_ESCAPE_CHARS else c for c in s
+    )

@@ -974,7 +974,7 @@ def q_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"{tag}_mean_chars"),
         )
 
-    prev = snap(docs.filter(F.col("doc_id") % 10 != 0), "prev")
+    prev = snap(docs.filter(F.col("doc_id") % 10 != 0), "prev")  # null-audited: doc_id non-null (pinned vintage invariant) and the oracle uses the same <>
     curr = snap(docs, "curr")
     return prev.join(curr, ["source", "lang"], "full_outer").select(
         "source",
@@ -1784,14 +1784,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize stage (operators/multimodal.py:resize_images): 8×16
-    fixture matrices → 4×4 nearest-neighbour thumbnails, one numpy gather
-    per image inside Arrow batches. Oracle: with a 4× column stride the
-    sampled indices hit digest bytes {0,4,8,12} regardless of row (the
-    payload is row-repeated), so the resized mean is reproducible from the
-    md5 hex in SQL."""
+    """Image resize stage (operators/multimodal.py:resize_images) over
+    REAL images: each fixture is a binary PGM (P5, 16×8 — header + the
+    md5-repeat pixel bytes, synthesize_media wrap='pgm'), decoded by the
+    engine's dependency-free Netpbm decoder (decode_image — no PIL, no
+    fake= path) and resized to a 4×4 nearest-neighbour thumbnail, one
+    numpy gather per image inside Arrow batches. Oracle: the PIXELS are
+    unchanged by the PGM wrapper, and with a 4× column stride the sampled
+    indices hit digest bytes {0,4,8,12} regardless of row (the payload is
+    row-repeated), so the resized mean is reproducible from the md5 hex
+    in SQL."""
     docs = _t(spark, sf_dir, "documents")
-    assets = synthesize_media(docs, "doc_id", "text")
+    assets = synthesize_media(docs, "doc_id", "text", wrap="pgm")
     resized = resize_images(assets, out_w=4, out_h=4)
     return resized.select(
         "asset_id", "out_w", "out_h", F.round("resized_mean", 6).alias("resized_mean")
@@ -2145,7 +2149,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = sh.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
-    corpus = sh.filter(F.col("doc_id") % 50 != 0)
+    corpus = sh.filter(F.col("doc_id") % 50 != 0)  # null-audited: doc_id non-null (pinned vintage invariant), oracle-symmetric <>
     overlaps = (
         # merge hint: the bench side is a fixed FRACTION of the corpus
         # (corpus-proportional, behind a checkpoint with underestimating
@@ -2889,7 +2893,7 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("o_totalprice") * F.lit(1.05) * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)).alias("o_totalprice"),
         F.lit(0).alias("__pri"),
     )
-    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+    base = orders.filter(F.col("o_orderkey") % 3 != 0).select(  # null-audited: o_orderkey non-null (pinned vintage invariant), oracle-symmetric <>
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", F.lit(1).alias("__pri")
     )
     w = Window.partitionBy("o_orderkey").orderBy("__pri")
@@ -3512,7 +3516,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
     )
-    b = a.filter((F.col("o_orderkey") % 97) != 0).withColumn(
+    b = a.filter((F.col("o_orderkey") % 97) != 0).withColumn(  # null-audited: o_orderkey non-null (pinned vintage invariant), oracle-symmetric <>
         "o_totalprice",
         F.when(
             (F.col("o_orderkey") % 10) == 1, F.col("o_totalprice") * 1.1
@@ -3816,7 +3820,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")
-        .filter(F.col("split_a") != F.col("split_b"))
+        .filter(F.col("split_a") != F.col("split_b"))  # null-audited: split buckets derive from md5 of non-null ids — never NULL
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"), "split_a", "split_b")
     )
 
@@ -4506,7 +4510,7 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "customer")
         .select(F.col("c_mktsegment").alias("segment"))
         .distinct()
-        .filter(F.col("segment") != "MACHINERY")
+        .filter(F.col("segment") != "MACHINERY")  # null-audited: oracle uses the same <> (symmetric drop), and c_mktsegment carries no NULLs in any vintage
         .select("segment", F.upper("segment").alias("segment_label"))
         .unionByName(
             spark.createDataFrame(
@@ -5619,17 +5623,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # row from that round (or later) exists, then the entry expires by itself —
 # no cleanup edit, and a forgotten entry can't waste a driver slot forever.
 # r07: the topk NN query now exercises the fixed k>1 × multi-column shell.
-RE_VERIFY_FRONT: dict[str, int] = {"q_join_nn_topk": 7}
+# r08: q_multimodal_resize now decodes REAL PGM payloads (dependency-free
+# Netpbm codec) instead of raw byte math — values unchanged, path changed.
+RE_VERIFY_FRONT: dict[str, int] = {"q_multimodal_resize": 8}
 
 
-def _last_sampled_rounds() -> dict[str, int]:
+def _last_sampled_rounds(root: str | None = None) -> dict[str, int]:
     """name → latest CORRECTNESS_r*.json round that sampled it (repo root,
     resolved relative to this file so the cwd never matters). Unreadable
-    files are skipped — a corrupt artifact must not break queries()."""
+    files are skipped — a corrupt artifact must not break queries().
+    ``root`` override exists for tests only."""
     import glob as _glob
     import json as _json
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     last: dict[str, int] = {}
     for f in sorted(_glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         m = re.search(r"r(\d+)", os.path.basename(f))
@@ -5640,8 +5648,13 @@ def _last_sampled_rounds() -> dict[str, int]:
                 names = list(_json.load(fh))
         except (OSError, ValueError):
             continue
+        rnd = int(m.group(1))
         for n in names:
-            last[n] = int(m.group(1))
+            # MAX round, never "last file in glob order": the glob sort is
+            # lexicographic, so past r99 (r100 < r11 < ... < r99) relying
+            # on file order would record a stale round and skew the
+            # rotation (round-8 advisor)
+            last[n] = max(last.get(n, 0), rnd)
     return last
 
 

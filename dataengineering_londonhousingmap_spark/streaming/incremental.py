@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..operators.util import exact_avg_cents, materialize
+from ..operators.util import exact_avg_cents, hive_partition_dirname, materialize
 
 # events.parquet has carried INT64 timestamps at nanosecond (round-1 data,
 # unreadable as TimestampType by Spark's parquet reader) or microsecond
@@ -431,6 +431,33 @@ def interval_join_stream(
     return l.join(r, cond, "inner")
 
 
+def _is_path_not_found(e: Exception) -> bool:
+    """Classify "the table directory doesn't exist yet" STRUCTURALLY: the
+    error class of a PySpark AnalysisException (PATH_NOT_FOUND), not a
+    substring of its rendered message — Spark rewords messages across
+    versions, and a reworded message would make every first batch of the
+    upsert sink FAIL instead of bootstrapping the table (round-8 advisor).
+    The message substrings remain as a last-resort fallback for engines
+    that predate error classes."""
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # very old PySpark: fall through to substrings
+        AnalysisException = ()
+    if isinstance(e, AnalysisException):
+        for attr in ("getCondition", "getErrorClass"):  # 4.x name, then 3.x
+            get = getattr(e, attr, None)
+            if get is not None:
+                try:
+                    cond = get()
+                except Exception:
+                    continue
+                if cond is not None:
+                    return cond == "PATH_NOT_FOUND"
+        # AnalysisException without a condition: fall through to substrings
+    msg = str(e)
+    return "PATH_NOT_FOUND" in msg or "Path does not exist" in msg
+
+
 def start_parquet_sink(df: DataFrame, sink_dir: str, checkpoint_dir: str):
     """Production sink wiring: append the stream to a Parquet table with a
     ``checkpointLocation`` for exactly-once delivery, triggered
@@ -541,8 +568,7 @@ def start_upsert_sink(
             # error (round-7 audit). Anything but path-not-found re-raises
             # and fails the micro-batch, which is what checkpointed
             # streaming retries are for.
-            msg = str(e)
-            if "PATH_NOT_FOUND" not in msg and "Path does not exist" not in msg:
+            if not _is_path_not_found(e):
                 raise
             merged = new
         order = [F.col("__pri").asc()]
@@ -572,7 +598,9 @@ def start_upsert_sink(
         kept = {r[0] for r in winners.select(partition_col).distinct().collect()}
         jvm = spark._jvm
         for part in affected - kept:
-            dirname = "__HIVE_DEFAULT_PARTITION__" if part is None else str(part)
+            # built exactly the way Spark writes it — NULL and Hive-escaped
+            # chars included (round-8 advisor; see hive_partition_dirname)
+            dirname = hive_partition_dirname(part)
             jpath = jvm.org.apache.hadoop.fs.Path(
                 f"{table_dir}/{partition_col}={dirname}"
             )

@@ -92,3 +92,60 @@ def test_staleness_rotation_invariants_hold_on_random_histories(monkeypatch):
         # front class itself is position-stable
         front = [pos[n] for n in order if is_front(n)]
         assert front == sorted(front), f"trial {trial}: front block out of order"
+
+
+def test_last_sampled_uses_max_round_not_glob_order(tmp_path):
+    """Lexicographic glob order puts CORRECTNESS_r100 BEFORE r11..r99, so
+    assigning last[n] from file order would record r99 for a query sampled
+    in both r99 and r100 — skewing the rotation off the true staleness
+    order once round numbers outgrow the zero-pad width (round-8
+    advisor). Both the module and the tool must take the MAX round."""
+    import importlib.util
+    import json
+
+    from dataengineering_londonhousingmap_spark import queries as qmod
+
+    (tmp_path / "CORRECTNESS_r99.json").write_text(json.dumps({"q_x": {}}))
+    (tmp_path / "CORRECTNESS_r100.json").write_text(
+        json.dumps({"q_x": {}, "q_y": {}})
+    )
+    (tmp_path / "CORRECTNESS_r9.json").write_text(json.dumps({"q_y": {}}))
+    got = qmod._last_sampled_rounds(root=str(tmp_path))
+    assert got == {"q_x": 100, "q_y": 100}
+
+    spec = importlib.util.spec_from_file_location(
+        "cco", os.path.join(ROOT, "tools", "check_catalog_order.py")
+    )
+    cco = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cco)
+    cco.ROOT = str(tmp_path)
+    # the tool's last_sampled reads its module-global ROOT via os.path.join
+    # at call time, so pointing it at the fixture dir is enough
+    assert cco.last_sampled() == {"q_x": 100, "q_y": 100}
+
+
+def test_boundary_excludes_forced_entries_from_widening_the_pool():
+    """A forced entry sampled recently (r6) must NOT widen the acceptable
+    staleness pool: with window=3, tail boundary r2, an r5 entry sitting
+    in front is a violation the old max-over-everything boundary silently
+    accepted whenever RE_VERIFY_FRONT was in use (round-8 advisor)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "cco2", os.path.join(ROOT, "tools", "check_catalog_order.py")
+    )
+    cco = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cco)
+
+    last = {"forced6": 6, "fresh5": 5, "stale1": 1, "stale2": 2, "mid3": 3}
+    forced = {"forced6": 7}  # sampled r6 < since r7 → still forced
+    # compliant order: forced6 + the two stalest → no violations
+    ok = ["forced6", "stale1", "stale2", "mid3", "fresh5"]
+    missing, too_fresh, _ = cco.evaluate(ok, last, forced, window=3)
+    assert missing == [] and too_fresh == []
+    # fresh5 (r5) in front while stale2 (r2) waits: boundary must come
+    # from the staleness tail (r1..r2), not the forced entry's r6
+    bad = ["forced6", "stale1", "fresh5", "stale2", "mid3"]
+    missing, too_fresh, _ = cco.evaluate(bad, last, forced, window=3)
+    assert missing == []
+    assert too_fresh == ["fresh5"]

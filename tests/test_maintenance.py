@@ -182,3 +182,45 @@ def test_compaction_plan_bin_packing(spark):
     plan = {r.file: r.out_group for r in compaction_plan(manifest, 1000).collect()}
     # starts: a=0, b=100, c=1000, d=1600, e=2200 → groups 0,0,1,1,2
     assert plan == {"a": 0, "b": 0, "c": 1, "d": 1, "e": 2}
+
+
+def test_hive_partition_dirname_matches_jvm(spark):
+    """Parity pin: the pure-Python escape must reproduce Spark's own
+    ExternalCatalogUtils byte-for-byte for every class it handles — the
+    dir-drop paths (purge_keys, upsert sink) build deletion targets with
+    it, and a divergence means stale files silently survive."""
+    from dataengineering_londonhousingmap_spark.operators.util import hive_partition_dirname
+
+    ecu = spark._jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    cases = [
+        "plain", "a/b", "x=y", "50%", "a:b", "q?r", 's"t', "p'q", "l*m",
+        "back\\slash", "h#i", "br{ack[et]s^", "tab\there", "nl\nhere",
+        "cr\rhere", "del\x7fchar", "ünïcødé-🎈", "dots..", "sp ace",
+        "2024-01-01 10:00:00", "-42", "1e6",
+    ]
+    for v in cases:
+        assert hive_partition_dirname(v) == ecu.escapePathName(v), v
+    # NULL and empty string land in the Hive default partition
+    assert hive_partition_dirname(None) == "__HIVE_DEFAULT_PARTITION__"
+    assert hive_partition_dirname("") == "__HIVE_DEFAULT_PARTITION__"
+    assert ecu.getPartitionValueString("") == "__HIVE_DEFAULT_PARTITION__"
+
+
+def test_purge_drops_fully_purged_partition_with_escaped_chars(spark, tmp_path):
+    """A fully-purged partition whose VALUE carries Hive-escaped chars
+    ('=', '/', ':') must have its on-disk dir dropped: building the path
+    with str(part) targets a nonexistent dir and the stale files silently
+    survive — the same gap the round-7 NULL fix closed for None (round-8
+    advisor). Read-back proves the stale rows are actually gone."""
+    path = str(tmp_path / "t_escaped")
+    spark.createDataFrame(
+        [(1, "a=b/c:d", 1.0), (2, "a=b/c:d", 2.0), (3, "plain", 3.0)],
+        "k long, part string, v double",
+    ).write.partitionBy("part").parquet(path)
+    # Spark wrote the escaped dir — precondition for the test to mean anything
+    assert glob.glob(f"{path}/part=a%3Db%2Fc%3Ad/*.parquet")
+
+    affected = purge_keys(spark, path, [1, 2], "k", "part")
+    assert affected == ["a=b/c:d"]
+    assert not glob.glob(f"{path}/part=a%3Db%2Fc%3Ad/*"), "stale dir survived"
+    assert {r.k for r in spark.read.parquet(path).collect()} == {3}

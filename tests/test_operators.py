@@ -310,7 +310,12 @@ def test_asof_join_null_key_and_null_ts_match_nothing(spark):
     the union's window partition groups NULL-key LEFT rows with NULL-key
     RIGHT rows and hands them a payload no SQL ASOF join would. NULL
     left ts also matches nothing (ts >= rts unknown), unlike DuckDB's
-    NULLS-LAST ordering convention which matches the latest right row."""
+    NULLS-LAST ordering convention which matches the latest right row.
+    A NULL RIGHT ts must also match nothing (r08 advisor find): its
+    payload struct is non-NULL and NULLS-FIRST ordering sorts it before
+    every row in its key partition, so without the up-front filter
+    last(ignorenulls) hands it to left rows that have NO real prior
+    match — id=4 below is exactly that shape."""
     from dataengineering_londonhousingmap_spark.operators.joins import asof_join
 
     left = spark.createDataFrame(
@@ -318,18 +323,24 @@ def test_asof_join_null_key_and_null_ts_match_nothing(spark):
             (1, "2024-01-02 00:00:00", None),  # NULL key → no match
             (2, "2024-01-02 00:00:00", 1),  # normal match
             (3, None, 1),  # NULL ts → no match
+            (4, "2023-12-31 00:00:00", 1),  # before any REAL right row → NULL,
+            # not the NULL-rts row's payload
         ],
         "id long, ts string, k long",
     ).select("id", F.col("ts").cast("timestamp").alias("ts"), "k")
     right = spark.createDataFrame(
-        [(None, "2024-01-01 00:00:00", "nullkey"), (1, "2024-01-01 00:00:00", "a")],
+        [
+            (None, "2024-01-01 00:00:00", "nullkey"),
+            (1, "2024-01-01 00:00:00", "a"),
+            (1, None, "nullts"),  # NULL rts → matches nothing
+        ],
         "k long, rts string, v string",
     ).select("k", F.col("rts").cast("timestamp").alias("rts"), "v")
 
     out = asof_join(left, right, key="k", left_ts="ts", right_ts="rts")
     rows = {r.id: r.v for r in out.collect()}
-    assert rows == {1: None, 2: "a", 3: None}
-    assert out.count() == 3  # left-outer preserved for NULL-key rows
+    assert rows == {1: None, 2: "a", 3: None, 4: None}
+    assert out.count() == 4  # left-outer preserved for NULL-key rows
 
 
 def test_embedding_near_dup_candidate_path_is_subset(spark, sf_dir):
@@ -897,3 +908,70 @@ def test_file_corpus_staging_is_deterministic(spark, sf_dir):
     shutil.rmtree(pathlib.Path(text_dir).parent)  # drop the _STAGED marker too
     text_dir2, bin_dir2 = _stage_file_corpus(spark, sf_dir)
     assert digest_tree(text_dir2, bin_dir2) == first
+
+
+def test_pgm_ppm_codec_known_fixtures():
+    """The dependency-free Netpbm codec (round-8: closes the multimodal
+    decode stub): encode→decode roundtrip, hand-written header variants
+    (comments, multi-digit dims), P6 RGB→integer-luma fold, and truncation
+    errors — all without PIL."""
+    import pytest
+
+    from dataengineering_londonhousingmap_spark.operators.multimodal import decode_image, encode_pgm
+
+    matrix = [[0, 255, 7], [128, 1, 200]]
+    assert decode_image(encode_pgm(matrix)) == matrix
+    # hand-built header with a comment line and extra whitespace
+    hand = b"P5\n# a comment\n 3  2\n255\n" + bytes([0, 255, 7, 128, 1, 200])
+    assert decode_image(hand) == matrix
+    # P6: RGB folds to grayscale by (299R + 587G + 114B) // 1000
+    ppm = b"P6\n2 1\n255\n" + bytes([255, 0, 0, 0, 255, 0])
+    assert decode_image(ppm) == [[(299 * 255) // 1000, (587 * 255) // 1000]]
+    with pytest.raises(ValueError):
+        decode_image(b"P5\n4 4\n255\n\x00\x00")  # truncated pixel data
+    with pytest.raises(ValueError):
+        encode_pgm([[1, 2], [3]])  # ragged
+    with pytest.raises(NotImplementedError):
+        decode_image(b"P5\n1 1\n65535\n\x00\x00")  # 16-bit samples
+
+
+def test_resize_images_decodes_real_pgm(spark):
+    """resize_images must take the REAL decode path for PGM payloads —
+    dimensions from the image header, not the src_w/src_h defaults — and
+    produce the exact same thumbnail as the raw-matrix path when the
+    pixels match (the property q_multimodal_resize's oracle relies on)."""
+    from dataengineering_londonhousingmap_spark.operators.multimodal import (
+        encode_pgm,
+        resize_images,
+        synthesize_media,
+    )
+
+    raw = bytes(range(128))  # the 8×16 fixture from the raw-path test
+    pgm = encode_pgm([list(raw[r * 16 : (r + 1) * 16]) for r in range(8)])
+    # a DIFFERENTLY-sized image: 4×2 → dims must come from the header
+    # (the raw path would misread it as 16×8 zero-padded)
+    small = encode_pgm([[0, 10, 20, 30], [40, 50, 60, 70]])
+    assets = spark.createDataFrame(
+        [(1, pgm), (2, small)], "asset_id long, payload binary"
+    )
+    got = {r.asset_id: r for r in resize_images(assets, out_w=4, out_h=4).collect()}
+    assert got[1].resized_mean == 54.0  # identical to the raw-path fixture
+    # 4×4 thumbnail of the 4×2 image: rows {0,0,1,1}, cols {0,1,2,3}
+    assert got[2].resized_mean == (0 + 10 + 20 + 30 + 40 + 50 + 60 + 70) / 8 * 1.0
+
+    # synthesize_media wrap='pgm' produces the same resized means as raw
+    # (same pixels, real decode) — the exact invariant the driver oracle
+    # checks at catalog scale
+    docs = spark.createDataFrame(
+        [(1, "seed one"), (2, "seed two")], "doc_id long, text string"
+    )
+    raw_means = {
+        r.asset_id: r.resized_mean
+        for r in resize_images(synthesize_media(docs, "doc_id", "text")).collect()
+    }
+    pgm_assets = synthesize_media(docs, "doc_id", "text", wrap="pgm")
+    assert {r.codec for r in pgm_assets.select("codec").collect()} == {"pgm"}
+    pgm_means = {
+        r.asset_id: r.resized_mean for r in resize_images(pgm_assets).collect()
+    }
+    assert raw_means == pgm_means

@@ -335,3 +335,28 @@ def test_stratified_kfold_partition_independent(spark, sf_dir):
         for r in stratified_kfold(docs.repartition(13), "doc_id", "lang", 5).collect()
     }
     assert a == b
+
+
+def test_null_stratum_and_weight_keys_fail_fast(spark):
+    """A None key in rates/weights can never match (SQL equality is
+    unknown on NULL) and crashed sorted() with an opaque TypeError — both
+    operators must reject it with a clear error instead (r08 hardening,
+    same NULL-key class as the r07 purge/upsert finds). NULL-stratum ROWS
+    still take the default rate."""
+    import pytest
+
+    from dataengineering_londonhousingmap_spark.operators.sampling import (
+        mixture_sample,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, None)], "id long, s string"
+    )
+    with pytest.raises(ValueError, match="None"):
+        stratified_hash_sample(df, "id", "s", {None: 0.5})
+    with pytest.raises(ValueError, match="None"):
+        mixture_sample(df, "id", "s", {None: 1.0})
+    # NULL-stratum rows: default_rate=1.0 keeps them
+    kept = stratified_hash_sample(df, "id", "s", {"a": 1.0}, default_rate=1.0)
+    assert {r.id for r in kept.collect()} == {1, 2, 3}

@@ -501,3 +501,133 @@ def test_stream_harness_raced_conf_restores_then_raises(spark):
         with _few_state_partitions(spark, 8):
             spark.conf.set(key, "5")  # the racing writer
     assert spark.conf.get(key) == before
+
+
+def test_is_path_not_found_classifies_structurally(spark, tmp_path):
+    """PATH_NOT_FOUND detection must be the AnalysisException's error
+    CLASS, not a substring of its rendered message (Spark rewords messages
+    across versions — a reworded message would make every first batch fail
+    instead of bootstrapping the table, round-8 advisor). A different
+    AnalysisException class must NOT be treated as first-batch even if a
+    future message happened to mention a path."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from dataengineering_londonhousingmap_spark.streaming.incremental import _is_path_not_found
+
+    with pytest.raises(AnalysisException) as nf:
+        spark.read.parquet(str(tmp_path / "definitely_missing")).collect()
+    assert _is_path_not_found(nf.value)
+
+    with pytest.raises(AnalysisException) as other:
+        spark.sql("select definitely_not_a_column from range(1)").collect()
+    assert not _is_path_not_found(other.value)
+
+    # last-resort substring fallback for engines without error classes
+    assert _is_path_not_found(RuntimeError("x Path does not exist y"))
+    assert not _is_path_not_found(RuntimeError("corrupt footer"))
+
+
+def test_upsert_sink_retires_escaped_char_partition_dir(spark, tmp_path):
+    """A fully-retired partition whose VALUE carries Hive-escaped chars
+    ('=', '/', ':') must have its on-disk dir dropped: building the
+    deletion path with str(part) targets a nonexistent dir and the old
+    file survives as a stale cross-partition duplicate — the same gap the
+    round-7 fix closed for NULL (round-8 advisor)."""
+    import glob
+
+    from dataengineering_londonhousingmap_spark.streaming.incremental import start_upsert_sink
+
+    src = str(tmp_path / "esc_src")
+    table = str(tmp_path / "esc_table")
+    cp = str(tmp_path / "esc_cp")
+
+    def land(rows):
+        spark.createDataFrame(
+            rows, "k long, part string, v double, seq long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "k long, part string, v double, seq long"
+        ).parquet(src)
+        q = start_upsert_sink(
+            stream, table, cp,
+            key_col="k", partition_col="part", order_col="seq",
+            keys_move_partitions=True,
+        )
+        q.awaitTermination(60)
+
+    land([(1, "a=b/c:d", 1.0, 1), (2, "B", 2.0, 1)])
+    run_once()
+    assert glob.glob(f"{table}/part=a%3Db%2Fc%3Ad/*.parquet")  # precondition
+    # k=1 (the escaped partition's only occupant) moves to partition B
+    land([(1, "B", 10.0, 2)])
+    run_once()
+    assert not glob.glob(f"{table}/part=a%3Db%2Fc%3Ad/*"), "stale dir survived"
+    got = {(r.k, r.part, r.v) for r in spark.read.parquet(table).collect()}
+    assert got == {(1, "B", 10.0), (2, "B", 2.0)}, got
+
+
+def test_upsert_sink_recovers_exactly_once_after_transient_read_failure(
+    spark, tmp_path
+):
+    """X73's contract under the round-7 fallback fix: a TRANSIENT table
+    read failure (corrupt footer staged mid-stream) fails the micro-batch
+    — it must NOT overwrite the table with a batch-only merge — and a
+    restarted stream on the SAME checkpoint retries that batch
+    exactly-once: the update is neither lost nor doubled and the table's
+    pre-existing rows survive."""
+    import os
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dataengineering_londonhousingmap_spark.streaming.incremental import start_upsert_sink
+
+    src = str(tmp_path / "rec_src")
+    table = str(tmp_path / "rec_table")
+    cp = str(tmp_path / "rec_cp")
+
+    def land(rows):
+        spark.createDataFrame(
+            rows, "k long, part string, v double, seq long"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(
+            "k long, part string, v double, seq long"
+        ).parquet(src)
+        return start_upsert_sink(
+            stream, table, cp, key_col="k", partition_col="part", order_col="seq"
+        )
+
+    # batch 1 bootstraps the table
+    land([(1, "A", 1.0, 1), (2, "A", 2.0, 1)])
+    q = start()
+    q.awaitTermination(60)
+    assert {(r.k, r.v) for r in spark.read.parquet(table).collect()} == {
+        (1, 1.0), (2, 2.0),
+    }
+
+    # inject a transient failure: a corrupt file makes the table read blow
+    # up mid-merge for batch 2
+    bad = os.path.join(table, "part-injected-corrupt.parquet")
+    with open(bad, "w") as fh:
+        fh.write("not parquet")
+    land([(1, "A", 10.0, 2)])
+    q = start()
+    with pytest.raises(StreamingQueryException):
+        q.processAllAvailable()
+    q.stop()
+    # the failed batch must not have rewritten partition A without k=2
+    os.remove(bad)
+    assert {(r.k, r.v) for r in spark.read.parquet(table).collect()} == {
+        (1, 1.0), (2, 2.0),
+    }, "failed micro-batch mutated the table"
+
+    # restart on the same checkpoint: batch 2 retries exactly-once
+    q = start()
+    q.awaitTermination(60)
+    got = sorted((r.k, r.v) for r in spark.read.parquet(table).collect())
+    assert got == [(1, 10.0), (2, 2.0)], got

@@ -48,17 +48,62 @@ def last_sampled() -> dict[str, int]:
         m = re.search(r"r(\d+)", os.path.basename(f))
         if not m:
             continue
+        rnd = int(m.group(1))
         for name in json.load(open(f)):
-            last[name] = int(m.group(1))
+            # max round, not glob order — lexicographic sort misorders
+            # r100 vs r11..r99 (round-8 advisor)
+            last[name] = max(last.get(name, 0), rnd)
     return last
+
+
+def evaluate(
+    names: list[str],
+    last: dict[str, int],
+    forced_since: dict[str, int],
+    window: int = WINDOW,
+) -> tuple[list[str], list[str], list[str]]:
+    """Pure staleness-rule check: returns (missing_front, too_fresh,
+    expected). Empty first two lists = compliant order. Split out of
+    main() so the boundary and max-round semantics are unit-testable
+    with synthetic histories (tests/test_catalog_order.py)."""
+    never = [n for n in names if n not in last]
+    # forced entries expire once a CORRECTNESS row from the change round
+    # (or later) lands — mirror the self-expiry rule independently
+    forced = [
+        n
+        for n, since in forced_since.items()
+        if n in names and n not in never and last[n] < since
+    ]
+    # expected front window: never-sampled and forced entries in any order,
+    # then stalest-first. Within-window positions don't matter (the driver
+    # samples the whole window), so compare as a set.
+    staleness = sorted(
+        (n for n in names if n not in never and n not in forced),
+        key=lambda n: last[n],
+    )
+    required = min(window, len(names))
+    expected = (never + forced + staleness)[:required]
+    # entries tied at the boundary staleness round are interchangeable —
+    # widen the acceptable pool to every entry at most as stale as the
+    # strictest round a compliant window could exclude. The boundary is
+    # computed over the STALENESS-TAIL portion of the window only: a
+    # forced entry sampled recently (say r6) would otherwise widen the
+    # pool to everything at most that fresh, making the too-fresh check
+    # near-vacuous exactly when RE_VERIFY_FRONT is in use (round-8
+    # advisor). Never/forced entries are checked via missing_front.
+    tail = [n for n in expected if n not in never and n not in forced]
+    boundary = max((last[n] for n in tail), default=-1)
+    pool = set(never) | set(forced) | {n for n in staleness if last[n] <= boundary}
+    front = names[:required]
+    missing_front = [n for n in never + forced if n not in front]
+    too_fresh = [n for n in front if n not in pool]
+    return missing_front, too_fresh, expected
 
 
 def main() -> int:
     names = list(QUERIES)
     last = last_sampled()
     never = [n for n in names if n not in last]
-    # forced entries expire once a CORRECTNESS row from the change round
-    # (or later) lands — mirror the self-expiry rule independently
     forced = [
         n
         for n, since in RE_VERIFY_FRONT.items()
@@ -68,23 +113,9 @@ def main() -> int:
         f"catalog: {len(names)} entries, {len(never)} never driver-sampled, "
         f"{len(forced)} forced re-verify"
     )
-    # expected front window: never-sampled and forced entries in any order,
-    # then stalest-first. Within-window positions don't matter (the driver
-    # samples the whole window), so compare as a set.
-    staleness = sorted(
-        (n for n in names if n not in never and n not in forced),
-        key=lambda n: last[n],
-    )
+    missing_front, too_fresh, expected = evaluate(names, last, RE_VERIFY_FRONT)
     required = min(WINDOW, len(names))
-    expected = (never + forced + staleness)[:required]
-    # entries tied at the boundary staleness round are interchangeable —
-    # widen the acceptable pool to every entry at most as stale as the
-    # strictest round a compliant window could exclude
-    boundary = max((last[n] for n in expected if n in last), default=-1)
-    pool = set(never) | set(forced) | {n for n in staleness if last[n] <= boundary}
     front = names[:required]
-    missing_front = [n for n in never + forced if n not in front]
-    too_fresh = [n for n in front if n not in pool]
     if not missing_front and not too_fresh:
         rounds = sorted({last.get(n, 0) for n in front})
         print(
