@@ -86,6 +86,19 @@ shape (zero broadcasts, re-verified r07) — a real plan or data
 regression would scale, not vanish, at 10×. Same host-condition class
 as the rest of this section.
 
+r08 verdict — watch CLOSED as host-condition, protocol followed (two
+fresh-session best-of-3 runs on a quiet host: 4.43s and 4.49s, above
+the 3.4s trigger, so profiled): data volumes are flat on the r08
+vintage (5,000 docs, 1.35M distinct shingles, 172 candidates, 70
+verified pairs — no signature-table growth), and isolated CONTROLS
+inflated by the same factor in the same session (q_ngram_jaccard
+3.05→3.84s +26%, q_triangle_count 2.64→3.04s +15%, q_serving_dashboard
+2.76→3.03s +10%, vs q_dedup_incremental 3.49→4.43s +27%). A
+query-specific plan regression cannot inflate its shingle-verify
+sibling by the identical ratio; a host/vintage-wide slowdown does
+exactly that. Re-open only if its ratio vs q_ngram_jaccard (same
+family, ~1.15× historically) ever exceeds 1.5× in one session.
+
 ## Merge-pin cost contract (r05/r06 — do NOT "optimize" these hints out)
 
 The explicit `.hint("merge")` sites in operators/dedup.py:138 (LSH band
