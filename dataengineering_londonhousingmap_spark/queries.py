@@ -472,6 +472,8 @@ def q_pipeline_air(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     payloads = (
         ev.groupBy("site_code")
+        # null-audited: `data` is an F.struct(...) constructor — never NULL
+        # (its one nullable field is coalesced to "" inside the struct)
         .agg(F.collect_list(data).alias("Data"))
         .select(
             F.to_json(
@@ -3484,6 +3486,8 @@ def q_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         supp.select(bucket(F.col("s_suppkey")).alias("b"))
         .distinct()
+        # null-audited: b = md5-bucket of s_suppkey (non-null unique key,
+        # vintage invariant) — md5 of a non-null input is never NULL
         .agg(F.sort_array(F.collect_set("b")).alias("bs"))
     )
     cand = li.crossJoin(F.broadcast(buckets)).filter(
@@ -3632,6 +3636,8 @@ def q_nested_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_custkey")
         .agg(
             F.array_join(
+                # null-audited: o_orderkey is the orders primary key —
+                # non-null by vintage invariant (tests/test_properties.py)
                 F.sort_array(F.collect_list(F.col("o_orderkey"))), ","
             ).alias("order_keys"),
             F.count(F.lit(1)).alias("n_orders"),
@@ -3668,6 +3674,8 @@ def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number()
             .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
             .alias("rn"),
+            # null-audited: ev filters value.isNotNull() above (the
+            # docstring's NULL-guard invariant, mirrored in the oracle)
             F.sort_array(F.collect_list("value").over(w)).alias("vals"),
         )
         .filter(F.col("rn") >= 5)
@@ -5322,7 +5330,8 @@ def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ts").asc(), F.col("event_id").asc())
         .rowsBetween(-63, Window.currentRow)
     )
-    vals = F.collect_list("value").over(w)
+    # (the comment block above pins the invariant on BOTH sides)
+    vals = F.collect_list("value").over(w)  # null-audited: ev filters value.isNotNull() above
     s = F.size(F.col("__w"))
     # element i (0-based) of the s-length trail weighs (1-a)^(s-1-i);
     # both num and den fold left-to-right — bit-stable vs the SQL twin

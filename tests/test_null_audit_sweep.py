@@ -85,3 +85,25 @@ def test_lint_rules_on_synthetic_snippets():
     # equality and positive isin are not this class
     assert not lint_source("df.filter(F.col('k') == 0)\n")
     assert not lint_source("df.filter(F.col('k').isin([1]))\n")
+
+
+def test_lint_collect_list_rule():
+    """r08 rule: Spark collect_list/collect_set DROP NULL inputs while
+    DuckDB's list() keeps them (the r04 q_ewma/q_window_median class) —
+    every collect needs a NULL arm, a pragma, or a struct-constructor
+    argument (never NULL)."""
+    assert lint_source("x = df.agg(F.collect_list('value'))\n")
+    assert lint_source("v = F.collect_set(F.col('b')).alias('bs')\n")
+    # guarded in the same statement
+    assert not lint_source(
+        "x = df.filter(F.col('value').isNotNull())"
+        ".agg(F.collect_list('value'))\n"
+    )
+    # pragma
+    assert not lint_source(
+        "v = F.collect_list('value')  # null-audited: guarded upstream\n"
+    )
+    # struct-constructor argument is never NULL
+    assert not lint_source(
+        "x = df.agg(F.collect_list(F.struct('a', 'b')))\n"
+    )

@@ -23,6 +23,14 @@ The rule this lint enforces over the engine source
         invariant, derived non-null expression, oracle-symmetric
         predicate, …).
 
+  and (round 8) every `collect_list(...)` / `collect_set(...)` call —
+  Spark DROPS NULL inputs while DuckDB's `list()` keeps them, so an
+  unguarded collect over a nullable column diverges element counts the
+  moment a NULL arrives (the r04 q_ewma/q_window_median class). Same
+  escape hatch: an isNull()/isNotNull() arm in the statement or a
+  `# null-audited:` pragma. A direct `F.struct(...)` argument is exempt
+  (struct constructors are never NULL).
+
 Array higher-order filters (`F.filter(col, lambda …)`) are exempt: they
 drop NULL *elements* symmetrically on both engines and never delete rows.
 
@@ -137,6 +145,30 @@ def lint_source(src: str, filename: str = "<src>") -> list[tuple[int, str]]:
                                     "— NULL values silently drop",
                                 )
                             )
+        # 3) collect_list/collect_set anywhere — Spark drops NULL inputs,
+        # DuckDB list() keeps them (r04 divergence class)
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr in ("collect_list", "collect_set")
+        ):
+            arg = node.args[0] if node.args else None
+            struct_arg = (
+                isinstance(arg, ast.Call)
+                and isinstance(arg.func, ast.Attribute)
+                and arg.func.attr == "struct"
+            )
+            if not struct_arg and not (
+                stmt_has_null_arm(node.lineno) or pragma_in_stmt(node.lineno)
+            ):
+                out.append(
+                    (
+                        node.lineno,
+                        f"{node.func.attr}() without an isNull()/isNotNull() "
+                        "arm or '# null-audited:' pragma — Spark drops NULL "
+                        "inputs, DuckDB list() keeps them",
+                    )
+                )
     return sorted(set(out))
 
 
