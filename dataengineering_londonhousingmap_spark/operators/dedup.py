@@ -385,6 +385,59 @@ def ngram_containment_pairs(
 # cluster survivorship (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 
+def exact_dup_quotient(
+    df: DataFrame,
+    id_col: str,
+    fingerprint,
+    collapsible=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse EXACT duplicates to one representative row before near-dup
+    detection — the quotient-graph step a web-scale dedup runs first.
+
+    On twin-heavy corpora (the common-crawl shape: most duplicates are
+    byte-identical) every downstream cost is quadratic in twin multiplicity
+    without this: a k-way exact-dup group contributes k×(k-1)/2 LSH
+    candidate pairs, k copies of every shingle explode, and a k-clique the
+    component iteration has to traverse. Collapsing the group to its min-id
+    representative makes all of that ~linear, and the result is PROVABLY
+    identical: identical inputs have identical shingles/signatures/band
+    hashes (construction-exact md5 machinery), so candidacy and similarity
+    values quotient exactly, and a group's representative id IS the group
+    min — the component min over representatives equals the min over all
+    members. The 10× replication probe (BENCH_BIGSCALE.json) is the
+    measured case: clusters/semantic clustering pay ~100× pair blowup
+    without the quotient.
+
+    ``fingerprint``: Column — equal values ⇔ rows are exact duplicates for
+    the downstream similarity (e.g. ``F.md5(text)``, ``F.md5(vec.cast(
+    "string"))``). ``collapsible``: optional Column<bool>; rows where it is
+    False/NULL stay singleton groups — REQUIRED for rows the downstream
+    pipeline would NOT self-connect (zero-norm vectors get no cosine edge,
+    NULL texts shed no shingles), otherwise the quotient would cluster
+    twins the direct path leaves isolated.
+
+    Returns ``(reps, mapping)``: ``reps`` = the full rows of each group's
+    min-id representative (run the near-dup pipeline on these); ``mapping``
+    = (id_col, __rep) to expand per-representative results back to every
+    row. One fingerprint shuffle + one semi-join; the (fingerprint → rep)
+    table is materialized once and reused by both outputs.
+    """
+    fp = fingerprint
+    if collapsible is not None:
+        fp = F.when(collapsible, fingerprint).otherwise(
+            F.concat(F.lit("__self:"), F.col(id_col).cast("string"))
+        )
+    m = df.select(F.col(id_col), fp.alias("__fp"))
+    groups = (
+        m.groupBy("__fp").agg(F.min(id_col).alias("__rep")).transform(materialize)
+    )
+    mapping = m.join(groups, "__fp").select(F.col(id_col), F.col("__rep"))
+    reps = df.join(
+        groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    return reps, mapping
+
+
 def connected_components(
     vertices: DataFrame,
     edges: DataFrame,
@@ -402,14 +455,18 @@ def connected_components(
 
     The iterative-algorithm pattern (same shape as Lloyd training in
     similarity.py): a driver loop of DISTRIBUTED steps — each iteration is
-    one equi-join (labels onto edge endpoints) + one min-aggregate, with
-    ``localCheckpoint`` truncating the lineage so the plan doesn't grow
-    with iterations. Only a converged-yet boolean ever reaches the driver.
-    Iteration count is the graph diameter; near-dup components are
-    shallow (a transitive chain of near-identical docs), so this
-    converges in a handful of rounds at any corpus size. Raises if
-    ``max_iters`` is hit without convergence rather than returning a
-    silently-wrong partial clustering.
+    one equi-join (labels onto edge endpoints) + one min-aggregate + one
+    pointer-doubling compression (label ← label's label, the classic
+    pointer-jumping step from the MapReduce connected-components
+    literature), with ``localCheckpoint`` truncating the lineage so the
+    plan doesn't grow with iterations. Only a converged-yet boolean ever
+    reaches the driver. Compression halves the remaining label-chain depth
+    every round, so convergence is O(log diameter) — a diameter-300
+    near-dup chain (adversarially long, but real corpora produce them)
+    converges in ~10 rounds where plain min-propagation needs 299 and
+    would blow the iteration bound. Raises if ``max_iters`` is hit without
+    convergence rather than returning a silently-wrong partial clustering
+    (2^25 diameter is unreachable in practice).
     """
     e = (
         edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -438,11 +495,34 @@ def connected_components(
         # convergence then reads off the aggregated frame itself — a filter
         # over the just-checkpointed blocks instead of a second join of two
         # label tables per iteration
-        new_labels = (
+        propagated = (
             labels.select("id", "label", F.col("label").alias("old"))
             .unionByName(msgs)
             .groupBy("id")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+            .transform(materialize)
+        )
+        # pointer-doubling compression: label ← label's label. Every label
+        # value is itself an edge-incident vertex id (labels start as self
+        # and only ever move to a smaller reachable id), so the inner
+        # self-join is total. merge-pinned: both sides are the
+        # vertex-scaled checkpointed frame — LogicalRDD stats
+        # underestimate, and a broadcast build over it is the driver-OOM
+        # shape the merge-pin contract exists for (PLANS.md).
+        rep = propagated.select(
+            F.col("id").alias("__rid"), F.col("label").alias("__rlabel")
+        )
+        new_labels = (
+            propagated.join(
+                rep.hint("merge"), propagated["label"] == rep["__rid"], "left"
+            )
+            # coalesce is defensive: the join is total by the invariant
+            # above; a left join can only ever keep a row, never lose one
+            .select(
+                "id",
+                F.coalesce(F.col("__rlabel"), F.col("label")).alias("label"),
+                "old",
+            )
             .transform(materialize)
         )
         changed = (

@@ -43,6 +43,7 @@ from .operators.dedup import (
     char_shingles,
     connected_components,
     dedup_first_seen,
+    exact_dup_quotient,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -1996,15 +1997,33 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:connected_components). The step pairwise dedup
     misses: (A,B), (B,C) near-dup pairs collapse to ONE cluster min-id even
     when (A,C) was never a candidate. Oracle: a recursive CTE computing min
-    reachable doc over the identical edge set."""
+    reachable doc over the identical edge set.
+
+    Exact-dup quotient first (operators/dedup.py:exact_dup_quotient): all
+    shingle/LSH/verify/component work runs on one representative per
+    distinct text, and the clustering expands back through the (doc → rep)
+    mapping — output-identical (identical texts have identical signatures,
+    so candidacy and Jaccard quotient exactly; the oracle is unchanged),
+    but twin-heavy corpora stop paying k² pairs per k-way exact-dup group.
+    NULL-text docs stay singleton groups: they shed no shingles, so the
+    direct path never self-connects them."""
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
+    reps, mapping = exact_dup_quotient(
+        docs.select("doc_id", "text"),
+        "doc_id",
+        F.md5("text"),
+        F.col("text").isNotNull(),
+    )
+    sh = char_shingles(reps, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     edges = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand).select(
         "id_a", "id_b"
     )
-    return connected_components(docs.select("doc_id"), edges, "doc_id")
+    cc = connected_components(reps.select("doc_id"), edges, "doc_id")
+    return mapping.join(
+        cc.select(F.col("doc_id").alias("__rep"), "cluster_id"), "__rep"
+    ).select("doc_id", "cluster_id")
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2012,10 +2031,27 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     (≥0.42) → connected components — the embedding-space twin of
     q_dedup_clusters, collapsing transitive chains of near-identical
     meaning to one survivor. Same iterative min-label engine, same
-    recursive-CTE oracle shape, cosine edges instead of Jaccard."""
+    recursive-CTE oracle shape, cosine edges instead of Jaccard.
+
+    Exact-dup quotient first (operators/dedup.py:exact_dup_quotient): the
+    quadratic exact-cosine pass runs on one representative per distinct
+    vector — identical vectors have identical cosines against everything,
+    so the pair structure quotients exactly and the output (and oracle) is
+    unchanged. Zero vectors stay singleton groups: cosine's denominator
+    guard gives them no edges, so the direct path never self-connects
+    them."""
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup(emb, threshold=0.42).select("id_a", "id_b")
-    return connected_components(emb.select("vec_id"), pairs, "vec_id")
+    reps, mapping = exact_dup_quotient(
+        emb.select("vec_id", "embedding"),
+        "vec_id",
+        F.md5(F.col("embedding").cast("string")),
+        F.exists(F.col("embedding"), lambda x: x != F.lit(0.0)),
+    )
+    pairs = embedding_near_dup(reps, threshold=0.42).select("id_a", "id_b")
+    cc = connected_components(reps.select("vec_id"), pairs, "vec_id")
+    return mapping.join(
+        cc.select(F.col("vec_id").alias("__rep"), "cluster_id"), "__rep"
+    ).select("vec_id", "cluster_id")
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5634,7 +5670,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # r07: the topk NN query now exercises the fixed k>1 × multi-column shell.
 # r08: q_multimodal_resize now decodes REAL PGM payloads (dependency-free
 # Netpbm codec) instead of raw byte math — values unchanged, path changed.
-RE_VERIFY_FRONT: dict[str, int] = {"q_multimodal_resize": 8}
+RE_VERIFY_FRONT: dict[str, int] = {
+    "q_multimodal_resize": 8,
+    # r08 exact-dup quotient rewires (output proven identical, but the
+    # pipeline under them changed — force a fresh driver row)
+    "q_dedup_clusters": 8,
+    "q_dedup_semantic": 8,
+}
 
 
 def _last_sampled_rounds(root: str | None = None) -> dict[str, int]:

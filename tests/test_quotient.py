@@ -1,0 +1,156 @@
+"""exact_dup_quotient (r08) must be output-IDENTICAL to the direct path.
+
+The quotient's correctness argument: identical inputs have identical
+shingles/signatures/band hashes (text) and identical cosines (vectors), so
+candidacy and similarity values quotient exactly, intra-group connectivity
+is implied by the group's shared representative, and the representative id
+IS the group min — so min-label components expand back to exactly the
+direct path's clustering. These tests pin that argument empirically on
+twin-heavy corpora INCLUDING the rows the quotient must NOT collapse:
+NULL texts (shed no shingles → the direct path leaves identical NULL twins
+as separate clusters) and zero vectors (cosine's denominator guard gives
+them no edges). A quotient that collapsed those would silently merge
+clusters the direct path keeps apart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from dataengineering_londonhousingmap_spark.operators.dedup import (
+    char_shingles,
+    connected_components,
+    exact_dup_quotient,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+)
+from dataengineering_londonhousingmap_spark.operators.similarity import embedding_near_dup
+
+
+def _text_edges(docs):
+    sh = char_shingles(docs, "doc_id", "text", w=8)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    return ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand).select(
+        "id_a", "id_b"
+    )
+
+
+def _clusters_direct(docs):
+    return connected_components(docs.select("doc_id"), _text_edges(docs), "doc_id")
+
+
+def _clusters_quotient(docs):
+    reps, mapping = exact_dup_quotient(
+        docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
+    )
+    cc = connected_components(reps.select("doc_id"), _text_edges(reps), "doc_id")
+    return mapping.join(
+        cc.select(F.col("doc_id").alias("__rep"), "cluster_id"), "__rep"
+    ).select("doc_id", "cluster_id")
+
+
+def test_text_quotient_matches_direct_on_twin_heavy_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base[:-1] + "x"  # ~60 shared 8-shingles of 63 → high Jaccard
+    other = "completely different content about spark catalyst optimizer plans"
+    rows = (
+        [(i, base) for i in (1, 2, 3, 4)]            # 4-way exact-dup group
+        + [(i, near) for i in (10, 11, 12)]           # 3-way group, near-dup of base
+        + [(i, other) for i in (20, 21)]              # unrelated pair
+        + [(30, ""), (31, "")]                        # empty-text twins (DO edge: shared "" shingle)
+        + [(40, "   "), (41, "   ")]                  # whitespace twins
+        + [(50, None), (51, None)]                    # NULL twins: must stay separate
+        + [(60, "a single unique document with no duplicate anywhere at all")]
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    docs = spark.createDataFrame(rows, schema)
+
+    direct = {r["doc_id"]: r["cluster_id"] for r in _clusters_direct(docs).collect()}
+    quot = {r["doc_id"]: r["cluster_id"] for r in _clusters_quotient(docs).collect()}
+    assert quot == direct
+
+    # the corpus actually exercised a CROSS-group near-dup edge (base↔near
+    # survived LSH banding) — otherwise this test wouldn't cover component
+    # min propagating through representatives
+    assert direct[10] == direct[1] == 1
+    # NULL twins stayed singleton clusters in both paths
+    assert direct[50] == 50 and direct[51] == 51
+    assert quot[50] == 50 and quot[51] == 51
+    # exact twins collapsed to the group min in both paths
+    assert direct[30] == direct[31] == 30
+
+
+def _vec_clusters_direct(emb):
+    pairs = embedding_near_dup(emb, threshold=0.42).select("id_a", "id_b")
+    return connected_components(emb.select("vec_id"), pairs, "vec_id")
+
+
+def _vec_clusters_quotient(emb):
+    reps, mapping = exact_dup_quotient(
+        emb,
+        "vec_id",
+        F.md5(F.col("embedding").cast("string")),
+        F.exists(F.col("embedding"), lambda x: x != F.lit(0.0)),
+    )
+    pairs = embedding_near_dup(reps, threshold=0.42).select("id_a", "id_b")
+    cc = connected_components(reps.select("vec_id"), pairs, "vec_id")
+    return mapping.join(
+        cc.select(F.col("vec_id").alias("__rep"), "cluster_id"), "__rep"
+    ).select("vec_id", "cluster_id")
+
+
+def test_vector_quotient_matches_direct_including_zero_vectors(spark):
+    a = [1.0, 0.0, 0.0, 0.0]
+    near_a = [0.9, 0.4, 0.0, 0.0]  # cosine(a, near_a) ≈ 0.914 ≥ 0.42
+    ortho = [0.0, 0.0, 1.0, 0.0]
+    zero = [0.0, 0.0, 0.0, 0.0]
+    rows = (
+        [(i, a) for i in (1, 2, 3)]
+        + [(i, near_a) for i in (10, 11)]
+        + [(20, ortho), (21, ortho)]
+        + [(30, zero), (31, zero)]  # zero twins: no cosine edge, must stay separate
+        + [(40, [0.0, 0.0, 0.0, 1.0])]  # orthogonal to every group: stays singleton
+    )
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+
+    direct = {r["vec_id"]: r["cluster_id"] for r in _vec_clusters_direct(emb).collect()}
+    quot = {r["vec_id"]: r["cluster_id"] for r in _vec_clusters_quotient(emb).collect()}
+    assert quot == direct
+    assert direct[10] == direct[1] == 1          # near-dup edge crossed groups
+    assert direct[30] == 30 and direct[31] == 31  # zero twins isolated
+    assert quot[30] == 30 and quot[31] == 31
+    assert direct[20] == direct[21] == 20
+
+
+def test_quotient_rep_counts(spark):
+    """reps = one row per distinct collapsible value + every non-collapsible
+    row; mapping covers every input id exactly once."""
+    rows = [(1, "aa"), (2, "aa"), (3, "bb"), (4, None), (5, None)]
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(rows, schema)
+    reps, mapping = exact_dup_quotient(
+        df, "doc_id", F.md5("text"), F.col("text").isNotNull()
+    )
+    assert sorted(r["doc_id"] for r in reps.collect()) == [1, 3, 4, 5]
+    m = {r["doc_id"]: r["__rep"] for r in mapping.collect()}
+    assert m == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}

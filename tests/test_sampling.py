@@ -236,9 +236,11 @@ def test_connected_components_transitive(spark):
 
 
 def test_connected_components_long_chain_converges(spark):
-    """A 12-node path graph needs multiple propagation rounds — exercises
-    the iteration loop, not just the first join."""
-    n = 12
+    """A 300-node path graph: diameter 299 >> max_iters, so ONLY the r08
+    pointer-doubling compression (O(log diameter) rounds) converges — plain
+    min-propagation needs 299 rounds and raises. Reverting the compression
+    step fails here by design."""
+    n = 300
     verts = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
