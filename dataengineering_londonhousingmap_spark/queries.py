@@ -1677,10 +1677,62 @@ def q_embed_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup, exact all-pairs baseline: pairs with
-    cosine ≥ 0.42 (the synthetic corpus's near-dup band)."""
+    cosine ≥ 0.42 (the synthetic corpus's near-dup band).
+
+    Exact-dup quotient (operators/dedup.py:exact_dup_quotient): the
+    quadratic cosine pass runs once per distinct-vector pair, and matches
+    expand back to id pairs through the (id → rep) mapping — cosine is a
+    pure function of the vector pair, so values are bit-identical and the
+    oracle is unchanged; a k-twin corpus stops paying k² folds. Rep
+    self-pairs (groups with ≥2 members) carry the identical-vector cosine
+    the direct path computed per twin pair — same fold, same bits. Zero
+    vectors stay singleton groups (no denominator, no edges either way)."""
+    from .functions.vectors import dot_product, l2_norm
+
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_dup(emb, threshold=0.42)
-    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    reps, mapping = exact_dup_quotient(
+        emb.select("vec_id", "embedding"),
+        "vec_id",
+        F.md5(F.col("embedding").cast("string")),
+        F.exists(F.col("embedding"), lambda x: x != F.lit(0.0)),
+    )
+    # 3 consumers (group sizes + both expansion sides)
+    mapping = mapping.transform(materialize)
+    cross = embedding_near_dup(reps, threshold=0.42).select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "cosine"
+    )
+    # expansion filters id_a < id_b, and member ids interleave across
+    # groups — rep pairs must exist in BOTH orientations (disjoint
+    # expansions: the smaller id's group differs per orientation)
+    both = cross.unionByName(
+        cross.select(
+            F.col("rep_b").alias("rep_a"), F.col("rep_a").alias("rep_b"), "cosine"
+        )
+    )
+    sizes = mapping.groupBy("__rep").agg(F.count(F.lit(1)).alias("__n"))
+    multi = reps.join(
+        sizes.filter(F.col("__n") >= 2).select(F.col("__rep").alias("vec_id")),
+        "vec_id",
+        "left_semi",
+    )
+    norm = l2_norm(F.col("embedding"))
+    denom = norm * norm
+    selfcos = multi.select(
+        F.col("vec_id").alias("rep_a"),
+        F.col("vec_id").alias("rep_b"),
+        F.when(
+            denom > 0, dot_product(F.col("embedding"), F.col("embedding")) / denom
+        ).alias("cosine"),
+    ).filter(F.col("cosine") >= 0.42)
+    rp = both.unionByName(selfcos)
+    ma = mapping.select(F.col("__rep").alias("rep_a"), F.col("vec_id").alias("id_a"))
+    mb = mapping.select(F.col("__rep").alias("rep_b"), F.col("vec_id").alias("id_b"))
+    return (
+        rp.join(ma, "rep_a")
+        .join(mb, "rep_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3409,27 +3461,37 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross product (each block is ≤100 names at any scale because the block
     is all-but-2 trailing digits). ``F.levenshtein`` is JVM-side codegen;
     DuckDB's levenshtein is the same classic DP, so distances are exact
-    integers on both sides."""
+    integers on both sides.
+
+    Distance is a pure function of the NAME pair, so the DP runs once per
+    ordered distinct-name pair inside a block (name → block is functional:
+    the block is the name's prefix) and the matches expand back to key
+    pairs through two equi-joins — the reduce-then-compute shape
+    (operators/dedup.py:exact_dup_quotient, joins.py reduce-then-min): on
+    a twin-heavy corpus with k copies per name, levenshtein work drops k²×
+    while the key-pair OUTPUT (quadratic by construction) is produced by
+    the joins, not the DP. Output-identical; oracle unchanged."""
     cust = _t(spark, sf_dir, "customer").select(
         "c_custkey", "c_name", F.substring("c_name", 1, 16).alias("block")
     )
-    a = cust.select(
-        F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"), "block"
-    )
-    b = cust.select(
-        F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"), "block"
-    )
-    return (
-        a.join(b, "block")
-        .filter(F.col("key_a") < F.col("key_b"))
+    # aliased self-join input — materialize or the distinct replays per side
+    names = cust.select("block", "c_name").distinct().transform(materialize)
+    na = names.select(F.col("c_name").alias("name_a"), "block")
+    nb = names.select(F.col("c_name").alias("name_b"), "block")
+    npairs = (
+        na.join(nb, "block")
         .select(
-            "key_a",
-            "key_b",
-            "name_a",
-            "name_b",
-            F.levenshtein("name_a", "name_b").alias("dist"),
+            "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
         )
         .filter(F.col("dist") <= 1)
+    )
+    ka = cust.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"))
+    kb = cust.select(F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"))
+    return (
+        npairs.join(ka, "name_a")
+        .join(kb, "name_b")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
     )
 
 
@@ -5676,6 +5738,8 @@ RE_VERIFY_FRONT: dict[str, int] = {
     # pipeline under them changed — force a fresh driver row)
     "q_dedup_clusters": 8,
     "q_dedup_semantic": 8,
+    "q_fuzzy_join": 8,
+    "q_dedup_embed_exact": 8,
 }
 
 

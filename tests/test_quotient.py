@@ -15,6 +15,7 @@ clusters the direct path keeps apart.
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
@@ -138,6 +139,37 @@ def test_vector_quotient_matches_direct_including_zero_vectors(spark):
     assert direct[30] == 30 and direct[31] == 31  # zero twins isolated
     assert quot[30] == 30 and quot[31] == 31
     assert direct[20] == direct[21] == 20
+
+
+_POOL = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "the quick brown fox jumps over the lazy dog near the river bend",
+    "a totally unrelated document about catalyst optimizer internals",
+    "short",
+    "",
+    "   ",
+    None,
+]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=list(HealthCheck),
+)
+@given(st.lists(st.sampled_from(_POOL), min_size=2, max_size=14))
+def test_text_quotient_matches_direct_on_random_corpora(spark, texts):
+    """Property form: for ANY multiset drawn from a pool that forces exact
+    twins, near-dups, shingle-less shorts, empties, and NULLs, the quotient
+    clustering equals the direct clustering row-for-row."""
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    docs = spark.createDataFrame(list(enumerate(texts)), schema)
+    direct = {r["doc_id"]: r["cluster_id"] for r in _clusters_direct(docs).collect()}
+    quot = {r["doc_id"]: r["cluster_id"] for r in _clusters_quotient(docs).collect()}
+    assert quot == direct
 
 
 def test_quotient_rep_counts(spark):

@@ -79,7 +79,9 @@ def main() -> None:
             "construction; ratios far above 10 on q_join_nn (exact-NN "
             "twin), q_join_nn_gridded/topk (co-located stacks), "
             "q_decontaminate (10x10 contamination pairs), q_fuzzy_join "
-            "(identical-name blocks), and the dedup verifies measure that "
+            "(identical-name blocks), q_join_interval (identical date "
+            "intervals overlap 10x10 across copies), and the dedup "
+            "verifies measure that "
             "workload growth, not a plan regression — the plans stay "
             "shuffle-partitioned and spill-safe, and every query completes"
         ),
