@@ -2230,29 +2230,58 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id%50==0 stand in for the benchmark set). The standard eval-hygiene
     sweep before training — shuffle-on-shingle equi-join, never
     corpus×benchmark pairwise. Output: contaminated doc, how many benchmark
-    docs it collides with, and the worst overlap."""
+    docs it collides with, and the worst overlap.
+
+    Exact-dup quotient PER SIDE (r08, operators/dedup.py:exact_dup_quotient
+    — sides quotient independently because membership is decided by the
+    original doc_id): overlap counts are a pure function of the text pair,
+    so the shingle join runs on one representative per distinct text per
+    side; per-corpus-doc results expand through the corpus mapping, and a
+    benchmark text's DOC count folds in as a multiplicity sum
+    (n_bench_matches counts bench docs, not bench texts). Output identical,
+    oracle unchanged; a k-twin corpus stops paying k² intermediate pairs."""
     docs = _t(spark, sf_dir, "documents")
-    # the bench/corpus filters differ, so without a cut the shingle
-    # explode+distinct (the expensive subtree) replays once per side —
-    # materialize it and both filters read the stored blocks
-    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
-    bench = sh.filter(F.col("doc_id") % 50 == 0).select(
-        F.col("doc_id").alias("bench_id"), "shingle"
+    bench_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    corpus_docs = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")  # null-audited: doc_id non-null (pinned vintage invariant), oracle-symmetric <>
+    b_reps, b_map = exact_dup_quotient(
+        bench_docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
     )
-    corpus = sh.filter(F.col("doc_id") % 50 != 0)  # null-audited: doc_id non-null (pinned vintage invariant), oracle-symmetric <>
+    c_reps, c_map = exact_dup_quotient(
+        corpus_docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
+    )
+    sh_b = char_shingles(b_reps, "doc_id", "text", w=8).select(
+        F.col("doc_id").alias("bench_rep"), "shingle"
+    )
+    sh_c = char_shingles(c_reps, "doc_id", "text", w=8)
     overlaps = (
         # merge hint: the bench side is a fixed FRACTION of the corpus
         # (corpus-proportional, behind a checkpoint with underestimating
         # stats) — the 10x probe showed the planner picking it as a
         # broadcast build; at real scale that is a driver OOM
-        corpus.join(bench.hint("merge"), "shingle")
-        .groupBy("doc_id", "bench_id")
+        sh_c.join(sh_b.hint("merge"), "shingle")
+        .groupBy("doc_id", "bench_rep")
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
     )
-    return overlaps.groupBy("doc_id").agg(
-        F.count("*").alias("n_bench_matches"),
-        F.max("n_shared").alias("max_overlap"),
+    b_mult = b_map.groupBy("__rep").agg(F.count(F.lit(1)).alias("__m"))
+    per_rep = (
+        overlaps.join(
+            b_mult.select(F.col("__rep").alias("bench_rep"), "__m"), "bench_rep"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__m").alias("n_bench_matches"),
+            F.max("n_shared").alias("max_overlap"),
+        )
+    )
+    return (
+        c_map.join(
+            per_rep.select(
+                F.col("doc_id").alias("__rep"), "n_bench_matches", "max_overlap"
+            ),
+            "__rep",
+        )
+        .select("doc_id", "n_bench_matches", "max_overlap")
     )
 
 
@@ -5740,6 +5769,7 @@ RE_VERIFY_FRONT: dict[str, int] = {
     "q_dedup_semantic": 8,
     "q_fuzzy_join": 8,
     "q_dedup_embed_exact": 8,
+    "q_decontaminate": 8,
 }
 
 
