@@ -76,14 +76,15 @@ def main() -> None:
         "quadratic_output_note": (
             "the replication gives every document/vector/name/coordinate "
             "10 identical twins, so near-dup pair OUTPUT grows ~100x by "
-            "construction; ratios far above 10 on q_join_nn (exact-NN "
-            "twin), q_join_nn_gridded/topk (co-located stacks), "
-            "q_decontaminate (10x10 contamination pairs), q_fuzzy_join "
-            "(identical-name blocks), q_join_interval (identical date "
-            "intervals overlap 10x10 across copies), and the dedup "
-            "verifies measure that "
-            "workload growth, not a plan regression — the plans stay "
-            "shuffle-partitioned and spill-safe, and every query completes"
+            "construction (q_join_nn exact twins, co-located grid stacks, "
+            "contamination pairs, identical-name fuzzy blocks, identical "
+            "overlapping intervals). Since r08 the COMPUTE on those "
+            "families is representative-level (exact-dup quotient / "
+            "reduce-then-min shells), so even the quadratic-output "
+            "queries hold wall ratios under 10x at 10x data — the "
+            "remaining cost is producing the output itself; a ratio "
+            "drifting back above 10 means a quotient/shell was lost, "
+            "not workload"
         ),
         "queries": results,
         "errors": errors,
