@@ -4982,7 +4982,17 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets, the join is an EQUI-join on day, pairs dedup once — candidate
     volume is Σ|interval days| per day-bucket, never |A|×|B|; the overlap
     length is recomputed exactly from the endpoints afterward. The
-    calendar/visit-overlap op every temporal warehouse needs."""
+    calendar/visit-overlap op every temporal warehouse needs.
+
+    Exact-dup quotient per side (r08, operators/dedup.py:
+    exact_dup_quotient): overlap is a pure function of the INTERVAL pair,
+    so the day-explode join runs on one representative per distinct
+    (start, end) tuple per side and matched rep pairs expand back to key
+    pairs through two equi-joins — on a corpus where many rows share an
+    interval, the explode+join volume drops multiplicatively while the
+    (quadratic-by-construction) key-pair output comes from the joins. The
+    sides are disjoint key ranges, so no orientation or self-pair cases
+    arise; output identical, oracle unchanged."""
     o = _t(spark, sf_dir, "orders")
     a = o.filter(F.col("o_orderkey") % 10 == 0).select(
         F.col("o_orderkey").alias("a_key"),
@@ -4998,24 +5008,45 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("o_orderdate"), (F.col("o_custkey") % 5 + 1).cast("int")
         ).alias("b_end"),
     )
-    aa = a.select("*", F.explode(F.sequence("a_start", "a_end")).alias("__day"))
-    bb = b.select("*", F.explode(F.sequence("b_start", "b_end")).alias("__day"))
-    pairs = (
+    ra, ma = exact_dup_quotient(
+        a,
+        "a_key",
+        F.concat_ws(
+            "|", F.col("a_start").cast("string"), F.col("a_end").cast("string")
+        ),
+    )
+    rb, mb = exact_dup_quotient(
+        b,
+        "b_key",
+        F.concat_ws(
+            "|", F.col("b_start").cast("string"), F.col("b_end").cast("string")
+        ),
+    )
+    aa = ra.select("*", F.explode(F.sequence("a_start", "a_end")).alias("__day"))
+    bb = rb.select("*", F.explode(F.sequence("b_start", "b_end")).alias("__day"))
+    rep_pairs = (
         aa.join(bb, "__day")
         .dropDuplicates(["a_key", "b_key"])
         .filter(
             (F.col("a_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("a_end"))
         )
+        .select(
+            F.col("a_key").alias("__rep_a"),
+            F.col("b_key").alias("__rep_b"),
+            (
+                F.datediff(
+                    F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
+                )
+                + 1
+            ).alias("overlap_days"),
+        )
     )
-    return pairs.select(
-        "a_key",
-        "b_key",
-        (
-            F.datediff(
-                F.least("a_end", "b_end"), F.greatest("a_start", "b_start")
-            )
-            + 1
-        ).alias("overlap_days"),
+    return (
+        rep_pairs.join(
+            ma.select(F.col("__rep").alias("__rep_a"), "a_key"), "__rep_a"
+        )
+        .join(mb.select(F.col("__rep").alias("__rep_b"), "b_key"), "__rep_b")
+        .select("a_key", "b_key", "overlap_days")
     )
 
 
@@ -5770,6 +5801,7 @@ RE_VERIFY_FRONT: dict[str, int] = {
     "q_fuzzy_join": 8,
     "q_dedup_embed_exact": 8,
     "q_decontaminate": 8,
+    "q_join_interval": 8,
 }
 
 
