@@ -122,15 +122,17 @@ fail on removal by design.
 ## Exact-dup quotient contract (r08 — do NOT "optimize" the collapse out)
 
 q_dedup_clusters / q_dedup_semantic / q_dedup_embed_exact / q_fuzzy_join /
-q_decontaminate run their similarity work on ONE representative per
-distinct text/vector/name (operators/dedup.py:exact_dup_quotient and the
+q_decontaminate / q_join_interval run their similarity/overlap work on ONE
+representative per distinct text/vector/name/interval
+(operators/dedup.py:exact_dup_quotient and the
 same reduce-then-compute shape inline in fuzzy/decontaminate), expanding
 results back through the (id → rep) mapping. On the dup-free sf0.1 bench
 vintage the quotient is pure overhead — a fingerprint shuffle, a semi-join
 and the expansion joins, ~0.2-0.5s per query — and removing it wins that
 back while reverting the 10× probe to quadratic compute (measured:
 clusters 104→12s, semantic 151→7s, embed-exact 60→3s, fuzzy 242→44s,
-decontaminate 126→12s WITH the quotient; those are the counterfactuals).
+decontaminate 126→12s, interval 41→3s WITH the quotient; those are the
+counterfactuals).
 Output is provably identical (identical inputs ⇒ identical
 signatures/cosines/distances; representatives are group minima), pinned by
 tests/test_quotient.py equivalence suites including the non-collapsible
