@@ -422,11 +422,18 @@ def exact_dup_quotient(
     row. One fingerprint shuffle + one semi-join; the (fingerprint → rep)
     table is materialized once and reused by both outputs.
     """
+    self_fp = F.concat(F.lit("__self:"), F.col(id_col).cast("string"))
     fp = fingerprint
     if collapsible is not None:
-        fp = F.when(collapsible, fingerprint).otherwise(
-            F.concat(F.lit("__self:"), F.col(id_col).cast("string"))
-        )
+        fp = F.when(collapsible, fingerprint).otherwise(self_fp)
+    # NULL fingerprints route to the singleton arm unconditionally: groupBy
+    # puts every NULL in ONE group, so a fingerprint expression that can
+    # evaluate to NULL (md5 of a nullable column, concat of nullable casts)
+    # would silently cross-collapse unrelated rows with no runtime signal.
+    # The coalesce makes "equal __fp ⇔ exact duplicate" hold for every
+    # caller, not only ones whose fingerprint recipe happens to be
+    # never-NULL.
+    fp = F.coalesce(fp, self_fp)
     m = df.select(F.col(id_col), fp.alias("__fp"))
     groups = (
         m.groupBy("__fp").agg(F.min(id_col).alias("__rep")).transform(materialize)
@@ -436,6 +443,72 @@ def exact_dup_quotient(
         groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
     )
     return reps, mapping
+
+
+def quotient_expand_pairs(
+    rep_pairs: DataFrame,
+    mapping: DataFrame,
+    id_col: str,
+    payload_cols: list[str] | None = None,
+    self_payload: dict | None = None,
+    include_self_pairs: bool = False,
+) -> DataFrame:
+    """Expand representative-level pairs from an :func:`exact_dup_quotient`
+    pipeline back to member-level (id_a, id_b) pairs with ``id_a < id_b``
+    — the shared tail of every pairwise-output quotient query (embed-exact,
+    minhash candidates, jaccard verify).
+
+    ``rep_pairs``: (rep_a, rep_b, *payload_cols) with rep_a < rep_b (the
+    natural output of the near-dup stage over reps, whose ids are original
+    ids). Member ids interleave across groups, so each rep pair is expanded
+    in BOTH orientations before the ``id_a < id_b`` cut — the two
+    orientations' expansions are disjoint (the smaller id's group differs),
+    so no pair is emitted twice.
+
+    ``include_self_pairs`` / ``self_payload``: when the downstream operator
+    WOULD pair exact twins (identical texts are always LSH candidates —
+    identical signatures collide on every band — and verify at exactly
+    jaccard 1.0), multi-member groups must contribute their within-group
+    pairs too; ``self_payload`` maps each payload column to the constant
+    Column a twin pair carries (e.g. ``{"jaccard": F.lit(1.0)}``). Groups
+    the quotient left singleton (collapsible=False rows) never appear here,
+    matching the direct path's refusal to self-connect them.
+
+    ``mapping`` should be materialized by the caller (it feeds 2-3
+    consumers). Expansion joins are merge-pinned: the mapping is
+    corpus-proportional behind a checkpoint whose stats underestimate — a
+    broadcast build over it is the driver-OOM shape the merge-pin contract
+    exists for (PLANS.md).
+    """
+    payload_cols = list(payload_cols or [])
+    both = rep_pairs.unionByName(
+        rep_pairs.select(
+            F.col("rep_b").alias("rep_a"), F.col("rep_a").alias("rep_b"), *payload_cols
+        )
+    )
+    if include_self_pairs or self_payload is not None:
+        if payload_cols and (
+            self_payload is None or set(self_payload) != set(payload_cols)
+        ):
+            raise ValueError(
+                "self_payload must supply exactly the payload_cols "
+                f"({payload_cols}) for within-group twin pairs"
+            )
+        sizes = mapping.groupBy("__rep").agg(F.count(F.lit(1)).alias("__n"))
+        selfp = sizes.filter(F.col("__n") >= 2).select(
+            F.col("__rep").alias("rep_a"),
+            F.col("__rep").alias("rep_b"),
+            *[(self_payload or {})[c].alias(c) for c in payload_cols],
+        )
+        both = both.unionByName(selfp)
+    ma = mapping.select(F.col("__rep").alias("rep_a"), F.col(id_col).alias("id_a"))
+    mb = mapping.select(F.col("__rep").alias("rep_b"), F.col(id_col).alias("id_b"))
+    return (
+        both.join(ma.hint("merge"), "rep_a")
+        .join(mb.hint("merge"), "rep_b")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", *payload_cols)
+    )
 
 
 def connected_components(
@@ -461,7 +534,10 @@ def connected_components(
     literature), with ``localCheckpoint`` truncating the lineage so the
     plan doesn't grow with iterations. Only a converged-yet boolean ever
     reaches the driver. Compression halves the remaining label-chain depth
-    every round, so convergence is O(log diameter) — a diameter-300
+    every round, so convergence is O(log diameter); it is skipped for the
+    first two rounds, where plain propagation alone already converges the
+    common shallow (diameter 2-3) near-dup graphs at one join per round
+    instead of two. A diameter-300
     near-dup chain (adversarially long, but real corpora produce them)
     converges in ~10 rounds where plain min-propagation needs 299 and
     would blow the iteration bound. Raises if ``max_iters`` is hit without
@@ -486,7 +562,7 @@ def connected_components(
         .transform(materialize, eager=False)
     )
     converged = None
-    for _ in range(max_iters):
+    for it in range(max_iters):
         msgs = e.join(labels, e["src"] == labels["id"]).select(
             F.col("dst").alias("id"), F.col("label"), F.lit(None).cast("long").alias("old")
         )
@@ -502,6 +578,24 @@ def connected_components(
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
             .transform(materialize)
         )
+        # shallow-graph fast path: real near-dup graphs are mostly
+        # diameter 2-3 and converge inside the first plain-propagation
+        # rounds — the compression self-join (one sort-merge join + one
+        # extra eager checkpoint) would be pure constant-factor overhead
+        # there, paid on every catalog run. Skip it for the first two
+        # rounds; from round 3 on pointer-doubling kicks in so
+        # adversarially deep chains still converge in O(log d) (the
+        # 300-node path test exercises exactly that arm).
+        if it < 2:
+            new_labels = propagated
+            changed = (
+                new_labels.filter(F.col("label") < F.col("old")).limit(1).count()
+            )
+            labels = new_labels.select("id", "label")
+            if changed == 0:
+                converged = labels
+                break
+            continue
         # pointer-doubling compression: label ← label's label. Every label
         # value is itself an edge-incident vertex id (labels start as self
         # and only ever move to a smaller reachable id), so the inner

@@ -47,6 +47,7 @@ from .operators.dedup import (
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    quotient_expand_pairs,
     simhash,
 )
 from .operators.joins import (
@@ -1590,11 +1591,30 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + LSH(4 bands) candidate near-dup pairs over char-8
     shingles. All md5-keyed shuffle joins — the linear-scale shape.
     distinct=False: min-agg semantics don't need the set dedup, so the
-    signature groupBy is the FIRST shuffle (explode → partial-agg)."""
+    signature groupBy is the FIRST shuffle (explode → partial-agg).
+
+    Exact-dup quotient first (r09, operators/dedup.py:exact_dup_quotient):
+    shingles and signatures are pure functions of the text, so they run
+    once per DISTINCT text and candidate pairs expand back through the
+    (doc → rep) mapping (quotient_expand_pairs). Twins are ALWAYS mutual
+    candidates on the direct path — identical signatures collide on every
+    band — so multi-member groups contribute their within-group pairs
+    (include_self_pairs); every non-NULL text yields ≥1 shingle (short
+    text IS its single shingle), so no signature-less rep can slip into
+    the self-pair arm. Output identical, oracle unchanged; a k-twin
+    corpus stops paying k× shingle explodes and k² band collisions."""
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", w=8, distinct=False)
+    reps, mapping = exact_dup_quotient(
+        docs.select("doc_id", "text"), "doc_id", F.md5("text"),
+        F.col("text").isNotNull(),
+    )
+    mapping = mapping.transform(materialize)
+    sh = char_shingles(reps, "doc_id", "text", w=8, distinct=False)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
-    return lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4).select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b")
+    )
+    return quotient_expand_pairs(cand, mapping, "doc_id", include_self_pairs=True)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1607,22 +1627,42 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full near-dup pipeline: LSH candidates → exact Jaccard verify
     (threshold 0.2). The candidate prefilter is what makes this linear at
     corpus scale — the unfiltered shingle self-join is quadratic on hot
-    shingles (OOMs at 5k docs already)."""
+    shingles (OOMs at 5k docs already).
+
+    Exact-dup quotient first (r09): shingles, signatures, candidacy and
+    Jaccard are all pure functions of the text pair, so the whole verify
+    runs on one representative per distinct text and pairs expand back
+    through the (doc → rep) mapping. Twin pairs are always candidates
+    (identical signatures collide on every band) and verify at EXACTLY
+    jaccard 1.0 (s/(s+s−s) is IEEE-exact), so multi-member groups emit
+    their within-group pairs with a literal 1.0 — the same bits the
+    direct path computed per twin pair. Output identical, oracle
+    unchanged."""
     docs = _t(spark, sf_dir, "documents")
-    # the shingle set feeds 4 subtrees (signatures, sizes, both intersection
-    # sides) — eager localCheckpoint materializes the explode+distinct ONCE
-    # and truncates the lineage, so the main job reads the stored blocks
-    # four times instead of recomputing. Unlike persist(), checkpoint blocks
-    # are released by the ContextCleaner as soon as the returned plan is
-    # garbage-collected — repeated invocation in a long-lived session shows
-    # flat storage memory. (Blocks live on executor local storage: lost on
-    # executor failure → recompute from source, acceptable for a
-    # query-scoped temp.)
-    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
+    reps, mapping = exact_dup_quotient(
+        docs.select("doc_id", "text"), "doc_id", F.md5("text"),
+        F.col("text").isNotNull(),
+    )
+    mapping = mapping.transform(materialize)
+    # the rep shingle set feeds 4 subtrees (signatures, sizes, both
+    # intersection sides) — eager localCheckpoint materializes the
+    # explode+distinct ONCE and truncates the lineage, so the main job
+    # reads the stored blocks four times instead of recomputing. Unlike
+    # persist(), checkpoint blocks are released by the ContextCleaner as
+    # soon as the returned plan is garbage-collected.
+    sh = char_shingles(reps, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
     out = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    rp = out.select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard"
+    )
+    expanded = quotient_expand_pairs(
+        rp, mapping, "doc_id",
+        payload_cols=["jaccard"],
+        self_payload={"jaccard": F.lit(1.0)},
+    )
+    return expanded.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -3493,8 +3533,10 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers on both sides.
 
     Distance is a pure function of the NAME pair, so the DP runs once per
-    ordered distinct-name pair inside a block (name → block is functional:
-    the block is the name's prefix) and the matches expand back to key
+    UNORDERED distinct-name pair inside a block (name → block is
+    functional: the block is the name's prefix; the reverse orientation
+    and the trivial equal-name pairs are reconstructed without the DP)
+    and the matches expand back to key
     pairs through two equi-joins — the reduce-then-compute shape
     (operators/dedup.py:exact_dup_quotient, joins.py reduce-then-min): on
     a twin-heavy corpus with k copies per name, levenshtein work drops k²×
@@ -3505,14 +3547,31 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # aliased self-join input — materialize or the distinct replays per side
     names = cust.select("block", "c_name").distinct().transform(materialize)
-    na = names.select(F.col("c_name").alias("name_a"), "block")
-    nb = names.select(F.col("c_name").alias("name_b"), "block")
-    npairs = (
-        na.join(nb, "block")
+    na = names.select(F.col("c_name").alias("name_a"), F.col("block").alias("__ba"))
+    nb = names.select(F.col("c_name").alias("name_b"), F.col("block").alias("__bb"))
+    # the DP runs once per UNORDERED distinct-name pair: the name_a <
+    # name_b cut is part of the join condition (evaluated before the
+    # project computes levenshtein), and the reverse orientation plus the
+    # trivial name_a = name_b pairs (dist 0 by definition — no DP needed)
+    # are reconstructed below. Halves the Levenshtein work vs emitting
+    # both orientations through the DP.
+    half = (
+        na.join(nb, (F.col("__ba") == F.col("__bb")) & (F.col("name_a") < F.col("name_b")))
         .select(
             "name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist")
         )
         .filter(F.col("dist") <= 1)
+    )
+    npairs = half.unionByName(
+        half.select(
+            F.col("name_b").alias("name_a"), F.col("name_a").alias("name_b"), "dist"
+        )
+    ).unionByName(
+        names.select(
+            F.col("c_name").alias("name_a"),
+            F.col("c_name").alias("name_b"),
+            F.lit(0).alias("dist"),
+        )
     )
     ka = cust.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"))
     kb = cust.select(F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"))
@@ -4185,24 +4244,49 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new×index band join, never a self-join), then n-gram Jaccard verify.
     At 100 TB the index side is a precomputed signature table; the
     increment never rescans the corpus pairwise. Output: new docs that
-    duplicate the index, with the matched index doc."""
+    duplicate the index, with the matched index doc.
+
+    Exact-dup quotient PER SIDE (r09, the q_decontaminate shape): side
+    membership is decided by the ORIGINAL doc_id's hash bucket, so each
+    side quotients independently and shingle/minhash work runs once per
+    distinct text per side. Candidates are rep_new × rep_index band
+    collisions; results expand through one equi-join per side — the sides
+    are disjoint, so no orientation or self-pair cases arise. Output
+    identical, oracle unchanged."""
     from .operators.dedup import lsh_candidate_pairs_against
     from .operators.sampling import _hash_bucket
 
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
-    # the signature table splits into new/index sides — materialize it
-    # (16 longs per doc) so the minhash groupBy runs once, not per side
-    sig = minhash_signatures(sh, "doc_id", num_hashes=16).transform(materialize)
     is_new = _hash_bucket(F.col("doc_id"), "ded_idx") < 2000
+    n_reps, n_map = exact_dup_quotient(
+        docs.filter(is_new).select("doc_id", "text"),
+        "doc_id", F.md5("text"), F.col("text").isNotNull(),
+    )
+    i_reps, i_map = exact_dup_quotient(
+        docs.filter(~is_new).select("doc_id", "text"),
+        "doc_id", F.md5("text"), F.col("text").isNotNull(),
+    )
+    # one shingle table over both sides' reps (rep ids keep their side:
+    # a rep is one of its own group's rows, and groups never cross sides)
+    sh = char_shingles(
+        n_reps.unionByName(i_reps), "doc_id", "text", w=8
+    ).transform(materialize)
+    # the signature table splits into new/index sides — materialize it
+    # (16 longs per rep) so the minhash groupBy runs once, not per side
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16).transform(materialize)
     cand = lsh_candidate_pairs_against(
-        sig.filter(is_new), sig.filter(~is_new), "doc_id", num_hashes=16, bands=4
+        sig.filter(is_new), sig.filter(~is_new),
+        "doc_id", num_hashes=16, bands=4,
     )
     pairs = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
-    return pairs.select(
-        F.col("id_a").alias("new_id"),
-        F.col("id_b").alias("index_id"),
-        F.round("jaccard", 6).alias("jaccard"),
+    na = n_map.select(F.col("__rep").alias("id_a"), F.col("doc_id").alias("new_id"))
+    ib = i_map.select(F.col("__rep").alias("id_b"), F.col("doc_id").alias("index_id"))
+    # merge-pinned: both mappings are corpus-proportional behind
+    # checkpoints whose stats underestimate (the PLANS.md contract)
+    return (
+        pairs.join(na.hint("merge"), "id_a")
+        .join(ib.hint("merge"), "id_b")
+        .select("new_id", "index_id", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
@@ -5008,20 +5092,21 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("o_orderdate"), (F.col("o_custkey") % 5 + 1).cast("int")
         ).alias("b_end"),
     )
-    ra, ma = exact_dup_quotient(
-        a,
-        "a_key",
-        F.concat_ws(
-            "|", F.col("a_start").cast("string"), F.col("a_end").cast("string")
-        ),
-    )
-    rb, mb = exact_dup_quotient(
-        b,
-        "b_key",
-        F.concat_ws(
-            "|", F.col("b_start").cast("string"), F.col("b_end").cast("string")
-        ),
-    )
+    # NULL-safe fingerprint: concat_ws silently SKIPS NULL args, so
+    # (NULL, d) and (d, NULL) would collapse to the same '|d'-less string —
+    # a violation of the quotient's "equal fingerprint ⇔ exact duplicate"
+    # contract. Each endpoint coalesces to a sentinel no date cast can
+    # produce (o_orderdate is non-null today; the recipe must stay safe
+    # when copied).
+    def _iv_fp(start: str, end: str):
+        return F.concat_ws(
+            "|",
+            F.coalesce(F.col(start).cast("string"), F.lit("\x00null")),
+            F.coalesce(F.col(end).cast("string"), F.lit("\x00null")),
+        )
+
+    ra, ma = exact_dup_quotient(a, "a_key", _iv_fp("a_start", "a_end"))
+    rb, mb = exact_dup_quotient(b, "b_key", _iv_fp("b_start", "b_end"))
     aa = ra.select("*", F.explode(F.sequence("a_start", "a_end")).alias("__day"))
     bb = rb.select("*", F.explode(F.sequence("b_start", "b_end")).alias("__day"))
     rep_pairs = (
@@ -5798,10 +5883,15 @@ RE_VERIFY_FRONT: dict[str, int] = {
     # pipeline under them changed — force a fresh driver row)
     "q_dedup_clusters": 8,
     "q_dedup_semantic": 8,
-    "q_fuzzy_join": 8,
     "q_dedup_embed_exact": 8,
     "q_decontaminate": 8,
     "q_join_interval": 8,
+    # r09: quotient extended to the shingle/minhash family; fuzzy join now
+    # evaluates the Levenshtein DP once per unordered distinct-name pair
+    "q_dedup_minhash": 9,
+    "q_ngram_jaccard": 9,
+    "q_dedup_incremental": 9,
+    "q_fuzzy_join": 9,
 }
 
 

@@ -190,10 +190,9 @@ def late_data_rollup(
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count("*").alias("__n"), F.sum("value").alias("__sum"))
     )
-    try:
-        spark.catalog.dropTempView(sink_name)
-    except Exception:
-        pass
+    # best-effort replace of a stale sink view from a prior run —
+    # dropTempView returns False (never raises) when the view is absent
+    spark.catalog.dropTempView(sink_name)
     with _few_state_partitions(spark):
         q = (
             agg.writeStream.format("memory")
@@ -264,10 +263,9 @@ def dedup_two_batch_replay(
         .parquet(in_dir)
     )
     dd = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key_col])
-    try:
-        spark.catalog.dropTempView(sink_name)
-    except Exception:
-        pass
+    # best-effort replace of a stale sink view from a prior run —
+    # dropTempView returns False (never raises) when the view is absent
+    spark.catalog.dropTempView(sink_name)
     with _few_state_partitions(spark):
         q = (
             dd.writeStream.format("memory")
@@ -627,10 +625,9 @@ def run_stream_to_memory(
     deployment writes to a partitioned Parquet/Delta sink with a
     checkpointLocation instead)."""
     spark = df.sparkSession
-    try:
-        spark.catalog.dropTempView(name)
-    except Exception:
-        pass
+    # best-effort replace of a stale sink view from a prior run —
+    # dropTempView returns False (never raises) when the view is absent
+    spark.catalog.dropTempView(name)
     with _few_state_partitions(spark, n=state_partitions):
         q = (
             df.writeStream.format("memory")

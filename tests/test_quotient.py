@@ -186,3 +186,189 @@ def test_quotient_rep_counts(spark):
     assert sorted(r["doc_id"] for r in reps.collect()) == [1, 3, 4, 5]
     m = {r["doc_id"]: r["__rep"] for r in mapping.collect()}
     assert m == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+
+
+# ---------------------------------------------------------------------------
+# r09: pair-OUTPUT quotient queries (minhash candidates, jaccard verify,
+# incremental vs standing index) — quotient_expand_pairs must reproduce the
+# direct path's pair set exactly, including within-group twin pairs.
+# ---------------------------------------------------------------------------
+
+from dataengineering_londonhousingmap_spark.operators.dedup import (  # noqa: E402
+    lsh_candidate_pairs_against,
+    quotient_expand_pairs,
+)
+
+_PAIR_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+def _pair_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    near = base[:-1] + "x"
+    other = "completely different content about spark catalyst optimizer plans"
+    rows = (
+        [(i, base) for i in (1, 2, 3, 4)]
+        + [(i, near) for i in (10, 11, 12)]
+        + [(i, other) for i in (20, 21)]
+        + [(30, ""), (31, "")]
+        + [(40, "   "), (41, "   ")]
+        + [(50, None), (51, None)]
+        + [(60, "short")]
+        + [(61, "short")]  # short-text twins: single whole-text shingle
+        + [(70, "a single unique document with no duplicate anywhere at all")]
+    )
+    return spark.createDataFrame(rows, _PAIR_SCHEMA)
+
+
+def _minhash_direct(docs):
+    sh = char_shingles(docs, "doc_id", "text", w=8, distinct=False)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    return lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+
+
+def _minhash_quotient(docs):
+    from dataengineering_londonhousingmap_spark.operators.util import materialize
+
+    reps, mapping = exact_dup_quotient(
+        docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
+    )
+    mapping = mapping.transform(materialize)
+    cand = _minhash_direct(reps).select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b")
+    )
+    return quotient_expand_pairs(cand, mapping, "doc_id", include_self_pairs=True)
+
+
+def test_minhash_candidate_quotient_matches_direct(spark):
+    docs = _pair_corpus(spark)
+    direct = {(r["id_a"], r["id_b"]) for r in _minhash_direct(docs).collect()}
+    quot = {(r["id_a"], r["id_b"]) for r in _minhash_quotient(docs).collect()}
+    assert quot == direct
+    # the corpus exercised every arm: twin self-pairs, cross-group pairs,
+    # NULL twins excluded, short-text twins included (whole-text shingle)
+    assert (1, 2) in direct and (60, 61) in direct and (30, 31) in direct
+    assert (50, 51) not in direct
+    assert (1, 10) in direct  # near-dup cross-group candidate
+
+
+def _jaccard_direct(docs):
+    sh = char_shingles(docs, "doc_id", "text", w=8)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    out = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _jaccard_quotient(docs):
+    from dataengineering_londonhousingmap_spark.operators.util import materialize
+
+    reps, mapping = exact_dup_quotient(
+        docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
+    )
+    mapping = mapping.transform(materialize)
+    sh = char_shingles(reps, "doc_id", "text", w=8).transform(materialize)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    rp = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand).select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard"
+    )
+    return quotient_expand_pairs(
+        rp, mapping, "doc_id",
+        payload_cols=["jaccard"], self_payload={"jaccard": F.lit(1.0)},
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def test_jaccard_verify_quotient_matches_direct(spark):
+    docs = _pair_corpus(spark)
+    direct = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in _jaccard_direct(docs).collect()
+    }
+    quot = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in _jaccard_quotient(docs).collect()
+    }
+    assert quot == direct
+    # twin pairs verify at EXACTLY 1.0 on both paths (the literal the
+    # self-pair arm emits must match the direct path's s/(s+s-s) bits)
+    assert direct[(1, 2)] == 1.0 and direct[(30, 31)] == 1.0
+
+
+def test_incremental_quotient_matches_direct(spark):
+    from dataengineering_londonhousingmap_spark.operators.util import materialize
+
+    docs = _pair_corpus(spark)
+    side_new = F.col("doc_id") % 2 == 0  # deterministic stand-in for the hash bucket
+
+    def direct():
+        sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
+        sig = minhash_signatures(sh, "doc_id", num_hashes=16).transform(materialize)
+        cand = lsh_candidate_pairs_against(
+            sig.filter(side_new), sig.filter(~side_new), "doc_id",
+            num_hashes=16, bands=4,
+        )
+        return ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand).select(
+            F.col("id_a").alias("new_id"), F.col("id_b").alias("index_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+
+    def quotient():
+        n_reps, n_map = exact_dup_quotient(
+            docs.filter(side_new), "doc_id", F.md5("text"), F.col("text").isNotNull()
+        )
+        i_reps, i_map = exact_dup_quotient(
+            docs.filter(~side_new), "doc_id", F.md5("text"), F.col("text").isNotNull()
+        )
+        sh = char_shingles(
+            n_reps.unionByName(i_reps), "doc_id", "text", w=8
+        ).transform(materialize)
+        sig = minhash_signatures(sh, "doc_id", num_hashes=16).transform(materialize)
+        cand = lsh_candidate_pairs_against(
+            sig.filter(side_new), sig.filter(~side_new), "doc_id",
+            num_hashes=16, bands=4,
+        )
+        pairs = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
+        na = n_map.select(F.col("__rep").alias("id_a"), F.col("doc_id").alias("new_id"))
+        ib = i_map.select(
+            F.col("__rep").alias("id_b"), F.col("doc_id").alias("index_id")
+        )
+        return (
+            pairs.join(na.hint("merge"), "id_a")
+            .join(ib.hint("merge"), "id_b")
+            .select("new_id", "index_id", F.round("jaccard", 6).alias("jaccard"))
+        )
+
+    d = {(r["new_id"], r["index_id"]): r["jaccard"] for r in direct().collect()}
+    q = {(r["new_id"], r["index_id"]): r["jaccard"] for r in quotient().collect()}
+    assert q == d
+    # cross-side twins landed (even↔odd ids with identical text) and the
+    # NULL pair (50, 51) did not
+    assert (2, 1) in d and d[(2, 1)] == 1.0
+    assert (50, 51) not in d
+
+
+def test_quotient_null_fingerprint_rows_stay_singletons(spark):
+    """ADVICE r08: a fingerprint expression that evaluates to NULL must
+    never cross-collapse rows — NULL fingerprints route through the
+    __self singleton arm even when no collapsible guard is given."""
+    rows = [(1, "aa"), (2, "aa"), (3, None), (4, None)]
+    df = spark.createDataFrame(rows, _PAIR_SCHEMA)
+    reps, mapping = exact_dup_quotient(df, "doc_id", F.md5("text"))  # md5(NULL)=NULL
+    m = {r["doc_id"]: r["__rep"] for r in mapping.collect()}
+    assert m == {1: 1, 2: 1, 3: 3, 4: 4}
+    assert sorted(r["doc_id"] for r in reps.collect()) == [1, 3, 4]
+
+
+def test_quotient_expand_pairs_requires_matching_self_payload(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "aa"), (2, "aa")], _PAIR_SCHEMA)
+    _reps, mapping = exact_dup_quotient(df, "doc_id", F.md5("text"))
+    rp = spark.createDataFrame(
+        [], "rep_a LONG, rep_b LONG, jaccard DOUBLE"
+    )
+    with pytest.raises(ValueError, match="self_payload"):
+        quotient_expand_pairs(
+            rp, mapping, "doc_id",
+            payload_cols=["jaccard"], include_self_pairs=True,
+        )

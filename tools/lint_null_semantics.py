@@ -31,6 +31,11 @@ The rule this lint enforces over the engine source
   `# null-audited:` pragma. A direct `F.struct(...)` argument is exempt
   (struct constructors are never NULL).
 
+  and (round 9) every broad exception swallow (`except: pass` /
+  `except Exception: pass`) — the r07 upsert-sink bare-except turned a
+  transient read failure into silent data loss. Name the expected
+  exception class, or carry a `# swallow-audited: <why>` pragma.
+
 Array higher-order filters (`F.filter(col, lambda …)`) are exempt: they
 drop NULL *elements* symmetrically on both engines and never delete rows.
 
@@ -145,6 +150,31 @@ def lint_source(src: str, filename: str = "<src>") -> list[tuple[int, str]]:
                                     "— NULL values silently drop",
                                 )
                             )
+        # 4) silent exception swallows: `except: pass` / `except Exception:
+        # pass` hide REAL errors behind best-effort intent (the r07
+        # upsert-sink bare-except turned transient read failures into data
+        # loss). A swallow must either name the expected exception class or
+        # carry a '# swallow-audited: <why any error is safe>' pragma.
+        if isinstance(node, ast.ExceptHandler):
+            broad = node.type is None or (
+                isinstance(node.type, ast.Name) and node.type.id == "Exception"
+            )
+            body_is_pass = len(node.body) == 1 and isinstance(node.body[0], ast.Pass)
+            if broad and body_is_pass:
+                lo, hi = node.lineno, node.body[0].end_lineno or node.body[0].lineno
+                has_pragma = any(
+                    "# swallow-audited" in lines[i - 1]
+                    for i in range(lo, min(hi, len(lines)) + 1)
+                )
+                if not has_pragma:
+                    out.append(
+                        (
+                            node.lineno,
+                            "broad 'except: pass' swallow — name the expected "
+                            "exception class or add a '# swallow-audited: "
+                            "<why>' pragma",
+                        )
+                    )
         # 3) collect_list/collect_set anywhere — Spark drops NULL inputs,
         # DuckDB list() keeps them (r04 divergence class)
         if (
