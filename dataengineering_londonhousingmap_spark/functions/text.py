@@ -172,12 +172,24 @@ def redact_pii(col: Column | str) -> Column:
 
 def bigrams(col: Column | str) -> Column:
     """Adjacent whitespace-token pairs as an array of 'a b' strings — the
-    unit of repetition scoring. <2 tokens → empty array."""
+    unit of repetition scoring. <2 tokens → empty array.
+
+    Shape matters: ``zip_with`` over two ``slice``s of the token array, so
+    the regex tokenization is evaluated O(1) times per row. The previous
+    ``transform(sequence, i -> element_at(t, i))`` captured the ``split``
+    expression inside the lambda, and higher-order-function lambdas
+    re-evaluate captured subtrees PER ELEMENT — O(n_tokens) regex splits
+    per doc, O(n²) work overall. Invisible on short docs; on the
+    adversarial 30×-repetitive vintage (~1.5k tokens/doc) it was 105×
+    slower (measured r09: 61.2s vs 0.58s for 2k synthetic 1500-token
+    docs), the entire q_corpus_stats_score / q_collocations 38×/28×
+    adversarial-probe blowup."""
     t = tokens(col)
     n = F.size(t)
-    idx = F.sequence(F.lit(1), n - 1)
-    pairs = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1))
+    len_ = F.greatest(n - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(t, 1, len_), F.slice(t, 2, len_),
+        lambda a, b: F.concat_ws(" ", a, b),
     )
     return F.when(n >= 2, pairs).otherwise(F.array().cast("array<string>"))
 

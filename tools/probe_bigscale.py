@@ -32,14 +32,39 @@ ADV = "--adv" in sys.argv
 BIG = os.path.join(ROOT, ".bigdata_adv" if ADV else ".bigdata")
 OUT_JSON = "BENCH_BIGSCALE_ADV.json" if ADV else "BENCH_BIGSCALE.json"
 
+# --families a,b,...: probe only queries whose name starts with one of the
+# given prefixes, merging results into the existing artifact (other entries
+# carry over from the last full run). Lets the hot quotient/near-dup
+# families be re-probed every round without paying the full-catalog ~800s;
+# the subset choice is recorded in the artifact's probe_note so coverage
+# stays auditable. Full-catalog runs (no flag) reset probe_note.
+FAMILIES: list[str] = []
+for i, a in enumerate(sys.argv):
+    if a == "--families" and i + 1 < len(sys.argv):
+        FAMILIES = [p.strip() for p in sys.argv[i + 1].split(",") if p.strip()]
+
 
 def main() -> None:
     spark = get_session("dataengineering_londonhousingmap-bigscale")
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, float] = {}
     errors: dict[str, str] = {}
+    selected = {
+        name: fn
+        for name, fn in QUERIES.items()
+        if not FAMILIES or any(name.startswith(p) for p in FAMILIES)
+    }
+    prior: dict = {}
+    if FAMILIES and os.path.exists(os.path.join(ROOT, OUT_JSON)):
+        with open(os.path.join(ROOT, OUT_JSON)) as f:
+            prior = json.load(f)
+        results.update(prior.get("queries", {}))
+        errors.update(prior.get("errors", {}))
+        for name in selected:  # probed fresh below; drop stale entries
+            results.pop(name, None)
+            errors.pop(name, None)
     with open("/tmp/bigscale_adv_progress.txt" if ADV else "/tmp/bigscale_progress.txt", "w") as out:
-        for name, fn in QUERIES.items():
+        for name, fn in selected.items():
             gc.collect()
             t0 = time.time()
             try:
@@ -92,6 +117,13 @@ def main() -> None:
         "max_ratio": max(ratios.values(), default=None),
         "total_wall_s": round(sum(results.values()), 1),
     }
+    if FAMILIES:
+        doc["probe_note"] = (
+            f"partial re-probe: only prefixes {FAMILIES} "
+            f"({len(selected)} queries) measured this run; remaining "
+            "entries carry over from the artifact's last full-catalog run "
+            f"(prior note: {prior.get('probe_note', 'full catalog')})"
+        )
     if ADV:
         doc["note"] = (
             "wall sec per catalog query on the 10x-replicated ~sf1 vintage "
