@@ -445,6 +445,38 @@ def exact_dup_quotient(
     return reps, mapping
 
 
+def both_orientations(
+    pairs: DataFrame,
+    a_col: str = "rep_a",
+    b_col: str = "rep_b",
+    payload_cols: list[str] | None = None,
+) -> DataFrame:
+    """Emit each (a, b, *payload) row in BOTH orientations in ONE pass:
+    explode a two-struct array instead of ``pairs.unionByName(swap)``.
+
+    The union shape gives the plan TWO consumers of ``pairs``; when the
+    upstream is unmaterialized (an LSH candidate pipeline, a block join +
+    Levenshtein DP, an all-pairs cosine), Spark REPLAYS it once per
+    branch — measured r09 on the 10× adversarial vintage: q_fuzzy_join
+    ran its block join + DP twice (6.8s → 10.8s after the r09 ordered-DP
+    change re-used the frame twice) and q_dedup_minhash re-ran its whole
+    candidate generation per orientation. The explode evaluates each
+    input row once and yields two output rows — no replay, no extra
+    checkpoint job."""
+    payload_cols = list(payload_cols or [])
+
+    def _struct(a: str, b: str):
+        return F.struct(
+            F.col(a).alias(a_col),
+            F.col(b).alias(b_col),
+            *[F.col(c).alias(c) for c in payload_cols],
+        )
+
+    return pairs.select(
+        F.explode(F.array(_struct(a_col, b_col), _struct(b_col, a_col))).alias("__o")
+    ).select("__o.*")
+
+
 def quotient_expand_pairs(
     rep_pairs: DataFrame,
     mapping: DataFrame,
@@ -481,11 +513,7 @@ def quotient_expand_pairs(
     exists for (PLANS.md).
     """
     payload_cols = list(payload_cols or [])
-    both = rep_pairs.unionByName(
-        rep_pairs.select(
-            F.col("rep_b").alias("rep_a"), F.col("rep_a").alias("rep_b"), *payload_cols
-        )
-    )
+    both = both_orientations(rep_pairs, payload_cols=payload_cols)
     if include_self_pairs or self_payload is not None:
         if payload_cols and (
             self_payload is None or set(self_payload) != set(payload_cols)

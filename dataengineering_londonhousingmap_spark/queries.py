@@ -40,6 +40,7 @@ from .functions.text import (
     tokens,
 )
 from .operators.dedup import (
+    both_orientations,
     char_shingles,
     connected_components,
     dedup_first_seen,
@@ -1743,12 +1744,10 @@ def q_dedup_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # expansion filters id_a < id_b, and member ids interleave across
     # groups — rep pairs must exist in BOTH orientations (disjoint
-    # expansions: the smaller id's group differs per orientation)
-    both = cross.unionByName(
-        cross.select(
-            F.col("rep_b").alias("rep_a"), F.col("rep_a").alias("rep_b"), "cosine"
-        )
-    )
+    # expansions: the smaller id's group differs per orientation).
+    # both_orientations explodes, never unions: a union would make the
+    # all-pairs cosine pass a two-consumer subtree and replay it per branch
+    both = both_orientations(cross, payload_cols=["cosine"])
     sizes = mapping.groupBy("__rep").agg(F.count(F.lit(1)).alias("__n"))
     multi = reps.join(
         sizes.filter(F.col("__n") >= 2).select(F.col("__rep").alias("vec_id")),
@@ -3562,10 +3561,11 @@ def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 1)
     )
-    npairs = half.unionByName(
-        half.select(
-            F.col("name_b").alias("name_a"), F.col("name_a").alias("name_b"), "dist"
-        )
+    # both orientations via ONE explode pass over half — a union with the
+    # swap would re-run the block join + DP once per branch (measured r09:
+    # 6.8 → 10.8s on the 10× adversarial vintage before this shape)
+    npairs = both_orientations(
+        half, a_col="name_a", b_col="name_b", payload_cols=["dist"]
     ).unionByName(
         names.select(
             F.col("c_name").alias("name_a"),

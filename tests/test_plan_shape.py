@@ -292,3 +292,32 @@ def test_no_rowwise_python_anywhere_in_catalog(spark):
         f"plans over the {_MAX_SCANS_ANY_PLAN}-scan ceiling (lost checkpoint "
         f"cut, subtree replayed per consumer): {replayers}"
     )
+
+
+@pytest.mark.parametrize(
+    "name,expr_marker,max_evals",
+    [
+        # both_orientations (operators/dedup.py) must explode, never union
+        # with a swapped projection: the union shape makes the expensive
+        # upstream (block join + Levenshtein DP, all-pairs cosine fold) a
+        # two-consumer subtree that Spark replays once per orientation —
+        # measured r09 at the 10x adversarial probe, the replay roughly
+        # doubled q_fuzzy_join. One expression instance in the optimized
+        # plan = the computation runs once.
+        # one block self-join (the __ba = __bb equi-condition); the DP it
+        # carries therefore runs over the blocked pairs exactly once.
+        # (counting 'levenshtein' itself is wrong: Catalyst pushes the
+        # dist<=1 filter into the SAME join's condition, so the expression
+        # legitimately prints twice inside one join.)
+        ("q_fuzzy_join", r"Join Inner,[^\n]*__ba#\d+ = __bb#\d+", 1),
+    ],
+)
+def test_orientation_expansion_computes_metric_once(name, expr_marker, max_evals, spark):
+    df = QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    found = len(re.findall(expr_marker, plan))
+    assert 0 < found <= max_evals, (
+        f"{name}: expected <= {max_evals} match(es) of /{expr_marker}/ in the "
+        f"optimized plan, found {found} — the orientation expansion is "
+        "replaying its upstream per branch (use both_orientations' explode)"
+    )

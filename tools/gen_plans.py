@@ -178,6 +178,76 @@ change). Narrowing the window partition back to left_key re-opens the
 winner-split bug; tests/test_properties.py draws k∈{1,3} × {1,2 metric
 cols} × {1,2 tiebreak cols} against the direct path and fails on
 reversion by design.
+
+## r09 — the ">20× adversarial ratios" measured, claim refuted, real bug found
+
+The r08 verdict asked for input-normalized throughput behind the two >20×
+adversarial 10× ratios (q_corpus_stats_score 38.2, q_collocations 28.2),
+where the builder had ASSERTED "genuinely heavier text". The measurement
+refuted the claim: the adversarial vintage carries only 1.32× the bigram
+occurrences of the clean 10× vintage (2,657,040 → 3,509,769; one
+explode+sum per vintage) while the walls were ~10× apart — per-million-
+bigram throughput diverged ~7×, far past the 2× trigger. Root cause was a
+real engine defect: bigrams() built pairs with
+transform(sequence, i → element_at(t, i)) where t — the regex split of
+the text — is a CAPTURED subtree of the lambda, and higher-order-function
+lambdas re-evaluate captured subtrees PER ELEMENT: O(n_tokens) regex
+splits per doc, O(n²) per doc. Invisible at ~50 tokens/doc; 105× at 1,500
+tokens (micro-bench 61.2 vs 0.58s). Fix: zip_with over two slices of the
+token array (tokenization evaluated O(1)/row), output-identical, oracles
+unchanged. Same-vintage counterfactuals (pre-fix code on the r09
+.bigdata_adv, fresh sessions, count() sink): q_corpus_stats_score
+38.0→2.4s, q_collocations 36.7→2.0s, q_text_repetition 32.2→1.0s.
+RULE: never reference an outer split/array EXPRESSION inside a HOF lambda
+body — pass it as the HOF's argument, or zip_with sliced copies; audit
+F.transform/F.aggregate/F.filter lambdas for captured non-attribute
+subtrees (an attribute reference like F.col("__w") is O(1); a split() is
+not). The normalized-throughput trigger stays: vintage-to-vintage
+per-unit-work wall diverging >2× = investigate — it found a real bug the
+round it was first applied.
+
+## r09 — minhash-family quotient counterfactuals + the orientation-union replay
+
+Same-vintage counterfactuals for the r09 quotient extension (pre-quotient
+code vs current, both on the r09 .bigdata_adv, fresh sessions, count()):
+q_ngram_jaccard 69.1→24.2s (2.9× — the verify pipeline now runs on 7,511
+reps instead of 50,000 docs), q_dedup_incremental 28.4→24.8s,
+q_dedup_minhash 22.5→22.0s. Minhash is a WASH by measurement, and the
+profile explains it: signatures on reps cost 9.2s (the 30×-repetitive adv
+texts dominate shingle volume and survive the quotient as distinct reps),
+rep candidates 0.6s, and the 848k-pair expansion only 1.0s — both the old
+and new path are output- and signature-bound, rows identical (847,781)
+pinning equivalence. Keep the quotient anyway: its win scales with
+TWIN-heaviness, the wash vintage is twin-light-per-rep but repetition-
+heavy, and sf0.1 overhead is ≈flat (isolated best-of-3: minhash 1.70s vs
+r08 1.49 under a 1.11 control drift; ngram +0.7s real).
+ORIENTATION RULE (the round's second real find): emitting (a,b) AND (b,a)
+via pairs.unionByName(swapped-projection) makes the expensive upstream (a
+block join + Levenshtein DP, an all-pairs cosine fold, an LSH candidate
+pipeline) a TWO-CONSUMER subtree that Spark replays once per branch —
+q_fuzzy_join's r09 ordered-DP change measured 6.8→10.8s warm from exactly
+this before the fix. both_orientations() (operators/dedup.py) explodes a
+two-struct array instead: one pass, two output rows, no replay, no extra
+checkpoint job; fuzzy restored to ~6.7s ≈ the pre-change 6.3s. The
+bisect also showed the DP itself is <0.5s of the ~5s block join on this
+vintage, so the DP halving is insurance for longer-name corpora, not a
+measured win. Plan pin:
+test_plan_shape.py::test_orientation_expansion_computes_metric_once.
+
+## r09 — drift controls automated (bench.py)
+
+bench.py now emits `controls` (q_serving_dashboard / q_triangle_count /
+q_pagerank vs pinned r07–r08 reference means), `host_drift` (median
+control ratio) and `normalized_total` = value/host_drift. r09 local run:
+raw 75.0s, drift 1.147, normalized 65.3 — r08→r09 is flat-to-better once
+the host factor is removed. Caveat measured the same session: single
+controls are NOT trustworthy (pagerank read 1.56 while triangle read 0.99
+in one session); adjudicate per-query movers with isolated fresh-session
+best-of-3 whenever the control spread exceeds ~1.3×, as before. The
+probe's ratio denominators likewise stopped being pinned to BENCH_r04:
+probe_bigscale.py uses the newest (or --bench) bench json, because
+testdata is driver-regenerated each round and ratios against a stale
+vintage mix a data shift into a scale measurement.
 '''
 
 

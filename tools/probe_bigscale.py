@@ -78,9 +78,31 @@ def main() -> None:
                 traceback.print_exc(file=out)
             df = None
 
+    # sf0.1 denominators: --bench <file>, else the LOCAL_BENCH json (a
+    # same-session bench run), else the newest committed BENCH_r*.json.
+    # The testdata vintage is driver-regenerated every round, so ratios
+    # against a stale round's bench mix a vintage shift into what should
+    # be a pure scale measurement — always probe against denominators
+    # measured on the CURRENT vintage.
+    bench_path = None
+    for i, a in enumerate(sys.argv):
+        if a == "--bench" and i + 1 < len(sys.argv):
+            bench_path = sys.argv[i + 1]
+    if bench_path is None:
+        import glob
+        import re
+
+        cands = glob.glob(os.path.join(ROOT, "BENCH_LOCAL_r*.json")) + glob.glob(
+            os.path.join(ROOT, "BENCH_r*.json")
+        )
+        def _round_of(p: str) -> int:
+            m = re.search(r"_r(\d+)\.json$", p)
+            return int(m.group(1)) if m else -1
+        # local (same-vintage) benches outrank committed ones at equal round
+        bench_path = max(cands, key=lambda p: (_round_of(p), "LOCAL" in p), default=None)
     bench = {}
     try:
-        with open(os.path.join(ROOT, "BENCH_r04.json")) as f:
+        with open(bench_path) as f:
             b = json.load(f)
         bench = b.get("parsed", b).get("queries", {})
     except Exception:
@@ -116,6 +138,7 @@ def main() -> None:
         "ratio_vs_sf01": dict(sorted(ratios.items(), key=lambda kv: -kv[1])),
         "max_ratio": max(ratios.values(), default=None),
         "total_wall_s": round(sum(results.values()), 1),
+        "bench_denominator": os.path.basename(bench_path) if bench_path else None,
     }
     if FAMILIES:
         doc["probe_note"] = (
