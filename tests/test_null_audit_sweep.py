@@ -107,3 +107,50 @@ def test_lint_collect_list_rule():
     assert not lint_source(
         "x = df.agg(F.collect_list(F.struct('a', 'b')))\n"
     )
+
+
+def test_lint_hof_capture_rule():
+    """r09 rule: a HOF lambda body referencing an outer name bound to a
+    non-O(1) expression re-evaluates it PER ELEMENT (the bigrams O(n²)
+    bug: a captured tokens()/F.split re-ran the regex tokenization once
+    per array element, 105× on 1.5k-token docs)."""
+    old_bigrams = (
+        "def bigrams(col):\n"
+        "    t = tokens(col)\n"
+        "    n = F.size(t)\n"
+        "    idx = F.sequence(F.lit(1), n - 1)\n"
+        "    return F.transform(idx, lambda i: F.concat_ws(' ', "
+        "F.element_at(t, i), F.element_at(t, i + 1)))\n"
+    )
+    assert lint_source(old_bigrams), "the r09 bigrams bug shape must flag"
+    # transitive: n resolves through t to the expensive tokens()
+    chain = (
+        "def f(col):\n"
+        "    t = tokens(col)\n"
+        "    n = F.size(t)\n"
+        "    return F.transform(F.sequence(F.lit(1), F.lit(3)), "
+        "lambda i: i * n)\n"
+    )
+    assert lint_source(chain), "transitive capture must flag"
+    # O(1) captures pass: F.size over a bound column attribute (q_ewma)
+    ewma_like = (
+        "def q(df):\n"
+        "    a = 0.3\n"
+        "    s = F.size(F.col('__w'))\n"
+        "    return F.aggregate(F.transform(F.col('__w'), lambda x, i: "
+        "x * F.pow(F.lit(1.0 - a), (s - 1 - i).cast('double'))), "
+        "F.lit(0.0), lambda acc, v: acc + v)\n"
+    )
+    assert not lint_source(ewma_like), "O(1) captures must pass"
+    # lambda params and module aliases are not captures
+    assert not lint_source(
+        "x = F.transform(tokens(c), lambda t: F.lower(t))\n"
+    )
+    # pragma escape hatch — must sit INSIDE the statement's line span
+    # (same convention as '# null-audited'; a line above doesn't count)
+    assert not lint_source(
+        "def f(col):\n"
+        "    t = tokens(col)\n"
+        "    return F.transform(  # hof-capture-audited: 2-element array\n"
+        "        F.array(F.lit(1), F.lit(2)), lambda i: F.element_at(t, i))\n"
+    )

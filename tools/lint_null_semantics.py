@@ -36,8 +36,19 @@ The rule this lint enforces over the engine source
   transient read failure into silent data loss. Name the expected
   exception class, or carry a `# swallow-audited: <why>` pragma.
 
-Array higher-order filters (`F.filter(col, lambda …)`) are exempt: they
-drop NULL *elements* symmetrically on both engines and never delete rows.
+  and (round 9) every higher-order-function lambda (`F.transform` /
+  `F.aggregate` / `F.zip_with` / …) whose body captures an outer name
+  bound to an expression that is not provably O(1) per element — HOF
+  lambdas re-evaluate captured subtrees PER ELEMENT, so a captured
+  `F.split`/`tokens(...)` re-runs the tokenization once per array element:
+  the r09 bigrams O(n²) bug (105× on 1.5k-token docs). Cheap captures
+  (F.col / F.lit / F.size-of-a-column-ref / arithmetic) pass; anything
+  else needs restructuring (pass it as the HOF argument, zip_with sliced
+  copies) or a `# hof-capture-audited: <why O(1)>` pragma.
+
+Array higher-order filters (`F.filter(col, lambda …)`) are exempt from the
+NULL rule: they drop NULL *elements* symmetrically on both engines and
+never delete rows.
 
 Exits 1 listing violations; tests/test_null_audit_sweep.py runs it in CI
 and pins that a bare reintroduction of the purge_keys pattern fails.
@@ -199,6 +210,101 @@ def lint_source(src: str, filename: str = "<src>") -> list[tuple[int, str]]:
                         "inputs, DuckDB list() keeps them",
                     )
                 )
+        # 5) HOF lambda capturing an expensive outer expression (the r09
+        # bigrams O(n²) class): higher-order-function lambdas re-evaluate
+        # captured subtrees PER ELEMENT, so a lambda body referencing an
+        # outer name bound to e.g. F.split(...)/tokens(...) re-runs that
+        # computation once per array element — O(n²) per row. Cheap
+        # captures (F.col/F.lit/F.size/arithmetic of those) are fine.
+        # Escape hatch: '# hof-capture-audited: <why O(1) per element>'.
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "F"
+            and node.func.attr in _HOFS
+        ):
+            for arg in node.args:
+                if not isinstance(arg, ast.Lambda):
+                    continue
+                for name in _expensive_captures(arg, _assignments(tree, node)):
+                    lo, hi = _enclosing_span(spans, node.lineno)
+                    if not any(
+                        "# hof-capture-audited" in lines[i - 1]
+                        for i in range(lo, min(hi, len(lines)) + 1)
+                    ):
+                        out.append(
+                            (
+                                node.lineno,
+                                f"F.{node.func.attr} lambda captures outer "
+                                f"expression '{name}' that is not provably "
+                                "O(1)-per-element — HOF lambdas re-evaluate "
+                                "captured subtrees PER ELEMENT (the r09 "
+                                "bigrams O(n²) bug). Pass it as the HOF "
+                                "argument / zip_with sliced copies, or add "
+                                "'# hof-capture-audited: <why>'",
+                            )
+                        )
+    return sorted(set(out))
+
+
+_HOFS = {"transform", "aggregate", "reduce", "filter", "exists", "forall", "zip_with"}
+
+# attribute-call names considered O(1) per evaluation when captured
+_CHEAP_CALLS = {"col", "lit", "size", "greatest", "least", "coalesce", "cast", "alias"}
+
+
+def _assignments(tree: ast.AST, site: ast.AST) -> dict[str, ast.AST]:
+    """name -> value for simple assignments in the function enclosing
+    ``site`` (nearest FunctionDef whose span contains it)."""
+    best = None
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) and (
+            node.lineno <= site.lineno <= (node.end_lineno or node.lineno)
+        ):
+            if best is None or node.lineno > best.lineno:
+                best = node
+    scope = best if best is not None else tree
+    out: dict[str, ast.AST] = {}
+    for node in ast.walk(scope):
+        if isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(
+            node.targets[0], ast.Name
+        ):
+            out[node.targets[0].id] = node.value
+    return out
+
+
+def _is_cheap_expr(expr: ast.AST, env: dict[str, ast.AST], depth: int = 0) -> bool:
+    """Conservatively true when evaluating ``expr`` once per array element
+    cannot be super-constant work: constants, attribute references, F.col /
+    F.lit / F.size and arithmetic over cheap parts. Any other Call —
+    including local helpers like tokens() — is treated as expensive."""
+    if depth > 6:
+        return False
+    for sub in ast.walk(expr):
+        if isinstance(sub, ast.Call):
+            fn = sub.func
+            if isinstance(fn, ast.Attribute) and fn.attr in _CHEAP_CALLS:
+                continue
+            return False
+        if isinstance(sub, ast.Name) and sub.id in env:
+            if not _is_cheap_expr(env[sub.id], {k: v for k, v in env.items() if k != sub.id}, depth + 1):
+                return False
+    return True
+
+
+def _expensive_captures(lam: ast.Lambda, env: dict[str, ast.AST]) -> list[str]:
+    params = {a.arg for a in lam.args.args}
+    for sub in ast.walk(lam.body):
+        if isinstance(sub, ast.Lambda):
+            params |= {a.arg for a in sub.args.args}
+    out = []
+    for sub in ast.walk(lam.body):
+        if isinstance(sub, ast.Name) and isinstance(sub.ctx, ast.Load):
+            if sub.id in params or sub.id not in env:
+                continue  # param, module alias, or non-local — not resolvable
+            if not _is_cheap_expr(env[sub.id], {k: v for k, v in env.items() if k != sub.id}):
+                out.append(sub.id)
     return sorted(set(out))
 
 
