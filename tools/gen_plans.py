@@ -221,6 +221,22 @@ pinning equivalence. Keep the quotient anyway: its win scales with
 TWIN-heaviness, the wash vintage is twin-light-per-rep but repetition-
 heavy, and sf0.1 overhead is ≈flat (isolated best-of-3: minhash 1.70s vs
 r08 1.49 under a 1.11 control drift; ngram +0.7s real).
+SUBSTRING-SEEK FIX (follow-up, the round's third real find): the 9.2s
+signature profile led to char_shingles itself — explode-an-index-sequence
++ substring(text, i, w) pays UTF8String's O(i) code-point SEEK per call
+(O(len²) byte scans per doc; carrying the parent text through the explode
+was measured NOT to matter — an attribute-referencing variant timed
+identically). New shape: split('') to a code-point array once, then
+array_join(slice(chars, i, w)) per window — 8.8 → 2.7s for the whole
+7.5k-rep shingle+count job, output identical; q_char_diversity had the
+same disease (substring(text,i,1) per char, 8.2 → 1.7s). The __chars
+projection must keep ≥2 references (size() + the lambda's slice) or
+CollapseProject inlines the split back into the lambda — the bigrams
+O(n²) class again. Post-fix adv probe (families re-probe, same vintage):
+q_dedup_minhash 19.7→5.1s (ratio 2.31), q_ngram_jaccard 23.6→9.5s,
+q_dedup_incremental 33.0→19.2s, q_dedup_agreement 26.8s (r08 artifact:
+36.5 on a lighter vintage), q_decontaminate 9.5s. Combined with the
+quotient, the minhash family is now seek-free and rep-level end to end.
 ORIENTATION RULE (the round's second real find): emitting (a,b) AND (b,a)
 via pairs.unionByName(swapped-projection) makes the expensive upstream (a
 block join + Levenshtein DP, an all-pairs cosine fold, an LSH candidate

@@ -129,9 +129,13 @@ def main() -> None:
             "families is representative-level (exact-dup quotient / "
             "reduce-then-min shells), so even the quadratic-output "
             "queries hold wall ratios under 10x at 10x data — the "
-            "remaining cost is producing the output itself; a ratio "
-            "drifting back above 10 means a quotient/shell was lost, "
-            "not workload"
+            "remaining cost is producing the output itself; a CLEAN-lane "
+            "ratio drifting back above 10 means a quotient/shell was "
+            "lost, not workload. ADV-lane ratios use the clean sf0.1 "
+            "bench as denominator, so Python-boundary queries over the "
+            "1.32x-heavier adversarial text (q_udtf, q_vocab_oov) "
+            "legitimately read 10-14 — compare them against their own "
+            "clean-lane entry before suspecting a regression"
         ),
         "queries": results,
         "errors": errors,
