@@ -1855,7 +1855,9 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
+    from .operators.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))  # the per-char interpreted rolling-hash fold otherwise runs as ONE task on a single-file scan
     return docs.select(
         "doc_id",
         doc_fingerprint("text").alias("fingerprint"),
@@ -2240,9 +2242,13 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping document chunking (the RAG / training-window prep):
     64-token chunks on a 48-token stride per document, as pure array
     expressions — sequence over chunk starts, explode, slice, concat. No
-    UDF, no shuffle (a narrow map over the scan); empty docs emit no
-    chunks."""
-    docs = _t(spark, sf_dir, "documents")
+    UDF; fan_out spreads the single-file doc scan before the tokenize+
+    explode (one task otherwise ran the whole corpus: 7.3s → sub-second on
+    the 10× adversarial vintage, measured r09) and is a no-op on real
+    multi-split inputs; empty docs emit no chunks."""
+    from .operators.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
     t = tokens(F.col("text"))
     n = F.size(t)
     starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(48))
@@ -2994,7 +3000,9 @@ def q_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; the only data-sized shuffles are the tf groupBy and the
     doc-length join, both keyed on doc_id. Scores use floor-form rounding
     (floor(x*1e6+0.5)/1e6) for bit-identical Spark/DuckDB doubles."""
-    docs = _t(spark, sf_dir, "documents")
+    from .operators.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))  # the token explode otherwise runs as ONE task on a single-file scan
     terms = ["spark", "merge", "window"]
     t = tokens(F.col("text"))
     # dl feeds the global stats AND the score join; tf feeds the df agg AND
@@ -3449,7 +3457,9 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the spec'd order, so cross-engine ln() ulps can't reorder the top-k;
     the tfidf score itself is round(tf·ln(N/df), 6) like every float
     output in the catalog."""
-    docs = _t(spark, sf_dir, "documents")
+    from .operators.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))  # the token explode otherwise runs as ONE task on a single-file scan
     toks = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
     )
@@ -3489,7 +3499,9 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.udfs import make_sentence_udtf
 
     spark.udtf.register("split_sentences", make_sentence_udtf())
-    docs = _t(spark, sf_dir, "documents")
+    from .operators.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))  # the LATERAL UDTF otherwise runs the whole corpus in ONE Python worker on a single-file scan
     docs.createOrReplaceTempView("__docs_udtf")
     return spark.sql(
         """
@@ -3965,7 +3977,9 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode → distinct(doc,tok) → df-count → tiny top-k, then one
     left-anti-style broadcast membership probe — the corpus shuffles once
     on token, never on text."""
-    docs = _t(spark, sf_dir, "documents")
+    from .operators.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))  # the token explode otherwise runs as ONE task on a single-file scan
     toks = docs.select("doc_id", F.explode(tokens("text")).alias("tok"))
     df_counts = (
         toks.distinct().groupBy("tok").agg(F.count("*").alias("__df"))
@@ -4131,7 +4145,9 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     all pass. Pure codegen expressions fused into the scan — no shuffle,
     no UDF; ratios rounded on both engines so the thresholds cut
     identically."""
-    docs = _t(spark, sf_dir, "documents")
+    from .operators.util import fan_out
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))  # the token/bigram explodes otherwise run as ONE task on a single-file scan
     from .functions.text import _STOPWORDS
 
     c = F.col("text")
