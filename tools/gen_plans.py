@@ -237,6 +237,15 @@ q_dedup_minhash 19.7→5.1s (ratio 2.31), q_ngram_jaccard 23.6→9.5s,
 q_dedup_incremental 33.0→19.2s, q_dedup_agreement 26.8s (r08 artifact:
 36.5 on a lighter vintage), q_decontaminate 9.5s. Combined with the
 quotient, the minhash family is now seek-free and rep-level end to end.
+SINGLE-SPLIT FAN-OUT (the round's fourth find, same probe-driven method):
+q_udtf 17.6s / q_chunk_docs 14.1s / q_vocab_oov 6.9s on the adversarial
+lane were not engine cost at all — their heavy pre-shuffle work (LATERAL
+Python UDTF, token explodes, the interpreted rolling-hash fold) ran as
+ONE task on the single-file documents scan. fan_out() (a no-op on real
+multi-split inputs) restores parallelism: 1.5 / 1.3 / 2.1s warm. Round
+close: BOTH full-catalog 10× lanes at zero errors with every wall ratio
+under 7 (clean max 5.71, adv max 6.94, vs r08's 9.09 clean / 38.2 adv),
+with ratio denominators re-pinned to a same-vintage bench.
 ORIENTATION RULE (the round's second real find): emitting (a,b) AND (b,a)
 via pairs.unionByName(swapped-projection) makes the expensive upstream (a
 block join + Levenshtein DP, an all-pairs cosine fold, an LSH candidate
