@@ -372,3 +372,81 @@ def test_quotient_expand_pairs_requires_matching_self_payload(spark):
             rp, mapping, "doc_id",
             payload_cols=["jaccard"], include_self_pairs=True,
         )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy-join ordered-DP reconstruction (r09): the DP runs only on
+# name_a < name_b distinct pairs; the reverse orientation (via
+# both_orientations' explode — never a union, which replays the block
+# join per branch) and the trivial equal-name dist-0 pairs are
+# reconstructed. Must reproduce the naive all-orientations path exactly.
+# ---------------------------------------------------------------------------
+
+from dataengineering_londonhousingmap_spark.operators.dedup import both_orientations  # noqa: E402
+
+
+def _fuzzy_inputs(spark):
+    # twins (same name, several keys), distance-1 neighbours inside one
+    # 16-char block, a distance-2 pair (excluded), and a lone name in its
+    # own block
+    rows = [
+        (1, "Customer#0000000001"),
+        (2, "Customer#0000000001"),   # exact twin of key 1
+        (3, "Customer#0000000002"),   # dist 1 from 01 (same block)
+        (4, "Customer#0000000013"),   # dist 2 from 01 (excluded)
+        (5, "Customer#0000000012"),   # dist 1 from 13 AND 02
+        (6, "Different#000000001"),   # own block
+        (7, "Customer#0000000002"),   # twin of key 3
+    ]
+    return spark.createDataFrame(rows, "c_custkey long, c_name string")
+
+
+def _fuzzy_shape(cust, ordered_dp: bool):
+    from dataengineering_londonhousingmap_spark.operators.util import materialize
+
+    cust = cust.select("c_custkey", "c_name", F.substring("c_name", 1, 16).alias("block"))
+    names = cust.select("block", "c_name").distinct().transform(materialize)
+    na = names.select(F.col("c_name").alias("name_a"), F.col("block").alias("__ba"))
+    nb = names.select(F.col("c_name").alias("name_b"), F.col("block").alias("__bb"))
+    if ordered_dp:
+        half = (
+            na.join(nb, (F.col("__ba") == F.col("__bb")) & (F.col("name_a") < F.col("name_b")))
+            .select("name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist"))
+            .filter(F.col("dist") <= 1)
+        )
+        npairs = both_orientations(
+            half, a_col="name_a", b_col="name_b", payload_cols=["dist"]
+        ).unionByName(
+            names.select(
+                F.col("c_name").alias("name_a"),
+                F.col("c_name").alias("name_b"),
+                F.lit(0).alias("dist"),
+            )
+        )
+    else:  # naive: DP on every ordered pair including equal names
+        npairs = (
+            na.join(nb, F.col("__ba") == F.col("__bb"))
+            .select("name_a", "name_b", F.levenshtein("name_a", "name_b").alias("dist"))
+            .filter(F.col("dist") <= 1)
+        )
+    ka = cust.select(F.col("c_custkey").alias("key_a"), F.col("c_name").alias("name_a"))
+    kb = cust.select(F.col("c_custkey").alias("key_b"), F.col("c_name").alias("name_b"))
+    return (
+        npairs.join(ka, "name_a")
+        .join(kb, "name_b")
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "name_a", "name_b", "dist")
+    )
+
+
+def test_fuzzy_ordered_dp_reconstruction_matches_direct(spark):
+    cust = _fuzzy_inputs(spark)
+    direct = {tuple(r) for r in _fuzzy_shape(cust, ordered_dp=False).collect()}
+    ordered = {tuple(r) for r in _fuzzy_shape(cust, ordered_dp=True).collect()}
+    assert ordered == direct
+    # the fixture exercised every arm: twin keys sharing a name (dist-0
+    # pairs from the equal-name branch), both orientations of dist-1
+    # neighbours, a dist-2 exclusion, and a lone single-member block
+    assert any(d == 0 for *_ignore, d in direct)
+    assert any(d == 1 for *_ignore, d in direct)
+    assert (1, 4, "Customer#0000000001", "Customer#0000000013", 2) not in direct
