@@ -4012,14 +4012,35 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents fall on OPPOSITE sides of the deterministic hash split. Any
     row here is a test document whose near-copy leaks into train — at
     100 TB this runs as a by-product of the dedup pass (shared shingle
-    scan), not a new scan."""
+    scan), not a new scan.
+
+    Exact-dup quotient first (r09, the q_ngram_jaccard shape): the split
+    side is a function of the ORIGINAL doc_id's hash bucket — twins of
+    one text can land on opposite sides — so the near-dup engine runs on
+    one representative per distinct text, pairs expand through the
+    (doc → rep) mapping WITH within-group twin pairs (always mutual
+    candidates, exactly jaccard 1.0), and the opposite-side filter
+    applies after expansion on original ids. Output identical, oracle
+    unchanged."""
     from .operators.sampling import train_test_split
 
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
+    reps, mapping = exact_dup_quotient(
+        docs.select("doc_id", "text"), "doc_id", F.md5("text"),
+        F.col("text").isNotNull(),
+    )
+    mapping = mapping.transform(materialize)
+    sh = char_shingles(reps, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
-    pairs = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
+    rp = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand).select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard"
+    )
+    pairs = quotient_expand_pairs(
+        rp, mapping, "doc_id",
+        payload_cols=["jaccard"],
+        self_payload={"jaccard": F.lit(1.0)},
+    )
     split = train_test_split(docs.select("doc_id"), "doc_id", test_rate=0.1).select(
         "doc_id", "split"
     )
@@ -4103,14 +4124,35 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dilutes (a short doc fully inside a long one is containment ≈ 1,
     jaccard ≈ |short|/|long|). Same shingle scan and candidate equi-join
     as q_ngram_jaccard; only the denominator changes
-    (operators/dedup.py:ngram_containment_pairs)."""
+    (operators/dedup.py:ngram_containment_pairs).
+
+    Exact-dup quotient first (r09, the q_ngram_jaccard shape): containment
+    is a pure function of the text pair, twins are always mutual
+    candidates and contain each other at EXACTLY 1.0 (s/min(s,s) is
+    IEEE-exact), so the verify runs on one representative per distinct
+    text and pairs expand with within-group twin pairs carrying a literal
+    1.0. Output identical, oracle unchanged."""
     from .operators.dedup import ngram_containment_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
+    reps, mapping = exact_dup_quotient(
+        docs.select("doc_id", "text"), "doc_id", F.md5("text"),
+        F.col("text").isNotNull(),
+    )
+    mapping = mapping.transform(materialize)
+    sh = char_shingles(reps, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
-    out = ngram_containment_pairs(sh, "doc_id", threshold=0.3, candidates=cand)
+    rp = ngram_containment_pairs(
+        sh, "doc_id", threshold=0.3, candidates=cand
+    ).select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "containment"
+    )
+    out = quotient_expand_pairs(
+        rp, mapping, "doc_id",
+        payload_cols=["containment"],
+        self_payload={"containment": F.lit(1.0)},
+    )
     return out.select("id_a", "id_b", F.round("containment", 6).alias("containment"))
 
 
@@ -5908,6 +5950,10 @@ RE_VERIFY_FRONT: dict[str, int] = {
     "q_ngram_jaccard": 9,
     "q_dedup_incremental": 9,
     "q_fuzzy_join": 9,
+    # r09b: quotient extended to the remaining shingle-join pair (output
+    # proven identical; the pipeline under them changed)
+    "q_split_leakage": 9,
+    "q_containment": 9,
 }
 
 

@@ -450,3 +450,44 @@ def test_fuzzy_ordered_dp_reconstruction_matches_direct(spark):
     assert any(d == 0 for *_ignore, d in direct)
     assert any(d == 1 for *_ignore, d in direct)
     assert (1, 4, "Customer#0000000001", "Customer#0000000013", 2) not in direct
+
+
+def _containment_direct(docs):
+    from dataengineering_londonhousingmap_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+    from dataengineering_londonhousingmap_spark.operators.util import materialize
+
+    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+    return ngram_containment_pairs(sh, "doc_id", threshold=0.3, candidates=cand)
+
+
+def test_containment_quotient_matches_direct(spark):
+    """r09b: q_containment's quotient (reps pipeline + expansion with
+    literal-1.0 twin pairs) must reproduce the direct containment pair set
+    bit-for-bit — twins contain each other at exactly s/min(s,s) = 1.0."""
+    from dataengineering_londonhousingmap_spark.operators.util import materialize
+
+    docs = _pair_corpus(spark)
+    direct = {
+        (r["id_a"], r["id_b"], round(r["containment"], 6))
+        for r in _containment_direct(docs).collect()
+    }
+    reps, mapping = exact_dup_quotient(
+        docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
+    )
+    mapping = mapping.transform(materialize)
+    rp = _containment_direct(reps).select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "containment"
+    )
+    quot = {
+        (r["id_a"], r["id_b"], round(r["containment"], 6))
+        for r in quotient_expand_pairs(
+            rp, mapping, "doc_id",
+            payload_cols=["containment"],
+            self_payload={"containment": F.lit(1.0)},
+        ).collect()
+    }
+    assert quot == direct
