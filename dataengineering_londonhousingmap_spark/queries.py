@@ -4685,9 +4685,24 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     quote/subset dups Jaccard dilutes; exact-only would mean shingling
     broke). One shared shingle scan + ONE LSH candidate set feeds both
     n-gram methods — the audit costs one extra join over the dedup run a
-    pipeline already does."""
+    pipeline already does.
+
+    Exact-dup quotient ONCE for all three methods (r09b): every cell of
+    the agreement matrix is a pure function of the text pair, so the
+    shared pipeline runs on one representative per distinct text, the
+    three rep-level pair sets full-outer-join at rep level, and ONE
+    expansion carries the whole row back to member pairs. Twin self-pairs
+    are found by all three methods on the direct path (identical shingle
+    sets → jaccard = containment = exactly 1.0; identical text →
+    identical normalized fingerprint), so the self payload is
+    (1.0, 1.0, true). Output identical, oracle unchanged."""
     docs = _t(spark, sf_dir, "documents")
-    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
+    reps, mapping = exact_dup_quotient(
+        docs.select("doc_id", "text"), "doc_id", F.md5("text"),
+        F.col("text").isNotNull(),
+    )
+    mapping = mapping.transform(materialize)
+    sh = char_shingles(reps, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     # the SHARED candidate set is cut once here (through the materialize()
     # chokepoint, so the reliable-checkpoint cluster flag applies) and the
@@ -4700,35 +4715,53 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     jac = ngram_jaccard_pairs(
         sh, "doc_id", threshold=0.2, candidates=cand, candidates_materialized=True
-    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    ).select(
+        F.col("id_a").alias("rep_a"),
+        F.col("id_b").alias("rep_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
     con = ngram_containment_pairs(
         sh, "doc_id", threshold=0.3, candidates=cand, candidates_materialized=True
-    ).select("id_a", "id_b", F.round("containment", 6).alias("containment"))
-    fp = docs.select("doc_id", doc_fingerprint("text").alias("__fp"))
+    ).select(
+        F.col("id_a").alias("rep_a"),
+        F.col("id_b").alias("rep_b"),
+        F.round("containment", 6).alias("containment"),
+    )
+    # rep-level normalized-fingerprint equality still catches cross-group
+    # pairs (different raw text, equal normalized text); byte-identical
+    # twins come back as (1.0, 1.0, true) self pairs in the expansion
+    fp = reps.select("doc_id", doc_fingerprint("text").alias("__fp"))
     ex = (
         fp.alias("x")
         .join(fp.alias("y"), F.col("x.__fp") == F.col("y.__fp"))
         .filter(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(
-            F.col("x.doc_id").alias("id_a"),
-            F.col("y.doc_id").alias("id_b"),
+            F.col("x.doc_id").alias("rep_a"),
+            F.col("y.doc_id").alias("rep_b"),
             F.lit(True).alias("exact"),
         )
     )
-    out = (
-        jac.join(con, ["id_a", "id_b"], "full_outer")
-        .join(ex, ["id_a", "id_b"], "full_outer")
-        .select(
-            "id_a",
-            "id_b",
-            "jaccard",
-            "containment",
-            F.col("jaccard").isNotNull().alias("by_jaccard"),
-            F.col("containment").isNotNull().alias("by_containment"),
-            F.coalesce(F.col("exact"), F.lit(False)).alias("by_exact"),
-        )
+    rp = jac.join(con, ["rep_a", "rep_b"], "full_outer").join(
+        ex, ["rep_a", "rep_b"], "full_outer"
     )
-    return out
+    expanded = quotient_expand_pairs(
+        rp, mapping, "doc_id",
+        payload_cols=["jaccard", "containment", "exact"],
+        self_payload={
+            "jaccard": F.lit(1.0),
+            "containment": F.lit(1.0),
+            "exact": F.lit(True),
+        },
+    )
+    return expanded.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        "containment",
+        F.col("jaccard").isNotNull().alias("by_jaccard"),
+        F.col("containment").isNotNull().alias("by_containment"),
+        F.coalesce(F.col("exact"), F.lit(False)).alias("by_exact"),
+    )
 
 
 def q_export_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5954,6 +5987,7 @@ RE_VERIFY_FRONT: dict[str, int] = {
     # proven identical; the pipeline under them changed)
     "q_split_leakage": 9,
     "q_containment": 9,
+    "q_dedup_agreement": 9,
 }
 
 
