@@ -242,10 +242,23 @@ q_udtf 17.6s / q_chunk_docs 14.1s / q_vocab_oov 6.9s on the adversarial
 lane were not engine cost at all — their heavy pre-shuffle work (LATERAL
 Python UDTF, token explodes, the interpreted rolling-hash fold) ran as
 ONE task on the single-file documents scan. fan_out() (a no-op on real
-multi-split inputs) restores parallelism: 1.5 / 1.3 / 2.1s warm. Round
-close: BOTH full-catalog 10× lanes at zero errors with every wall ratio
-under 7 (clean max 5.71, adv max 6.94, vs r08's 9.09 clean / 38.2 adv),
-with ratio denominators re-pinned to a same-vintage bench.
+multi-split inputs) restores parallelism: 1.5 / 1.3 / 2.1s warm.
+R09B — QUOTIENT COMPLETES THE SHINGLE-JOIN FAMILY: the post-fix probe
+surfaced the last three per-copy pipelines — q_split_leakage 25.7→13.2s
+(the opposite-side filter applies AFTER expansion because the split side
+is a function of the original doc_id), q_containment 24.4→8.8s (twin
+self-pairs carry containment exactly 1.0 = s/min(s,s)), and
+q_dedup_agreement 26.8→10.2s, whose whole three-method matrix is a pure
+function of the text pair: one quotient feeds jaccard + containment +
+rep-level normalized-fingerprint equality, full-outer-joined BEFORE one
+expansion (the fingerprint join still catches cross-group pairs whose
+raw texts differ but normalize equal; NULL text NULL-propagates through
+md5∘normalize, so singletons match the direct path on both arms).
+Round close, each lane measured in ONE uncontaminated fresh session
+with same-vintage bench denominators: clean catalog total 410.7s
+(max ratio 8.11 — the bucketed-staging query at a 0.5s denominator),
+adversarial 532.6s (max 6.76), zero errors on 198 queries per lane.
+At round start the same artifacts read 486/804s with max 9.09/38.2.
 ORIENTATION RULE (the round's second real find): emitting (a,b) AND (b,a)
 via pairs.unionByName(swapped-projection) makes the expensive upstream (a
 block join + Levenshtein DP, an all-pairs cosine fold, an LSH candidate
