@@ -400,12 +400,146 @@ def ngram_containment_pairs(
 # cluster survivorship (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 
+class QuotientMapping:
+    """Expansion handle returned by :func:`exact_dup_quotient` — carries the
+    group structure plus WHICH physical strategy expansion should use. Three
+    arms, chosen from exact counts over the (already materialized) group
+    table, never from planner stats:
+
+    - ``bypass`` — no group has ≥2 members (twin-free input). Expansion is
+      the identity: rep-level results ARE member-level results, so every
+      mapping/expansion join disappears from the plan. This is the common
+      case on curated vintages, where r09's unconditional quotient paid two
+      merge joins + a corpus-sized mapping checkpoint for nothing (measured
+      +0.7s on q_ngram_jaccard at sf0.1 — VERDICT r09 task 1).
+    - ``sparse`` — duplicates exist but the dup-involved rows number at most
+      ``spark.dataengineering_londonhousingmap_spark.quotient.sparseMaxDupMembers``
+      (exact count; default 250k ≈ a few MB of (id, rep) pairs). The mapping
+      is restricted to multi-member groups only, so expansion is a BROADCAST
+      left join + explode of per-rep member lists — no shuffle of the
+      (potentially large) pair stream, and the materialized mapping is
+      twin-proportional instead of corpus-proportional.
+    - ``dense`` — twin-heavy (the common-crawl shape). Full corpus-sized
+      (id, rep) mapping, merge-pinned shuffle joins for expansion: the r09
+      behavior, kept verbatim because broadcasting a corpus-proportional
+      frame is the driver-OOM shape the merge-pin contract forbids.
+
+    All three arms are output-IDENTICAL (tests/test_quotient.py pins each
+    arm against the direct path and against the other arms). Set
+    ``spark.dataengineering_londonhousingmap_spark.quotient.mode=dense`` to force the
+    r09 plan shape for A/B measurement.
+    """
+
+    def __init__(self, kind: str, id_col: str, df: DataFrame | None = None,
+                 multi_sizes: DataFrame | None = None):
+        self.kind = kind          # "bypass" | "sparse" | "dense"
+        self.id_col = id_col
+        # bypass: None; sparse: (id_col, __rep) for multi-member groups ONLY
+        # (eagerly materialized — tiny by the arm's exact-count gate);
+        # dense: full corpus-sized (id_col, __rep)
+        self.df = df
+        # (__rep, __n) for groups with __n >= 2; None in bypass
+        self._multi_sizes = multi_sizes
+
+    @property
+    def twin_free(self) -> bool:
+        return self.kind == "bypass"
+
+    def materialize(self) -> "QuotientMapping":
+        """Cut lineage on the dense mapping when it feeds >1 consumer (the
+        r09 call-site contract). No-op for bypass (nothing to cut) and
+        sparse (the tiny mapping is materialized at construction)."""
+        if self.kind == "dense":
+            self.df = materialize(self.df)
+        return self
+
+    def multi_sizes(self) -> DataFrame:
+        """(__rep, __n) for groups with ≥2 members. Cheap in every arm: a
+        filter over the checkpointed group table (sparse/dense) — callers
+        must branch on ``twin_free`` before using it (bypass has none)."""
+        if self._multi_sizes is None:
+            raise ValueError("twin-free quotient has no multi-member groups")
+        return self._multi_sizes
+
+    def attach_multiplicity(self, rep_df: DataFrame, rep_col: str,
+                            out_col: str) -> DataFrame:
+        """``rep_df`` + ``out_col`` = group size of ``rep_df[rep_col]``
+        (1 for singleton groups). Left join against the multi-group sizes
+        only — broadcast in the sparse arm (twin-proportional by the exact
+        count), shuffle in the dense arm."""
+        if self.kind == "bypass":
+            return rep_df.withColumn(out_col, F.lit(1))
+        ms = self.multi_sizes().select(
+            F.col("__rep").alias(rep_col), F.col("__n").alias("__q_n")
+        )
+        if self.kind == "sparse":
+            ms = F.broadcast(ms)
+        return (
+            rep_df.join(ms, rep_col, "left")
+            .withColumn(out_col, F.coalesce(F.col("__q_n"), F.lit(1)))
+            .drop("__q_n")
+        )
+
+    def multi_member_reps(self, reps: DataFrame, rep_col: str) -> DataFrame:
+        """Rows of ``reps`` whose group has ≥2 members (for callers that
+        compute the within-group self payload from the representative's own
+        data, e.g. the identical-vector cosine). Branch on ``twin_free``
+        first — bypass has none."""
+        keys = self.multi_sizes().select(F.col("__rep").alias(rep_col))
+        if self.kind == "sparse":
+            keys = F.broadcast(keys)
+        return reps.join(keys, rep_col, "left_semi")
+
+    def _extra_lists(self) -> DataFrame:
+        # sparse only: (__q_rep, __q_extra = the group's NON-rep member ids)
+        # — tiny (≤ dup-member count), rebuilt per use from the materialized
+        # sparse mapping
+        return (
+            self.df.filter(F.col(self.id_col) != F.col("__rep"))
+            .groupBy(F.col("__rep").alias("__q_rep"))
+            .agg(F.collect_list(self.id_col).alias("__q_extra"))
+        )
+
+    def expand(self, rep_df: DataFrame, rep_col: str,
+               out_col: str | None = None) -> DataFrame:
+        """Replace each rep id in ``rep_df[rep_col]`` with EVERY member id
+        of its group (multiplying rows), carrying all other columns; the
+        result column is named ``out_col`` (default: ``rep_col``).
+
+        bypass: pure rename — every group is a singleton, reps ARE members.
+        sparse: broadcast left join of the per-rep extra-member lists, then
+        one explode of array(rep) ++ extras — single consumer of ``rep_df``
+        (no union/replay), no shuffle. dense: merge-pinned equi-join against
+        the corpus-sized mapping (the r09 shape; broadcast would be the
+        driver-OOM anti-pattern on a corpus-proportional frame)."""
+        out_col = out_col or rep_col
+        others = [c for c in rep_df.columns if c != rep_col]
+        if self.kind == "bypass":
+            return rep_df.select(F.col(rep_col).alias(out_col), *others)
+        if self.kind == "sparse":
+            extra = F.broadcast(
+                self._extra_lists().withColumnRenamed("__q_rep", rep_col)
+            )
+            members = F.when(
+                F.col("__q_extra").isNull(), F.array(F.col(rep_col))
+            ).otherwise(F.concat(F.array(F.col(rep_col)), F.col("__q_extra")))
+            return rep_df.join(extra, rep_col, "left").select(
+                F.explode(members).alias(out_col), *others
+            )
+        return rep_df.join(
+            self.df.select(
+                F.col("__rep").alias(rep_col), F.col(self.id_col).alias("__q_m")
+            ).hint("merge"),
+            rep_col,
+        ).select(F.col("__q_m").alias(out_col), *others)
+
+
 def exact_dup_quotient(
     df: DataFrame,
     id_col: str,
     fingerprint,
     collapsible=None,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, QuotientMapping]:
     """Collapse EXACT duplicates to one representative row before near-dup
     detection — the quotient-graph step a web-scale dedup runs first.
 
@@ -433,10 +567,23 @@ def exact_dup_quotient(
 
     Returns ``(reps, mapping)``: ``reps`` = the full rows of each group's
     min-id representative (run the near-dup pipeline on these); ``mapping``
-    = (id_col, __rep) to expand per-representative results back to every
-    row. One fingerprint shuffle + one semi-join; the (fingerprint → rep)
-    table is materialized once and reused by both outputs.
+    = a :class:`QuotientMapping` whose expansion strategy is picked from
+    EXACT counts over the materialized group table (r10): twin-free inputs
+    short-circuit to the identity (``reps`` is ``df`` itself — no semi-join,
+    no mapping, no expansion joins), twin-light inputs get a broadcast-sized
+    mapping restricted to multi-member groups, twin-heavy inputs keep the
+    r09 corpus-sized merge-join mapping. One fingerprint shuffle + one tiny
+    detection aggregate in every arm.
     """
+    sess = df.sparkSession
+    mode = str(
+        sess.conf.get("spark.dataengineering_londonhousingmap_spark.quotient.mode", "auto")
+    ).lower()
+    sparse_max = int(
+        sess.conf.get(
+            "spark.dataengineering_londonhousingmap_spark.quotient.sparseMaxDupMembers", "250000"
+        )
+    )
     self_fp = F.concat(F.lit("__self:"), F.col(id_col).cast("string"))
     fp = fingerprint
     if collapsible is not None:
@@ -451,13 +598,51 @@ def exact_dup_quotient(
     fp = F.coalesce(fp, self_fp)
     m = df.select(F.col(id_col), fp.alias("__fp"))
     groups = (
-        m.groupBy("__fp").agg(F.min(id_col).alias("__rep")).transform(materialize)
+        m.groupBy("__fp")
+        .agg(F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__n"))
+        .transform(materialize)
     )
-    mapping = m.join(groups, "__fp").select(F.col(id_col), F.col("__rep"))
+    multi = groups.filter(F.col("__n") >= 2)
+    if mode != "dense":
+        # arm selection from EXACT counts — one tiny aggregate over the
+        # just-checkpointed group table, never planner stats (checkpoint
+        # stats underestimate; a wrong broadcast here is the driver-OOM
+        # shape the merge-pin contract exists for)
+        stats = groups.agg(
+            F.max("__n").alias("__mx"),
+            F.sum(F.when(F.col("__n") >= 2, F.col("__n")).otherwise(0)).alias(
+                "__dup"
+            ),
+        ).first()
+        max_n = stats["__mx"] or 0
+        dup_members = stats["__dup"] or 0
+        if max_n <= 1:
+            return df, QuotientMapping("bypass", id_col)
+        if dup_members <= sparse_max:
+            sparse_map = (
+                m.join(F.broadcast(multi.select("__fp", "__rep")), "__fp")
+                .select(F.col(id_col), F.col("__rep"))
+                .transform(materialize)
+            )
+            nonrep = sparse_map.filter(F.col(id_col) != F.col("__rep")).select(
+                id_col
+            )
+            # twin-proportional anti join (broadcast, no shuffle) instead of
+            # the dense arm's corpus-sized semi join
+            reps = df.join(F.broadcast(nonrep), id_col, "left_anti")
+            return reps, QuotientMapping(
+                "sparse", id_col, df=sparse_map,
+                multi_sizes=multi.select("__rep", "__n"),
+            )
+    mapping = m.join(groups.select("__fp", "__rep"), "__fp").select(
+        F.col(id_col), F.col("__rep")
+    )
     reps = df.join(
         groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
     )
-    return reps, mapping
+    return reps, QuotientMapping(
+        "dense", id_col, df=mapping, multi_sizes=multi.select("__rep", "__n")
+    )
 
 
 def both_orientations(
@@ -494,11 +679,12 @@ def both_orientations(
 
 def quotient_expand_pairs(
     rep_pairs: DataFrame,
-    mapping: DataFrame,
+    mapping: QuotientMapping,
     id_col: str,
     payload_cols: list[str] | None = None,
     self_payload: dict | None = None,
     include_self_pairs: bool = False,
+    self_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Expand representative-level pairs from an :func:`exact_dup_quotient`
     pipeline back to member-level (id_a, id_b) pairs with ``id_a < id_b``
@@ -521,15 +707,26 @@ def quotient_expand_pairs(
     the quotient left singleton (collapsible=False rows) never appear here,
     matching the direct path's refusal to self-connect them.
 
-    ``mapping`` should be materialized by the caller (it feeds 2-3
-    consumers). Expansion joins are merge-pinned: the mapping is
+    ``self_pairs``: alternative to the literal ``self_payload`` for callers
+    whose within-group payload is COMPUTED from the representative's own
+    data (e.g. the identical-vector cosine fold) — a rep-level
+    (rep_a == rep_b, *payload_cols) frame, unioned after orientation (a
+    self pair must not be double-oriented). Callers branch on
+    ``mapping.twin_free`` before building it (bypass has no groups ≥2).
+
+    Expansion dispatches on the mapping arm (see :class:`QuotientMapping`):
+    bypass = rep pairs ARE the answer (rep_a < rep_b already holds, no
+    multi-member group exists); sparse = broadcast-explode, no shuffle of
+    the pair stream; dense = the r09 merge-pinned joins (the mapping is
     corpus-proportional behind a checkpoint whose stats underestimate — a
     broadcast build over it is the driver-OOM shape the merge-pin contract
-    exists for (PLANS.md).
+    exists for (PLANS.md); dense callers materialize the mapping, it feeds
+    2 consumers).
     """
     payload_cols = list(payload_cols or [])
-    both = both_orientations(rep_pairs, payload_cols=payload_cols)
     if include_self_pairs or self_payload is not None:
+        # validate BEFORE arm dispatch so a bad call fails identically on
+        # every input (the bypass arm would otherwise mask it)
         if payload_cols and (
             self_payload is None or set(self_payload) != set(payload_cols)
         ):
@@ -537,20 +734,32 @@ def quotient_expand_pairs(
                 "self_payload must supply exactly the payload_cols "
                 f"({payload_cols}) for within-group twin pairs"
             )
-        sizes = mapping.groupBy("__rep").agg(F.count(F.lit(1)).alias("__n"))
-        selfp = sizes.filter(F.col("__n") >= 2).select(
+    if mapping.twin_free:
+        # every group is a singleton: reps ARE members, rep_a < rep_b by
+        # construction, and there are no within-group pairs to add — the
+        # whole expansion (orientation explode + 2 joins + filter)
+        # disappears from the plan
+        return rep_pairs.select(
+            F.col("rep_a").alias("id_a"),
+            F.col("rep_b").alias("id_b"),
+            *payload_cols,
+        )
+    both = both_orientations(rep_pairs, payload_cols=payload_cols)
+    if include_self_pairs or self_payload is not None:
+        selfp = mapping.multi_sizes().select(
             F.col("__rep").alias("rep_a"),
             F.col("__rep").alias("rep_b"),
             *[(self_payload or {})[c].alias(c) for c in payload_cols],
         )
         both = both.unionByName(selfp)
-    ma = mapping.select(F.col("__rep").alias("rep_a"), F.col(id_col).alias("id_a"))
-    mb = mapping.select(F.col("__rep").alias("rep_b"), F.col(id_col).alias("id_b"))
-    return (
-        both.join(ma.hint("merge"), "rep_a")
-        .join(mb.hint("merge"), "rep_b")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", *payload_cols)
+    if self_pairs is not None:
+        both = both.unionByName(
+            self_pairs.select("rep_a", "rep_b", *payload_cols)
+        )
+    expanded = mapping.expand(both, "rep_a", "id_a")
+    expanded = mapping.expand(expanded, "rep_b", "id_b")
+    return expanded.filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", *payload_cols
     )
 
 

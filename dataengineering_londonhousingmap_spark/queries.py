@@ -1609,7 +1609,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"), "doc_id", F.md5("text"),
         F.col("text").isNotNull(),
     )
-    mapping = mapping.transform(materialize)
+    mapping = mapping.materialize()
     sh = char_shingles(reps, "doc_id", "text", w=8, distinct=False)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4).select(
@@ -1644,7 +1644,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"), "doc_id", F.md5("text"),
         F.col("text").isNotNull(),
     )
-    mapping = mapping.transform(materialize)
+    mapping = mapping.materialize()
     # the rep shingle set feeds 4 subtrees (signatures, sizes, both
     # intersection sides) — eager localCheckpoint materializes the
     # explode+distinct ONCE and truncates the lineage, so the main job
@@ -1737,41 +1737,37 @@ def q_dedup_embed_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("embedding").cast("string")),
         F.exists(F.col("embedding"), lambda x: x != F.lit(0.0)),
     )
-    # 3 consumers (group sizes + both expansion sides)
-    mapping = mapping.transform(materialize)
+    # dense arm: 2 expansion consumers of the mapping (no-op otherwise)
+    mapping = mapping.materialize()
     cross = embedding_near_dup(reps, threshold=0.42).select(
         F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "cosine"
     )
-    # expansion filters id_a < id_b, and member ids interleave across
-    # groups — rep pairs must exist in BOTH orientations (disjoint
-    # expansions: the smaller id's group differs per orientation).
-    # both_orientations explodes, never unions: a union would make the
-    # all-pairs cosine pass a two-consumer subtree and replay it per branch
-    both = both_orientations(cross, payload_cols=["cosine"])
-    sizes = mapping.groupBy("__rep").agg(F.count(F.lit(1)).alias("__n"))
-    multi = reps.join(
-        sizes.filter(F.col("__n") >= 2).select(F.col("__rep").alias("vec_id")),
-        "vec_id",
-        "left_semi",
+    # within-group twin pairs carry the identical-vector cosine the direct
+    # path computed per twin pair — same fold, same bits (NOT a literal
+    # 1.0, which a different float recipe could miss by an ulp) — so the
+    # self payload is computed from the multi-member reps' own vectors.
+    # Twin-free inputs skip the whole branch (no groups >= 2 exist).
+    self_pairs = None
+    if not mapping.twin_free:
+        multi = mapping.multi_member_reps(reps, "vec_id")
+        norm = l2_norm(F.col("embedding"))
+        denom = norm * norm
+        self_pairs = multi.select(
+            F.col("vec_id").alias("rep_a"),
+            F.col("vec_id").alias("rep_b"),
+            F.when(
+                denom > 0,
+                dot_product(F.col("embedding"), F.col("embedding")) / denom,
+            ).alias("cosine"),
+        ).filter(F.col("cosine") >= 0.42)
+    # quotient_expand_pairs orients via both_orientations' explode (a union
+    # with the swap would make the all-pairs cosine pass a two-consumer
+    # subtree and replay it per branch), unions the computed self pairs
+    # AFTER orientation, expands per arm, and cuts id_a < id_b
+    out = quotient_expand_pairs(
+        cross, mapping, "vec_id", payload_cols=["cosine"], self_pairs=self_pairs
     )
-    norm = l2_norm(F.col("embedding"))
-    denom = norm * norm
-    selfcos = multi.select(
-        F.col("vec_id").alias("rep_a"),
-        F.col("vec_id").alias("rep_b"),
-        F.when(
-            denom > 0, dot_product(F.col("embedding"), F.col("embedding")) / denom
-        ).alias("cosine"),
-    ).filter(F.col("cosine") >= 0.42)
-    rp = both.unionByName(selfcos)
-    ma = mapping.select(F.col("__rep").alias("rep_a"), F.col("vec_id").alias("id_a"))
-    mb = mapping.select(F.col("__rep").alias("rep_b"), F.col("vec_id").alias("id_b"))
-    return (
-        rp.join(ma, "rep_a")
-        .join(mb, "rep_b")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
-    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2114,9 +2110,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b"
     )
     cc = connected_components(reps.select("doc_id"), edges, "doc_id")
-    return mapping.join(
-        cc.select(F.col("doc_id").alias("__rep"), "cluster_id"), "__rep"
-    ).select("doc_id", "cluster_id")
+    return mapping.expand(cc, "doc_id").select("doc_id", "cluster_id")
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2142,9 +2136,7 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = embedding_near_dup(reps, threshold=0.42).select("id_a", "id_b")
     cc = connected_components(reps.select("vec_id"), pairs, "vec_id")
-    return mapping.join(
-        cc.select(F.col("vec_id").alias("__rep"), "cluster_id"), "__rep"
-    ).select("vec_id", "cluster_id")
+    return mapping.expand(cc, "vec_id").select("vec_id", "cluster_id")
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2308,25 +2300,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 5)
     )
-    b_mult = b_map.groupBy("__rep").agg(F.count(F.lit(1)).alias("__m"))
+    # a benchmark TEXT's doc count folds in as a multiplicity (1 for
+    # singleton groups — attach_multiplicity picks the per-arm join shape)
     per_rep = (
-        overlaps.join(
-            b_mult.select(F.col("__rep").alias("bench_rep"), "__m"), "bench_rep"
-        )
+        b_map.attach_multiplicity(overlaps, "bench_rep", "__m")
         .groupBy("doc_id")
         .agg(
             F.sum("__m").alias("n_bench_matches"),
             F.max("n_shared").alias("max_overlap"),
         )
     )
-    return (
-        c_map.join(
-            per_rep.select(
-                F.col("doc_id").alias("__rep"), "n_bench_matches", "max_overlap"
-            ),
-            "__rep",
-        )
-        .select("doc_id", "n_bench_matches", "max_overlap")
+    return c_map.expand(per_rep, "doc_id").select(
+        "doc_id", "n_bench_matches", "max_overlap"
     )
 
 
@@ -4029,7 +4014,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"), "doc_id", F.md5("text"),
         F.col("text").isNotNull(),
     )
-    mapping = mapping.transform(materialize)
+    mapping = mapping.materialize()
     sh = char_shingles(reps, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
@@ -4139,7 +4124,7 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"), "doc_id", F.md5("text"),
         F.col("text").isNotNull(),
     )
-    mapping = mapping.transform(materialize)
+    mapping = mapping.materialize()
     sh = char_shingles(reps, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
@@ -4337,15 +4322,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", num_hashes=16, bands=4,
     )
     pairs = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
-    na = n_map.select(F.col("__rep").alias("id_a"), F.col("doc_id").alias("new_id"))
-    ib = i_map.select(F.col("__rep").alias("id_b"), F.col("doc_id").alias("index_id"))
-    # merge-pinned: both mappings are corpus-proportional behind
-    # checkpoints whose stats underestimate (the PLANS.md contract)
-    return (
-        pairs.join(na.hint("merge"), "id_a")
-        .join(ib.hint("merge"), "id_b")
-        .select("new_id", "index_id", F.round("jaccard", 6).alias("jaccard"))
-    )
+    # per-side expansion through each side's arm (dense stays merge-pinned:
+    # a corpus-proportional mapping behind a checkpoint whose stats
+    # underestimate is the PLANS.md broadcast-OOM shape; sparse/bypass
+    # arms replace the shuffle joins with broadcast-explode / identity)
+    out = n_map.expand(pairs, "id_a", "new_id")
+    out = i_map.expand(out, "id_b", "index_id")
+    return out.select("new_id", "index_id", F.round("jaccard", 6).alias("jaccard"))
 
 
 def _equidepth_score(metric_df: DataFrame, col: str, buckets: int = 5) -> DataFrame:
@@ -4701,7 +4684,7 @@ def q_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text"), "doc_id", F.md5("text"),
         F.col("text").isNotNull(),
     )
-    mapping = mapping.transform(materialize)
+    mapping = mapping.materialize()
     sh = char_shingles(reps, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     # the SHARED candidate set is cut once here (through the materialize()
@@ -5217,13 +5200,9 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_days"),
         )
     )
-    return (
-        rep_pairs.join(
-            ma.select(F.col("__rep").alias("__rep_a"), "a_key"), "__rep_a"
-        )
-        .join(mb.select(F.col("__rep").alias("__rep_b"), "b_key"), "__rep_b")
-        .select("a_key", "b_key", "overlap_days")
-    )
+    out = ma.expand(rep_pairs, "__rep_a", "a_key")
+    out = mb.expand(out, "__rep_b", "b_key")
+    return out.select("a_key", "b_key", "overlap_days")
 
 
 def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:

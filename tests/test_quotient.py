@@ -55,9 +55,7 @@ def _clusters_quotient(docs):
         docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
     )
     cc = connected_components(reps.select("doc_id"), _text_edges(reps), "doc_id")
-    return mapping.join(
-        cc.select(F.col("doc_id").alias("__rep"), "cluster_id"), "__rep"
-    ).select("doc_id", "cluster_id")
+    return mapping.expand(cc, "doc_id").select("doc_id", "cluster_id")
 
 
 def test_text_quotient_matches_direct_on_twin_heavy_corpus(spark):
@@ -107,9 +105,7 @@ def _vec_clusters_quotient(emb):
     )
     pairs = embedding_near_dup(reps, threshold=0.42).select("id_a", "id_b")
     cc = connected_components(reps.select("vec_id"), pairs, "vec_id")
-    return mapping.join(
-        cc.select(F.col("vec_id").alias("__rep"), "cluster_id"), "__rep"
-    ).select("vec_id", "cluster_id")
+    return mapping.expand(cc, "vec_id").select("vec_id", "cluster_id")
 
 
 def test_vector_quotient_matches_direct_including_zero_vectors(spark):
@@ -174,7 +170,7 @@ def test_text_quotient_matches_direct_on_random_corpora(spark, texts):
 
 def test_quotient_rep_counts(spark):
     """reps = one row per distinct collapsible value + every non-collapsible
-    row; mapping covers every input id exactly once."""
+    row; expansion covers every input id exactly once."""
     rows = [(1, "aa"), (2, "aa"), (3, "bb"), (4, None), (5, None)]
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("text", StringType())]
@@ -184,8 +180,13 @@ def test_quotient_rep_counts(spark):
         df, "doc_id", F.md5("text"), F.col("text").isNotNull()
     )
     assert sorted(r["doc_id"] for r in reps.collect()) == [1, 3, 4, 5]
-    m = {r["doc_id"]: r["__rep"] for r in mapping.collect()}
-    assert m == {1: 1, 2: 1, 3: 3, 4: 4, 5: 5}
+    # one twin group of 2 out of 5 rows → the sparse arm, whose stored
+    # mapping is restricted to multi-member groups only
+    assert mapping.kind == "sparse"
+    assert {r["doc_id"]: r["__rep"] for r in mapping.df.collect()} == {1: 1, 2: 1}
+    # expand over the full rep set reconstructs every input id exactly once
+    expanded = mapping.expand(reps.select("doc_id"), "doc_id")
+    assert sorted(r["doc_id"] for r in expanded.collect()) == [1, 2, 3, 4, 5]
 
 
 # ---------------------------------------------------------------------------
@@ -234,7 +235,7 @@ def _minhash_quotient(docs):
     reps, mapping = exact_dup_quotient(
         docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
     )
-    mapping = mapping.transform(materialize)
+    mapping = mapping.materialize()
     cand = _minhash_direct(reps).select(
         F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b")
     )
@@ -267,7 +268,7 @@ def _jaccard_quotient(docs):
     reps, mapping = exact_dup_quotient(
         docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
     )
-    mapping = mapping.transform(materialize)
+    mapping = mapping.materialize()
     sh = char_shingles(reps, "doc_id", "text", w=8).transform(materialize)
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
@@ -328,14 +329,10 @@ def test_incremental_quotient_matches_direct(spark):
             num_hashes=16, bands=4,
         )
         pairs = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
-        na = n_map.select(F.col("__rep").alias("id_a"), F.col("doc_id").alias("new_id"))
-        ib = i_map.select(
-            F.col("__rep").alias("id_b"), F.col("doc_id").alias("index_id")
-        )
-        return (
-            pairs.join(na.hint("merge"), "id_a")
-            .join(ib.hint("merge"), "id_b")
-            .select("new_id", "index_id", F.round("jaccard", 6).alias("jaccard"))
+        out = n_map.expand(pairs, "id_a", "new_id")
+        out = i_map.expand(out, "id_b", "index_id")
+        return out.select(
+            "new_id", "index_id", F.round("jaccard", 6).alias("jaccard")
         )
 
     d = {(r["new_id"], r["index_id"]): r["jaccard"] for r in direct().collect()}
@@ -354,9 +351,13 @@ def test_quotient_null_fingerprint_rows_stay_singletons(spark):
     rows = [(1, "aa"), (2, "aa"), (3, None), (4, None)]
     df = spark.createDataFrame(rows, _PAIR_SCHEMA)
     reps, mapping = exact_dup_quotient(df, "doc_id", F.md5("text"))  # md5(NULL)=NULL
-    m = {r["doc_id"]: r["__rep"] for r in mapping.collect()}
-    assert m == {1: 1, 2: 1, 3: 3, 4: 4}
     assert sorted(r["doc_id"] for r in reps.collect()) == [1, 3, 4]
+    # NULL-fingerprint rows route to singleton groups, so the only stored
+    # group is the real twin pair (the sparse arm keeps multi-groups only)
+    assert mapping.kind == "sparse"
+    assert {r["doc_id"]: r["__rep"] for r in mapping.df.collect()} == {1: 1, 2: 1}
+    expanded = mapping.expand(reps.select("doc_id"), "doc_id")
+    assert sorted(r["doc_id"] for r in expanded.collect()) == [1, 2, 3, 4]
 
 
 def test_quotient_expand_pairs_requires_matching_self_payload(spark):
@@ -478,7 +479,7 @@ def test_containment_quotient_matches_direct(spark):
     reps, mapping = exact_dup_quotient(
         docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
     )
-    mapping = mapping.transform(materialize)
+    mapping = mapping.materialize()
     rp = _containment_direct(reps).select(
         F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "containment"
     )
@@ -491,3 +492,270 @@ def test_containment_quotient_matches_direct(spark):
         ).collect()
     }
     assert quot == direct
+
+
+# ---------------------------------------------------------------------------
+# r10: arm selection (bypass / sparse / dense) — exact_dup_quotient picks the
+# expansion strategy from exact counts; every arm must be output-identical.
+# ---------------------------------------------------------------------------
+
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def _quotient_conf(spark, **kv):
+    keys = {
+        f"spark.dataengineering_londonhousingmap_spark.quotient.{k}": str(v) for k, v in kv.items()
+    }
+    old = {}
+    for k, v in keys.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k in keys:
+            if old[k] is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, old[k])
+
+
+def _twin_free_corpus(spark):
+    """Near-dups and NULLs but NO exact twins — the shape of a curated
+    vintage, where the bypass arm must fire."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [
+        (1, base),
+        (2, base[:-1] + "x"),   # near-dup of 1 (cross-pair survives LSH)
+        (3, "completely different content about spark catalyst optimizer plans"),
+        (4, "short"),
+        (5, None),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, _PAIR_SCHEMA)
+
+
+def test_quotient_arm_selection(spark):
+    twin_free = _twin_free_corpus(spark)
+    twin_heavy = _pair_corpus(spark)
+    _, m1 = exact_dup_quotient(
+        twin_free, "doc_id", F.md5("text"), F.col("text").isNotNull()
+    )
+    assert m1.kind == "bypass" and m1.twin_free
+    _, m2 = exact_dup_quotient(
+        twin_heavy, "doc_id", F.md5("text"), F.col("text").isNotNull()
+    )
+    assert m2.kind == "sparse"
+    # exact-count gate: dup members above the threshold → dense
+    with _quotient_conf(spark, sparseMaxDupMembers=0):
+        _, m3 = exact_dup_quotient(
+            twin_heavy, "doc_id", F.md5("text"), F.col("text").isNotNull()
+        )
+    assert m3.kind == "dense"
+    # mode=dense pins the r09 shape even on twin-free input (the A/B knob)
+    with _quotient_conf(spark, mode="dense"):
+        _, m4 = exact_dup_quotient(
+            twin_free, "doc_id", F.md5("text"), F.col("text").isNotNull()
+        )
+    assert m4.kind == "dense"
+
+
+def test_bypass_arm_taken_and_matches_direct_on_twin_free_corpus(spark):
+    """VERDICT r10 task 1's pin: on a twin-free fixture the bypass arm is
+    taken (reps IS the input frame — no semi-join, no expansion joins in
+    the plan) and the jaccard-verify output equals the direct path's."""
+    docs = _twin_free_corpus(spark)
+    reps, mapping = exact_dup_quotient(
+        docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
+    )
+    assert mapping.twin_free
+    assert reps is docs  # bypass returns the input frame itself
+    direct = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in _jaccard_direct(docs).collect()
+    }
+    quot = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in _jaccard_quotient(docs).collect()
+    }
+    assert quot == direct and (1, 2) in direct
+    # plan shape: the bypass expansion contributes NO joins — the quotient
+    # plan has exactly the direct path's join count
+    def _njoins(df):
+        import re as _re
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        return len(_re.findall(r"\bJoin\b", plan))
+    assert _njoins(_jaccard_quotient(docs)) == _njoins(_jaccard_direct(docs))
+
+
+def test_jaccard_quotient_matches_direct_on_every_arm(spark):
+    """The same twin-heavy corpus must produce the identical pair set under
+    the sparse arm (auto default here), the forced-dense arm (r09 shape),
+    and the direct path."""
+    docs = _pair_corpus(spark)
+    direct = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in _jaccard_direct(docs).collect()
+    }
+    sparse = {
+        (r["id_a"], r["id_b"]): r["jaccard"] for r in _jaccard_quotient(docs).collect()
+    }
+    with _quotient_conf(spark, sparseMaxDupMembers=0):
+        dense = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in _jaccard_quotient(docs).collect()
+        }
+    assert sparse == direct and dense == direct
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r09: quotient-vs-direct equivalence for the two r09b conversions
+# that only had reasoning + the external oracle — the agreement matrix
+# (three payload columns through one expansion) and split-leakage
+# (filter-after-expansion on original-id attributes).
+# ---------------------------------------------------------------------------
+
+from dataengineering_londonhousingmap_spark.functions.text import doc_fingerprint  # noqa: E402
+from dataengineering_londonhousingmap_spark.operators.dedup import (  # noqa: E402
+    ngram_containment_pairs,
+)
+from dataengineering_londonhousingmap_spark.operators.sampling import train_test_split  # noqa: E402
+from dataengineering_londonhousingmap_spark.operators.util import materialize  # noqa: E402
+
+
+def _agreement_frame(docs, quotient: bool):
+    """Mirror of q_dedup_agreement's shape (queries.py): jaccard +
+    containment + normalized-fingerprint exact, full-outer at rep level,
+    one expansion with (1.0, 1.0, true) twin self-pairs."""
+    if quotient:
+        reps, mapping = exact_dup_quotient(
+            docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
+        )
+        mapping = mapping.materialize()
+    else:
+        reps, mapping = docs, None
+    sh = char_shingles(reps, "doc_id", "text", w=8).transform(materialize)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4).transform(
+        materialize
+    )
+    jac = ngram_jaccard_pairs(
+        sh, "doc_id", threshold=0.2, candidates=cand, candidates_materialized=True
+    ).select(
+        F.col("id_a").alias("rep_a"),
+        F.col("id_b").alias("rep_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+    con = ngram_containment_pairs(
+        sh, "doc_id", threshold=0.3, candidates=cand, candidates_materialized=True
+    ).select(
+        F.col("id_a").alias("rep_a"),
+        F.col("id_b").alias("rep_b"),
+        F.round("containment", 6).alias("containment"),
+    )
+    fp = reps.select("doc_id", doc_fingerprint("text").alias("__fp"))
+    ex = (
+        fp.alias("x")
+        .join(fp.alias("y"), F.col("x.__fp") == F.col("y.__fp"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("rep_a"),
+            F.col("y.doc_id").alias("rep_b"),
+            F.lit(True).alias("exact"),
+        )
+    )
+    rp = jac.join(con, ["rep_a", "rep_b"], "full_outer").join(
+        ex, ["rep_a", "rep_b"], "full_outer"
+    )
+    if quotient:
+        rp = quotient_expand_pairs(
+            rp, mapping, "doc_id",
+            payload_cols=["jaccard", "containment", "exact"],
+            self_payload={
+                "jaccard": F.lit(1.0),
+                "containment": F.lit(1.0),
+                "exact": F.lit(True),
+            },
+        )
+    else:
+        rp = rp.select(
+            F.col("rep_a").alias("id_a"), F.col("rep_b").alias("id_b"),
+            "jaccard", "containment", "exact",
+        )
+    return rp.select(
+        "id_a", "id_b", "jaccard", "containment",
+        F.col("jaccard").isNotNull().alias("by_jaccard"),
+        F.col("containment").isNotNull().alias("by_containment"),
+        F.coalesce(F.col("exact"), F.lit(False)).alias("by_exact"),
+    )
+
+
+def test_agreement_quotient_matches_direct(spark):
+    docs = _pair_corpus(spark)
+    direct = {tuple(r) for r in _agreement_frame(docs, quotient=False).collect()}
+    for conf in ({}, {"sparseMaxDupMembers": 0}):
+        with _quotient_conf(spark, **conf):
+            quot = {
+                tuple(r) for r in _agreement_frame(docs, quotient=True).collect()
+            }
+        assert quot == direct
+    # the fixture exercised disagreement arms: some pair is jaccard-only or
+    # containment-only, and twin self-pairs carry all three methods
+    assert any(r[4] != r[5] or r[4] != r[6] for r in direct)
+    assert (1, 2, 1.0, 1.0, True, True, True) in direct
+
+
+def _leakage_frame(docs, quotient: bool):
+    """Mirror of q_split_leakage's shape: near-dup pairs, then the
+    opposite-split filter applied AFTER expansion on ORIGINAL ids (twins of
+    one text can land on opposite sides)."""
+    if quotient:
+        reps, mapping = exact_dup_quotient(
+            docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
+        )
+        mapping = mapping.materialize()
+        sh = char_shingles(reps, "doc_id", "text", w=8).transform(materialize)
+        sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+        cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+        rp = ngram_jaccard_pairs(
+            sh, "doc_id", threshold=0.2, candidates=cand
+        ).select(
+            F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "jaccard"
+        )
+        pairs = quotient_expand_pairs(
+            rp, mapping, "doc_id",
+            payload_cols=["jaccard"], self_payload={"jaccard": F.lit(1.0)},
+        )
+    else:
+        sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
+        sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+        cand = lsh_candidate_pairs(sig, "doc_id", num_hashes=16, bands=4)
+        pairs = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=cand)
+    split = train_test_split(docs.select("doc_id"), "doc_id", test_rate=0.4).select(
+        "doc_id", "split"
+    )
+    sa = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    sb = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
+            "split_a", "split_b",
+        )
+    )
+
+
+def test_leakage_quotient_matches_direct(spark):
+    docs = _pair_corpus(spark)
+    direct = {tuple(r) for r in _leakage_frame(docs, quotient=False).collect()}
+    for conf in ({}, {"sparseMaxDupMembers": 0}):
+        with _quotient_conf(spark, **conf):
+            quot = {tuple(r) for r in _leakage_frame(docs, quotient=True).collect()}
+        assert quot == direct
+    # the filter-after-expansion arm did real work: at least one surviving
+    # pair comes from a twin GROUP whose members straddle the split (the
+    # rep-level pair alone could not decide it)
+    assert direct, "fixture produced no cross-split near-dup pairs"
