@@ -414,11 +414,16 @@ class QuotientMapping:
       +0.7s on q_ngram_jaccard at sf0.1 — VERDICT r09 task 1).
     - ``sparse`` — duplicates exist but the dup-involved rows number at most
       ``spark.dataengineering_londonhousingmap_spark.quotient.sparseMaxDupMembers``
-      (exact count; default 250k ≈ a few MB of (id, rep) pairs). The mapping
-      is restricted to multi-member groups only, so expansion is a BROADCAST
-      left join + explode of per-rep member lists — no shuffle of the
-      (potentially large) pair stream, and the materialized mapping is
-      twin-proportional instead of corpus-proportional.
+      (exact count; default 64k ≈ ~1 MB of (id, rep) pairs on the driver).
+      The multi-group members are collected ONCE and expansion becomes pure
+      Column expressions — ``explode(try_element_at(<literal map>, rep))``
+      — so the main plan gains ZERO joins, broadcasts, or shuffles. A
+      broadcast-join variant was measured first (r10) and was SLOWER than
+      dense at sf0.1: with a handful of twins every extra job (detection,
+      tiny-mapping checkpoint, per-expansion broadcast builds) is pure
+      fixed overhead, which the literal arm's single bounded collect
+      replaces outright. Bounded driver state from an exact count — the
+      same contract as IVF's k×dim centroid collect.
     - ``dense`` — twin-heavy (the common-crawl shape). Full corpus-sized
       (id, rep) mapping, merge-pinned shuffle joins for expansion: the r09
       behavior, kept verbatim because broadcasting a corpus-proportional
@@ -431,15 +436,19 @@ class QuotientMapping:
     """
 
     def __init__(self, kind: str, id_col: str, df: DataFrame | None = None,
-                 multi_sizes: DataFrame | None = None):
+                 multi_sizes: DataFrame | None = None,
+                 members: dict | None = None, spark=None, id_type=None):
         self.kind = kind          # "bypass" | "sparse" | "dense"
         self.id_col = id_col
-        # bypass: None; sparse: (id_col, __rep) for multi-member groups ONLY
-        # (eagerly materialized — tiny by the arm's exact-count gate);
-        # dense: full corpus-sized (id_col, __rep)
+        # dense: full corpus-sized (id_col, __rep) DataFrame; None otherwise
         self.df = df
-        # (__rep, __n) for groups with __n >= 2; None in bypass
+        # dense: (__rep, __n) DataFrame for groups with __n >= 2
         self._multi_sizes = multi_sizes
+        # sparse: {rep -> [rep, member, ...]} for multi-member groups ONLY
+        # (driver-literal, bounded by the exact-count gate)
+        self.members = members
+        self._spark = spark
+        self._id_type = id_type
 
     @property
     def twin_free(self) -> bool:
@@ -447,16 +456,35 @@ class QuotientMapping:
 
     def materialize(self) -> "QuotientMapping":
         """Cut lineage on the dense mapping when it feeds >1 consumer (the
-        r09 call-site contract). No-op for bypass (nothing to cut) and
-        sparse (the tiny mapping is materialized at construction)."""
+        r09 call-site contract). No-op for bypass and sparse (nothing
+        distributed to cut — sparse state lives on the driver)."""
         if self.kind == "dense":
             self.df = materialize(self.df)
         return self
 
+    def _member_map(self):
+        # literal map<rep, array<member>> — one Literal node per side, so
+        # the plan stays compact at the 64k-dup bound (~1 MB task binary)
+        reps = list(self.members)
+        return F.map_from_arrays(F.lit(reps), F.lit([self.members[r] for r in reps]))
+
     def multi_sizes(self) -> DataFrame:
-        """(__rep, __n) for groups with ≥2 members. Cheap in every arm: a
-        filter over the checkpointed group table (sparse/dense) — callers
-        must branch on ``twin_free`` before using it (bypass has none)."""
+        """(__rep, __n) for groups with ≥2 members. dense: a filter over
+        the checkpointed group table; sparse: a LocalRelation built from
+        the driver-literal members (no job). Callers must branch on
+        ``twin_free`` before using it (bypass has none)."""
+        if self.kind == "sparse":
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            schema = StructType(
+                [
+                    StructField("__rep", self._id_type),
+                    StructField("__n", LongType()),
+                ]
+            )
+            return self._spark.createDataFrame(
+                [(r, len(ms)) for r, ms in self.members.items()], schema
+            )
         if self._multi_sizes is None:
             raise ValueError("twin-free quotient has no multi-member groups")
         return self._multi_sizes
@@ -464,16 +492,24 @@ class QuotientMapping:
     def attach_multiplicity(self, rep_df: DataFrame, rep_col: str,
                             out_col: str) -> DataFrame:
         """``rep_df`` + ``out_col`` = group size of ``rep_df[rep_col]``
-        (1 for singleton groups). Left join against the multi-group sizes
-        only — broadcast in the sparse arm (twin-proportional by the exact
-        count), shuffle in the dense arm."""
+        (1 for singleton groups). sparse: a literal-map lookup, no join;
+        dense: left join against the multi-group sizes only."""
         if self.kind == "bypass":
-            return rep_df.withColumn(out_col, F.lit(1))
+            return rep_df.withColumn(out_col, F.lit(1).cast("long"))
+        if self.kind == "sparse":
+            reps = list(self.members)
+            size_map = F.map_from_arrays(
+                F.lit(reps), F.lit([len(self.members[r]) for r in reps])
+            )
+            return rep_df.withColumn(
+                out_col,
+                F.coalesce(
+                    F.try_element_at(size_map, F.col(rep_col)), F.lit(1)
+                ).cast("long"),
+            )
         ms = self.multi_sizes().select(
             F.col("__rep").alias(rep_col), F.col("__n").alias("__q_n")
         )
-        if self.kind == "sparse":
-            ms = F.broadcast(ms)
         return (
             rep_df.join(ms, rep_col, "left")
             .withColumn(out_col, F.coalesce(F.col("__q_n"), F.lit(1)))
@@ -485,20 +521,12 @@ class QuotientMapping:
         compute the within-group self payload from the representative's own
         data, e.g. the identical-vector cosine). Branch on ``twin_free``
         first — bypass has none."""
-        keys = self.multi_sizes().select(F.col("__rep").alias(rep_col))
         if self.kind == "sparse":
-            keys = F.broadcast(keys)
+            # positive isin over non-null literal rep ids (a NULL rep_col
+            # row matches nothing — same as the dense semi join)
+            return reps.filter(F.col(rep_col).isin(list(self.members)))
+        keys = self.multi_sizes().select(F.col("__rep").alias(rep_col))
         return reps.join(keys, rep_col, "left_semi")
-
-    def _extra_lists(self) -> DataFrame:
-        # sparse only: (__q_rep, __q_extra = the group's NON-rep member ids)
-        # — tiny (≤ dup-member count), rebuilt per use from the materialized
-        # sparse mapping
-        return (
-            self.df.filter(F.col(self.id_col) != F.col("__rep"))
-            .groupBy(F.col("__rep").alias("__q_rep"))
-            .agg(F.collect_list(self.id_col).alias("__q_extra"))
-        )
 
     def expand(self, rep_df: DataFrame, rep_col: str,
                out_col: str | None = None) -> DataFrame:
@@ -507,25 +535,24 @@ class QuotientMapping:
         result column is named ``out_col`` (default: ``rep_col``).
 
         bypass: pure rename — every group is a singleton, reps ARE members.
-        sparse: broadcast left join of the per-rep extra-member lists, then
-        one explode of array(rep) ++ extras — single consumer of ``rep_df``
-        (no union/replay), no shuffle. dense: merge-pinned equi-join against
-        the corpus-sized mapping (the r09 shape; broadcast would be the
-        driver-OOM anti-pattern on a corpus-proportional frame)."""
+        sparse: ``explode(try_element_at(<literal member map>, rep))`` with
+        an ``array(rep)`` fallback for singleton reps — a pure projection,
+        no joins/broadcasts/shuffles added to the plan (try_element_at,
+        never element_at: the driver's vanilla session is ANSI-ON and a
+        singleton rep is a missing key, which must be NULL, not an error).
+        dense: merge-pinned equi-join against the corpus-sized mapping (the
+        r09 shape; broadcast would be the driver-OOM anti-pattern on a
+        corpus-proportional frame)."""
         out_col = out_col or rep_col
         others = [c for c in rep_df.columns if c != rep_col]
         if self.kind == "bypass":
             return rep_df.select(F.col(rep_col).alias(out_col), *others)
         if self.kind == "sparse":
-            extra = F.broadcast(
-                self._extra_lists().withColumnRenamed("__q_rep", rep_col)
+            members = F.coalesce(
+                F.try_element_at(self._member_map(), F.col(rep_col)),
+                F.array(F.col(rep_col)),
             )
-            members = F.when(
-                F.col("__q_extra").isNull(), F.array(F.col(rep_col))
-            ).otherwise(F.concat(F.array(F.col(rep_col)), F.col("__q_extra")))
-            return rep_df.join(extra, rep_col, "left").select(
-                F.explode(members).alias(out_col), *others
-            )
+            return rep_df.select(F.explode(members).alias(out_col), *others)
         return rep_df.join(
             self.df.select(
                 F.col("__rep").alias(rep_col), F.col(self.id_col).alias("__q_m")
@@ -581,7 +608,7 @@ def exact_dup_quotient(
     ).lower()
     sparse_max = int(
         sess.conf.get(
-            "spark.dataengineering_londonhousingmap_spark.quotient.sparseMaxDupMembers", "250000"
+            "spark.dataengineering_londonhousingmap_spark.quotient.sparseMaxDupMembers", "65536"
         )
     )
     self_fp = F.concat(F.lit("__self:"), F.col(id_col).cast("string"))
@@ -597,18 +624,18 @@ def exact_dup_quotient(
     # never-NULL.
     fp = F.coalesce(fp, self_fp)
     m = df.select(F.col(id_col), fp.alias("__fp"))
-    groups = (
-        m.groupBy("__fp")
-        .agg(F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__n"))
-        .transform(materialize)
+    grouped = m.groupBy("__fp").agg(
+        F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__n")
     )
-    multi = groups.filter(F.col("__n") >= 2)
     if mode != "dense":
-        # arm selection from EXACT counts — one tiny aggregate over the
-        # just-checkpointed group table, never planner stats (checkpoint
-        # stats underestimate; a wrong broadcast here is the driver-OOM
-        # shape the merge-pin contract exists for)
-        stats = groups.agg(
+        # arm selection from EXACT counts, BEFORE any checkpoint: one
+        # fingerprint-shuffle detection job is the whole cost of the
+        # bypass arm (twin-free inputs skip the group-table checkpoint,
+        # the mapping, the semi-join, and every expansion join). Exact
+        # counts, never planner stats — checkpoint stats underestimate,
+        # and a wrong broadcast downstream is the driver-OOM shape the
+        # merge-pin contract exists for.
+        stats = grouped.agg(
             F.max("__n").alias("__mx"),
             F.sum(F.when(F.col("__n") >= 2, F.col("__n")).otherwise(0)).alias(
                 "__dup"
@@ -619,21 +646,37 @@ def exact_dup_quotient(
         if max_n <= 1:
             return df, QuotientMapping("bypass", id_col)
         if dup_members <= sparse_max:
-            sparse_map = (
-                m.join(F.broadcast(multi.select("__fp", "__rep")), "__fp")
+            # ONE bounded collect (≤ sparse_max (id, rep) rows, proven by
+            # the exact count above) replaces the dense arm's corpus-sized
+            # mapping checkpoint; the multi-group build side is ≤ dup/2
+            # rows, safely broadcast
+            pairs = (
+                m.join(
+                    F.broadcast(
+                        grouped.filter(F.col("__n") >= 2).select("__fp", "__rep")
+                    ),
+                    "__fp",
+                )
                 .select(F.col(id_col), F.col("__rep"))
-                .transform(materialize)
+                .collect()
             )
-            nonrep = sparse_map.filter(F.col(id_col) != F.col("__rep")).select(
-                id_col
+            members: dict = {}
+            for r in pairs:
+                members.setdefault(r["__rep"], []).append(r[id_col])
+            nonrep = [i for r, ms in members.items() for i in ms if i != r]
+            # literal filter mirrors the dense semi join's NULL semantics:
+            # a NULL id is never a collected non-rep member, so it survives
+            # (anti-join on a NULL key matches nothing → kept)
+            reps = df.filter(
+                F.col(id_col).isNull() | ~F.col(id_col).isin(nonrep)  # null-audited: explicit isNull arm keeps NULL-id rows, matching the dense arm's left_semi/anti behavior
             )
-            # twin-proportional anti join (broadcast, no shuffle) instead of
-            # the dense arm's corpus-sized semi join
-            reps = df.join(F.broadcast(nonrep), id_col, "left_anti")
             return reps, QuotientMapping(
-                "sparse", id_col, df=sparse_map,
-                multi_sizes=multi.select("__rep", "__n"),
+                "sparse", id_col, members=members, spark=df.sparkSession,
+                id_type=m.schema[id_col].dataType,
             )
+    # dense: the r09 shape — distributed group table, checkpointed once
+    # (it feeds the mapping join AND the reps semi-join)
+    groups = grouped.transform(materialize)
     mapping = m.join(groups.select("__fp", "__rep"), "__fp").select(
         F.col(id_col), F.col("__rep")
     )
@@ -641,7 +684,8 @@ def exact_dup_quotient(
         groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
     )
     return reps, QuotientMapping(
-        "dense", id_col, df=mapping, multi_sizes=multi.select("__rep", "__n")
+        "dense", id_col, df=mapping,
+        multi_sizes=groups.filter(F.col("__n") >= 2).select("__rep", "__n"),
     )
 
 

@@ -180,10 +180,10 @@ def test_quotient_rep_counts(spark):
         df, "doc_id", F.md5("text"), F.col("text").isNotNull()
     )
     assert sorted(r["doc_id"] for r in reps.collect()) == [1, 3, 4, 5]
-    # one twin group of 2 out of 5 rows → the sparse arm, whose stored
-    # mapping is restricted to multi-member groups only
+    # one twin group of 2 out of 5 rows → the sparse arm, whose
+    # driver-literal members cover multi-member groups only
     assert mapping.kind == "sparse"
-    assert {r["doc_id"]: r["__rep"] for r in mapping.df.collect()} == {1: 1, 2: 1}
+    assert {k: sorted(v) for k, v in mapping.members.items()} == {1: [1, 2]}
     # expand over the full rep set reconstructs every input id exactly once
     expanded = mapping.expand(reps.select("doc_id"), "doc_id")
     assert sorted(r["doc_id"] for r in expanded.collect()) == [1, 2, 3, 4, 5]
@@ -355,7 +355,7 @@ def test_quotient_null_fingerprint_rows_stay_singletons(spark):
     # NULL-fingerprint rows route to singleton groups, so the only stored
     # group is the real twin pair (the sparse arm keeps multi-groups only)
     assert mapping.kind == "sparse"
-    assert {r["doc_id"]: r["__rep"] for r in mapping.df.collect()} == {1: 1, 2: 1}
+    assert {k: sorted(v) for k, v in mapping.members.items()} == {1: [1, 2]}
     expanded = mapping.expand(reps.select("doc_id"), "doc_id")
     assert sorted(r["doc_id"] for r in expanded.collect()) == [1, 2, 3, 4]
 
