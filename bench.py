@@ -153,7 +153,7 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     # Host-drift controls: r08's +19% total needed manual isolated control
     # runs to adjudicate as firecracker-neighbor noise (PLANS.md drift
-    # protocol). These three queries are code-frozen (touching their code
+    # protocol). These five queries are code-frozen (touching their code
     # requires re-pinning REF below) with meaningful wall at sf0.1; their
     # reference timings are the r07/r08 committed-bench means, so
     # drift = median(now/ref) estimates THIS session's host factor and
@@ -175,25 +175,36 @@ def main() -> None:
     )
     drift = round(ratios[len(ratios) // 2], 3) if ratios else 1.0
     total = round(sum(timings.values()), 3)
+    # ONE compact JSON line, sized for the driver's 2000-char TAIL capture
+    # (BENCH_r09.json arrived truncated from the front and unparseable —
+    # VERDICT r09 task 2): per-query walls at 2dp, no whitespace, terse
+    # methodology, and the verdict numbers (value / controls / drift /
+    # normalized_total) LAST so any truncation eats detail, not the
+    # round-over-round comparables. Key order is load-bearing.
     out = {
         "metric": "headline_queries_total_wall",
-        "value": total,
         "unit": "sec",
-        "queries": timings,
         "sf": float(sf),
+        # best-of-2 warm (3rd rep when runs disagree >30%), noop sink,
+        # shared session, per-query gc outside the timed window;
+        # normalized_total = value / median(control wall / pinned
+        # r07-r08 control ref) — the full protocol lives in PLANS.md
+        "methodology": "best-of-2-warm-noop;normalized=value/median(control ratios)",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
         "controls": {
-            c: {"wall_s": timings.get(c), "ref_s": ref,
-                "ratio": round(timings[c] / ref, 3) if c in timings else None}
+            c: round(timings[c] / ref, 3)
             for c, ref in controls_ref.items()
+            if c in timings
         },
+        "value": total,
         "host_drift": drift,
         "normalized_total": round(total / drift, 3) if drift > 0 else total,
-        # declared so round-over-round comparisons are apples-to-apples:
-        # best-of-2 measures the steady-state plan (JIT + python workers +
-        # page cache warm), not a cold driver start
-        "methodology": "best-of-2 warm (3rd rep when runs disagree >30%), noop sink, shared session, per-query gc (untimed); normalized_total = value / median(control ratio vs pinned r07-r08 refs)",
     }
-    print(json.dumps(out))
+    line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:  # stay under the tail buffer with margin
+        out["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -274,9 +274,13 @@ test_plan_shape.py::test_orientation_expansion_computes_metric_once.
 
 ## r09 — drift controls automated (bench.py)
 
-bench.py now emits `controls` (q_serving_dashboard / q_triangle_count /
-q_pagerank vs pinned r07–r08 reference means), `host_drift` (median
-control ratio) and `normalized_total` = value/host_drift. r09 local run:
+bench.py now emits `controls` (five code-frozen queries spanning
+join/graph/stream/text families — q_serving_dashboard, q_triangle_count,
+q_join_nn, q_copurchase, q_stream_hourly — vs pinned r07–r08 reference
+means; q_pagerank was evaluated and EXCLUDED as a control: 1.84/2.91/4.88s
+across three same-day sessions, iterative driver loops are too noisy),
+`host_drift` (median control ratio) and `normalized_total` =
+value/host_drift. r09 local run:
 raw 75.0s, drift 1.147, normalized 65.3 — r08→r09 is flat-to-better once
 the host factor is removed. Caveat measured the same session: single
 controls are NOT trustworthy (pagerank read 1.56 while triangle read 0.99

@@ -63,6 +63,21 @@ def main() -> None:
         for name in selected:  # probed fresh below; drop stale entries
             results.pop(name, None)
             errors.pop(name, None)
+    # staged-LAYOUT queries rewrite a standing layout (bucketed tables, a
+    # partitioned export) as a precondition; their first run's wall is
+    # staging + query and rode the ratio as if it were query execution
+    # (VERDICT r09: q_join_bucketed posted the clean-lane max 8.11 against
+    # a 0.5s denominator). Run them twice: the staging guard (tableExists /
+    # overwrite of the now-existing layout) makes run 2 the query-only
+    # wall; stage_s = run1 − run2 is reported separately and ratios use
+    # the query wall.
+    stage_split = {
+        "q_join_bucketed", "q_agg_bucketed", "q_sink_partitioned",
+        "q_export_shards",
+    }
+    stage_s: dict[str, float] = dict(prior.get("stage_s", {}))
+    for name in selected:
+        stage_s.pop(name, None)
     with open("/tmp/bigscale_adv_progress.txt" if ADV else "/tmp/bigscale_progress.txt", "w") as out:
         for name, fn in selected.items():
             gc.collect()
@@ -70,8 +85,21 @@ def main() -> None:
             try:
                 df = fn(spark, BIG)
                 df.write.format("noop").mode("overwrite").save()
-                results[name] = round(time.time() - t0, 3)
-                print(f"OK  {name} {results[name]:.1f}s", file=out, flush=True)
+                wall = round(time.time() - t0, 3)
+                if name in stage_split:
+                    t1 = time.time()
+                    df = fn(spark, BIG)
+                    df.write.format("noop").mode("overwrite").save()
+                    run2 = round(time.time() - t1, 3)
+                    results[name] = run2
+                    stage_s[name] = round(max(0.0, wall - run2), 3)
+                    print(
+                        f"OK  {name} {run2:.1f}s (+{stage_s[name]:.1f}s staging)",
+                        file=out, flush=True,
+                    )
+                else:
+                    results[name] = wall
+                    print(f"OK  {name} {results[name]:.1f}s", file=out, flush=True)
             except Exception as e:  # record, keep probing
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 print(f"ERR {name} {errors[name]}", file=out, flush=True)
@@ -107,11 +135,31 @@ def main() -> None:
         bench = b.get("parsed", b).get("queries", {})
     except Exception:
         pass
+    bench_name = os.path.basename(bench_path) if bench_path else None
+    # --families merge integrity (ADVICE r09): carried-over numerators were
+    # re-ratioed against the freshly resolved denominator — if the testdata
+    # vintage regenerated between runs, that mixes vintages. Fresh ratios
+    # are computed ONLY for this run's queries; carried entries keep the
+    # ratios recorded against THEIR denominator, and the artifact names
+    # both denominators when they differ.
+    prior_bench_name = prior.get("bench_denominator")
+    carried_ratios = (
+        {
+            q: r
+            for q, r in prior.get("ratio_vs_sf01", {}).items()
+            if q not in selected
+        }
+        if FAMILIES
+        else {}
+    )
     ratios = {
         q: round(results[q] / bench[q], 2)
         for q in results
-        if q in bench and bench[q] > 0.5  # sub-noise-floor entries excluded
+        if q not in carried_ratios
+        and q in bench
+        and bench[q] > 0.5  # sub-noise-floor entries excluded
     }
+    ratios.update(carried_ratios)
     doc = {
         "note": (
             "wall sec per catalog query on the 10x-replicated ~sf1 vintage "
@@ -138,11 +186,19 @@ def main() -> None:
             "clean-lane entry before suspecting a regression"
         ),
         "queries": results,
+        "stage_s": stage_s,
+        "stage_split_note": (
+            "staged-layout queries (bucketed tables, partitioned exports) "
+            "run twice: 'queries' records the second (query-only) wall — "
+            "the standing layout already exists, so ratios measure query "
+            "execution — and 'stage_s' the first run's extra layout-"
+            "staging cost"
+        ),
         "errors": errors,
         "ratio_vs_sf01": dict(sorted(ratios.items(), key=lambda kv: -kv[1])),
         "max_ratio": max(ratios.values(), default=None),
         "total_wall_s": round(sum(results.values()), 1),
-        "bench_denominator": os.path.basename(bench_path) if bench_path else None,
+        "bench_denominator": bench_name,
     }
     if FAMILIES:
         doc["probe_note"] = (
@@ -151,6 +207,18 @@ def main() -> None:
             "entries carry over from the artifact's last full-catalog run "
             f"(prior note: {prior.get('probe_note', 'full catalog')})"
         )
+        if prior_bench_name and prior_bench_name != bench_name:
+            # vintage integrity: carried ratios keep their own denominator
+            doc["bench_denominator"] = {
+                "fresh_entries": bench_name,
+                "carried_entries": prior_bench_name,
+            }
+            doc["probe_note"] += (
+                "; DENOMINATOR MISMATCH: carried entries' ratios were "
+                f"computed against {prior_bench_name} and are preserved "
+                f"verbatim, fresh entries use {bench_name} — rerun the "
+                "full catalog to unify"
+            )
     if ADV:
         doc["note"] = (
             "wall sec per catalog query on the 10x-replicated ~sf1 vintage "
