@@ -3440,6 +3440,97 @@ ORACLES["q_lsh_recall"] = f"""
     FROM j
 """
 
+ORACLES["q_ivf_recall"] = f"""
+    WITH cent AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS cid,
+               embedding AS cvec
+        FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 16
+    ),
+    sims AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               {_cos_sql('e.embedding', 'c.cvec')} AS sim
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cid ASC
+                   ) AS rn
+            FROM sims
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cid, pr FROM (
+            SELECT vec_id AS query_id, cid,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY sim DESC, cid ASC
+                   ) AS pr
+            FROM sims WHERE vec_id < 10
+        ) WHERE pr <= 4
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS match_id, p.pr,
+               {_cos_sql('a.embedding', 'q.embedding')} AS cosine
+        FROM assigned a
+        JOIN probes p ON a.cid = p.cid
+        JOIN embeddings q ON q.vec_id = p.query_id
+        WHERE a.vec_id <> p.query_id
+    ),
+    levels AS (SELECT unnest([1, 2, 4]) AS n_probe),
+    ivf AS (
+        SELECT n_probe, query_id, match_id FROM (
+            SELECT l.n_probe, s.query_id, s.match_id,
+                   row_number() OVER (
+                       PARTITION BY l.n_probe, s.query_id
+                       ORDER BY s.cosine DESC, s.match_id ASC
+                   ) AS rk
+            FROM scored s JOIN levels l ON s.pr <= l.n_probe
+        ) WHERE rk <= 5
+    ),
+    bq AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 10
+    ),
+    bscored AS (
+        SELECT bq.query_id, e.vec_id AS match_id,
+               {_cos_sql('e.embedding', 'bq.qe')} AS cosine
+        FROM embeddings e CROSS JOIN bq
+        WHERE e.vec_id <> bq.query_id
+    ),
+    brute AS (
+        SELECT query_id, match_id FROM (
+            SELECT query_id, match_id,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY cosine DESC, match_id ASC
+                   ) AS rk
+            FROM bscored
+        ) WHERE rk <= 5
+    ),
+    tr AS (
+        SELECT l.n_probe, b.query_id, b.match_id
+        FROM brute b CROSS JOIN levels l
+    ),
+    j AS (
+        SELECT coalesce(t.n_probe, i.n_probe) AS n_probe,
+               (t.query_id IS NOT NULL) AS is_t,
+               (i.query_id IS NOT NULL) AS is_i
+        FROM tr t
+        FULL JOIN ivf i
+          ON i.n_probe = t.n_probe AND i.query_id = t.query_id
+         AND i.match_id = t.match_id
+    )
+    SELECT CAST(n_probe AS INTEGER) AS n_probe,
+           CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN is_i THEN 1 ELSE 0 END) AS BIGINT) AS n_ivf,
+           CAST(sum(CASE WHEN is_t AND is_i THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN is_t AND is_i THEN 1 ELSE 0 END)
+                 / sum(CASE WHEN is_t THEN 1 ELSE 0 END), 6) AS recall,
+           round(sum(CASE WHEN is_t AND is_i THEN 1 ELSE 0 END)
+                 / sum(CASE WHEN is_i THEN 1 ELSE 0 END), 6) AS precision
+    FROM j GROUP BY n_probe ORDER BY n_probe
+"""
+
 ORACLES["q_triangle_count"] = """
     WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     und AS (

@@ -4402,6 +4402,125 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall/precision of the IVF ANN path (X9) against the exact
+    brute-force top-k — the q_lsh_recall (X157) QA twin for the IVF family:
+    the same md5-seeded 16-centroid index as q_embed_ann_ivf, k=5, probed
+    at n_probe ∈ {1, 2, 4} in ONE corpus pass. One row per n_probe:
+    exact-truth pairs, IVF result pairs, hits, recall, precision — the
+    production n_probe-tuning loop reads exactly this query.
+
+    Scale shape: the corpus is assigned to inverted lists ONCE; every
+    scored candidate carries the probe RANK of the list it came from, so
+    the three probe levels are a broadcast level-join + per-(level, query)
+    rerank over the same scored frame — never one assignment per level.
+    Construction-exact oracle (the q_embed_ann_ivf SQL machinery replayed
+    with a probe-rank column + the q_embed_topk brute twin), so recall is
+    a VERIFIED value, not a bound flag."""
+    from .functions.vectors import cosine_similarity_batched
+    from .operators.util import fan_out
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    # deterministic centroid sample — identical recipe to ann_topk_ivf's
+    # default arm (operators/similarity.py), replayed in the oracle
+    cent = F.broadcast(
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(16)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.md5(F.col("vec_id").cast("string"))))
+            .alias("__cid"),
+            F.col("embedding").alias("__cvec"),
+        )
+        .transform(materialize)
+    )
+    assigned = (
+        fan_out(emb)
+        .crossJoin(cent)
+        .select(
+            "vec_id",
+            "embedding",
+            "__cid",
+            (-cosine_similarity_batched(F.col("embedding"), F.col("__cvec"))).alias(
+                "__negsim"
+            ),
+        )
+        .groupBy("vec_id", "embedding")
+        .agg(F.min(F.struct("__negsim", "__cid")).alias("__m"))
+        .select("vec_id", "embedding", F.col("__m.__cid").alias("__cid"))
+    )
+    probes = (
+        queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qvec"))
+        .crossJoin(cent)
+        .select(
+            "query_id",
+            "__qvec",
+            "__cid",
+            cosine_similarity_batched(F.col("__qvec"), F.col("__cvec")).alias("__sim"),
+        )
+        .withColumn(
+            "__pr",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("__sim").desc(), F.col("__cid")
+                )
+            ),
+        )
+        .filter(F.col("__pr") <= 4)
+        .select("query_id", "__qvec", "__cid", "__pr")
+    )
+    scored = (
+        assigned.join(probes, "__cid")
+        .filter(F.col("vec_id") != F.col("query_id"))  # null-audited: embedding ids are non-null (pinned vintage invariant); a NULL id could never be a query anchor
+        .select(
+            "query_id",
+            F.col("vec_id").alias("match_id"),
+            cosine_similarity_batched(F.col("embedding"), F.col("__qvec")).alias(
+                "cosine"
+            ),
+            "__pr",
+        )
+        # feeds the three probe levels below — cut once
+        .transform(materialize)
+    )
+    levels = F.broadcast(spark.createDataFrame([(1,), (2,), (4,)], "n_probe int"))
+    wl = Window.partitionBy("n_probe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("match_id").asc()
+    )
+    ivf = (
+        scored.join(levels, F.col("__pr") <= F.col("n_probe"))
+        .withColumn("__rk", F.row_number().over(wl))
+        .filter(F.col("__rk") <= 5)
+        .select("n_probe", "query_id", "match_id")
+    )
+    truth = (
+        ann_topk_bruteforce(emb, queries, k=5)
+        .select("query_id", "match_id")
+        .crossJoin(levels)
+        .select("n_probe", "query_id", "match_id")
+    )
+    j = truth.withColumn("__t", F.lit(1)).join(
+        ivf.withColumn("__c", F.lit(1)),
+        ["n_probe", "query_id", "match_id"],
+        "full_outer",
+    )
+    hits = F.sum(
+        F.when(F.col("__t").isNotNull() & F.col("__c").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        j.groupBy("n_probe")
+        .agg(
+            F.sum(F.coalesce("__t", F.lit(0))).alias("n_true"),
+            F.sum(F.coalesce("__c", F.lit(0))).alias("n_ivf"),
+            hits.alias("n_hits"),
+            F.round(hits / F.sum(F.coalesce("__t", F.lit(0))), 6).alias("recall"),
+            F.round(hits / F.sum(F.coalesce("__c", F.lit(0))), 6).alias("precision"),
+        )
+        .orderBy("n_probe")
+    )
+
+
 def q_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-skipping effectiveness report — the lakehouse planning view on
     top of the q_manifest machinery: orders staged RANGE-partitioned on
@@ -5760,6 +5879,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_agreement": q_dedup_agreement,
     "q_audio_frames": q_audio_frames,
     "q_lsh_recall": q_lsh_recall,
+    "q_ivf_recall": q_ivf_recall,
     "q_prune_report": q_prune_report,
     "q_stream_backfill": q_stream_backfill,
     "q_ab_test": q_ab_test,
