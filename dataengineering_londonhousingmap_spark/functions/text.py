@@ -66,29 +66,70 @@ _STOPWORDS = [
 ]
 
 
+def _let(bound: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``bound`` ONCE, hand it
+    to ``body`` as a HOF lambda VARIABLE (bound variables are values —
+    referencing them repeatedly never re-evaluates the subtree, unlike
+    captured expressions, which re-evaluate per reference).
+
+    Why this exists (r10): Catalyst pushes deterministic predicates through
+    Projects, so ``df.select(score.alias("q")).filter("q >= t")`` inlines
+    the WHOLE scoring expression into a Filter — and FilterExec gets
+    neither whole-stage codegen (HOFs are interpreted) nor subexpression
+    elimination, so every internal re-reference of a shared subtree
+    re-executes it per row. Measured on the 10x lane: lang_id_scores in
+    filter position ran 9.3x its projection cost (8 token-splits per row
+    instead of 1). Single-element-array transform is the cheapest
+    let-binding Spark's expression language offers; ``element_at(..., 1)``
+    (not ``[0]``/getItem) stays ANSI-safe."""
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def quality_score(col: Column | str) -> Column:
     """Heuristic document quality in [0,1]: blend of length signal,
     alpha-character ratio, stopword ratio, and mean word length sanity.
 
-    Components (all codegen'd):
+    Components:
       len_sig   = min(n_chars/500, 1)          — longer docs up to a cap
       alpha     = alpha_chars / max(chars,1)   — symbol soup scores low
       stop      = min(stop_ratio*5, 1)         — natural prose has stopwords
       wordlen   = 1 if mean word length in [3,12] else 0.5
+
+    Filter-position safe (r10): the token split and the per-doc stats are
+    let-bound (:func:`_let`), so the expression evaluates each heavy
+    subtree exactly once per row even when Catalyst pushes it into a
+    Filter, where no CSE exists. Arithmetic is unchanged — values are
+    bit-identical to the r09 form (the oracles pin this).
     """
     c = F.col(col) if isinstance(col, str) else col
-    toks = tokens(c)
-    n_tok = F.size(toks)
-    n_chars = F.length(c)
-    alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
-    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS)))
-    len_sig = F.least(n_chars.cast("double") / 500.0, F.lit(1.0))
-    alpha_ratio = alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
-    stop_ratio = stop_hits.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
-    stop_sig = F.least(stop_ratio * 5.0, F.lit(1.0))
-    mean_wordlen = alpha_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
-    wordlen_sig = F.when((mean_wordlen >= 3.0) & (mean_wordlen <= 12.0), 1.0).otherwise(0.5)
-    return (len_sig * 0.25 + alpha_ratio * 0.25 + stop_sig * 0.25 + wordlen_sig * 0.25)
+
+    def _score(s: Column) -> Column:
+        n_chars = s["n_chars"]
+        alpha_chars = s["alpha_chars"]
+        n_tok = s["n_tok"]
+        stop_hits = s["stop_hits"]
+        len_sig = F.least(n_chars.cast("double") / 500.0, F.lit(1.0))
+        alpha_ratio = alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+        stop_ratio = stop_hits.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+        stop_sig = F.least(stop_ratio * 5.0, F.lit(1.0))
+        mean_wordlen = alpha_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+        wordlen_sig = F.when((mean_wordlen >= 3.0) & (mean_wordlen <= 12.0), 1.0).otherwise(0.5)
+        return len_sig * 0.25 + alpha_ratio * 0.25 + stop_sig * 0.25 + wordlen_sig * 0.25
+
+    return _let(
+        tokens(c),
+        lambda tk: _let(
+            F.struct(
+                F.length(c).alias("n_chars"),
+                F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).alias("alpha_chars"),
+                F.size(tk).alias("n_tok"),
+                F.size(
+                    F.filter(tk, lambda t: F.lower(t).isin(_STOPWORDS))
+                ).alias("stop_hits"),
+            ),
+            _score,
+        ),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -106,30 +147,49 @@ LANG_MARKERS: dict[str, list[str]] = {
 
 def lang_id_scores(col: Column | str) -> Column:
     """Best-guess language code by marker-word hits; ties and zero hits
-    resolve to 'und' (undetermined) / lexicographically-first max."""
+    resolve to 'und' (undetermined) / lexicographically-first max.
+
+    Filter-position safe (r10, same class as quality_score): the lowered
+    token array and the winning (neg, lang) struct are let-bound
+    (:func:`_let`) — the r09 form referenced the whole ranked subtree
+    twice (the ``neg`` guard and the ``lang`` field), which doubled an
+    already 4-split expression wherever a predicate pushdown inlined it
+    into a Filter. Decision logic and values are unchanged."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.transform(tokens(c), F.lower)
 
-    # closure factory: the lambda must be unary (PySpark treats a binary
-    # lambda as an (element, index) function)
-    def _hits(words: list[str]):
-        return F.size(F.filter(toks, lambda t: t.isin(words)))
+    def _best(tk: Column) -> Column:
+        # closure factory: the lambda must be unary (PySpark treats a
+        # binary lambda as an (element, index) function); tk is a BOUND
+        # variable, so the four per-language passes share one split
+        def _hits(words: list[str]):
+            return F.size(F.filter(tk, lambda t: t.isin(words)))
 
-    # build (lang, hits) structs, pick max hits with lang as tiebreak
-    entries = F.array(
-        *[
-            F.struct(_hits(words).alias("hits"), F.lit(lang).alias("lang"))
-            for lang, words in sorted(LANG_MARKERS.items())
-        ]
+        # build (lang, hits) structs, pick max hits with lang as tiebreak:
+        # sort by (-hits, lang) ascending and take element 1 — we want the
+        # lexicographically FIRST lang on hit ties
+        entries = F.array(
+            *[
+                F.struct(_hits(words).alias("hits"), F.lit(lang).alias("lang"))
+                for lang, words in sorted(LANG_MARKERS.items())
+            ]
+        )
+        ranked = F.sort_array(
+            F.transform(
+                entries,
+                lambda e: F.struct((-e["hits"]).alias("neg"), e["lang"].alias("lang")),
+            )
+        )
+        return F.element_at(ranked, 1)
+
+    return _let(
+        F.transform(tokens(c), F.lower),
+        lambda tk: _let(
+            _best(tk),
+            lambda best: F.when(best["neg"] == 0, F.lit("und")).otherwise(
+                best["lang"]
+            ),
+        ),
     )
-    # array_max on struct: compares by first field (hits) then lang — but we
-    # want lexicographically FIRST lang on hit ties, so invert: sort by
-    # (-hits, lang) ascending and take element 1.
-    ranked = F.sort_array(
-        F.transform(entries, lambda e: F.struct((-e["hits"]).alias("neg"), e["lang"].alias("lang")))
-    )
-    best = F.element_at(ranked, 1)
-    return F.when(best["neg"] == 0, F.lit("und")).otherwise(best["lang"])
 
 
 # ---------------------------------------------------------------------------

@@ -321,3 +321,39 @@ def test_orientation_expansion_computes_metric_once(name, expr_marker, max_evals
         f"optimized plan, found {found} — the orientation expansion is "
         "replaying its upstream per branch (use both_orientations' explode)"
     )
+
+
+def test_scoring_exprs_single_split_in_filter_position(spark):
+    """r10: Catalyst pushes the curation gate (quality >= t AND lang = en)
+    through the scoring Project into a Filter, where there is no
+    whole-stage codegen for HOFs and no subexpression elimination — the
+    r09 expression shapes re-evaluated the token split up to 8x per row
+    there (measured 9.3x wall on the 10x lane for lang_id_scores alone).
+    quality_score/lang_id_scores are let-bound (functions/text.py:_let)
+    so each contributes exactly ONE split() to the pushed condition;
+    reverting the binding multiplies them."""
+    from pyspark.sql import functions as F
+
+    from dataengineering_londonhousingmap_spark.functions.text import lang_id_scores, quality_score
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox is with the others")], "doc_id long, text string"
+    )
+    kept = (
+        docs.select(
+            "doc_id",
+            F.round(quality_score("text"), 6).alias("q"),
+            lang_id_scores("text").alias("l"),
+        )
+        .filter((F.col("q") >= 0.6) & (F.col("l") == "en"))
+        .select("doc_id")
+    )
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    n_split = plan.count("split(")
+    # positive control: the scoring really was pushed into this plan
+    assert n_split >= 1, "scoring expressions vanished from the plan"
+    assert n_split <= 2, (
+        f"{n_split} split() occurrences in the pushed filter condition — "
+        "a scoring expression lost its let-binding (functions/text.py:_let) "
+        "and re-evaluates the token split per reference in FilterExec"
+    )

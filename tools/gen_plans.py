@@ -290,6 +290,52 @@ probe's ratio denominators likewise stopped being pinned to BENCH_r04:
 probe_bigscale.py uses the newest (or --bench) bench json, because
 testdata is driver-regenerated each round and ratios against a stale
 vintage mix a data shift into a scale measurement.
+
+## r10 — the corpus-curation >4× ratios: filter-position CSE loss, fixed
+
+VERDICT r09 task 4 asked which stage dominates q_pipeline_corpus
+(4.8 clean / 6.8 adv at 10×) and q_corpus_curation (4.5 / 6.7). Per-stage
+bisect on .bigdata (fresh sessions, noop sink): scan+quality ≈ 1.5s,
++lang ≈ 1.5s, **kept-ids-only (the quality≥0.6 AND lang='en' FILTER)
+8.26s**, fingerprint +0.6s, pipeline tail (split/token-count/pack) +0.3s.
+The dominant stage was not scoring volume but the FILTER SHAPE: Catalyst
+pushes the gate through the scoring Project, and FilterExec gets neither
+whole-stage codegen (the HOF-bearing scorers are interpreted) nor
+subexpression elimination — lang_id_scores referenced its ranked
+element_at subtree twice and its token array four times, so the pushed
+condition ran ~8 token-splits per row (isolated: filter 10.3s vs
+projection 1.1s, 9.3×). Fix: let-binding (functions/text.py:_let —
+single-element-array transform; HOF lambda VARIABLES are bound values,
+unlike captured expressions) in quality_score and lang_id_scores; values
+bit-identical (oracles unchanged, full driver-sim green). Measured after:
+filter_lang 10.3→1.8s, filter_both 12.9→3.0s; q_corpus_curation 10.4→3.97
+clean / 4.02 adv, q_pipeline_corpus 4.14 / 4.50 — both lanes now ~2.7×
+their sf0.1 walls at 10× data, i.e. firmly sublinear. Plan pin:
+test_plan_shape.py::test_scoring_exprs_single_split_in_filter_position
+(counts split() in the pushed condition). Re-open trigger: either query's
+clean-lane 10× ratio >4 in a future probe → re-bisect the filter stage
+first. Counterfactual NOT taken: quotienting the scoring (run once per
+distinct text) would cut the replicated lanes ~10× further but adds an
+md5-shuffle detection job on every real (twin-light) vintage where the
+scoring volume is irreducible — the filter fix removes the actual defect;
+replication-lane residual is per-copy scan+score, i.e. workload.
+
+## r10 — adaptive exact-dup quotient (bypass/sparse/dense)
+
+exact_dup_quotient picks its expansion strategy from EXACT counts over
+the fingerprint groups (never planner stats): twin-free → bypass (one
+detection aggregate, no checkpoint/mapping/expansion joins — reps IS the
+input frame; 0.74× on q_dedup_embed_exact at sf0.1); dup members ≤
+spark.dataengineering_londonhousingmap_spark.quotient.sparseMaxDupMembers (default 64k) → a
+bounded driver collect and pure-expression expansion
+(explode(try_element_at(<literal map>, rep))) — zero extra joins; else →
+the r09 corpus-sized merge-pinned mapping, unchanged (the 10×-adversarial
+proven arm). A broadcast-join sparse variant was measured first and was
+SLOWER than dense at sf0.1 (every extra job is fixed overhead at that
+scale) — do not revert the literal arm to broadcast joins. A/B knob:
+spark.dataengineering_londonhousingmap_spark.quotient.mode=dense pins the r09 shape.
+Equivalence: tests/test_quotient.py pins every arm against the direct
+path (including the agreement matrix and split-leakage conversions).
 '''
 
 
