@@ -231,7 +231,7 @@ def _candidate_intersection(
         candidates = materialize(candidates)
     ids = (
         candidates.select(F.col("id_a").alias(id_col))
-        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .union(candidates.select(F.col("id_b").alias(id_col)))  # union-audited: candidates is materialized just above (or declared so by the caller) — both branches read checkpoint blocks, nothing replays
         .distinct()
     )
     pruned = shingles.join(ids, id_col, "left_semi")
@@ -437,7 +437,8 @@ class QuotientMapping:
 
     def __init__(self, kind: str, id_col: str, df: DataFrame | None = None,
                  multi_sizes: DataFrame | None = None,
-                 members: dict | None = None, spark=None, id_type=None):
+                 members: dict | None = None, members_df: DataFrame | None = None,
+                 literal: bool = False):
         self.kind = kind          # "bypass" | "sparse" | "dense"
         self.id_col = id_col
         # dense: full corpus-sized (id_col, __rep) DataFrame; None otherwise
@@ -445,10 +446,20 @@ class QuotientMapping:
         # dense: (__rep, __n) DataFrame for groups with __n >= 2
         self._multi_sizes = multi_sizes
         # sparse: {rep -> [rep, member, ...]} for multi-member groups ONLY
-        # (driver-literal, bounded by the exact-count gate)
+        # (driver-side, bounded by the exact-count gate)
         self.members = members
-        self._spark = spark
-        self._id_type = id_type
+        # sparse: the same data as a LocalRelation (__q_rep, __q_members) —
+        # ONE createDataFrame pickle batch. NOT per-element expressions:
+        # Column.isin(<big list>) / F.lit(<big list>) build one py4j call
+        # PER ELEMENT (measured: 45k ids ≈ 20s of driver time), so literal
+        # plans are only viable for tiny dup sets while a LocalRelation is
+        # O(1) py4j calls at any bounded size.
+        self._members_df = members_df
+        # sparse sub-arm: dup sets at or under literalMaxDupMembers (default
+        # 128 ≈ 60 ms of py4j) use pure Column expressions instead of
+        # broadcast joins — the broadcast exchanges cost a measured 25-30%
+        # on twin-light sf0.1 queries while a dozen literals are free
+        self.literal = literal
 
     @property
     def twin_free(self) -> bool:
@@ -457,33 +468,20 @@ class QuotientMapping:
     def materialize(self) -> "QuotientMapping":
         """Cut lineage on the dense mapping when it feeds >1 consumer (the
         r09 call-site contract). No-op for bypass and sparse (nothing
-        distributed to cut — sparse state lives on the driver)."""
+        distributed to cut — sparse state is a driver-local relation)."""
         if self.kind == "dense":
             self.df = materialize(self.df)
         return self
 
-    def _member_map(self):
-        # literal map<rep, array<member>> — one Literal node per side, so
-        # the plan stays compact at the 64k-dup bound (~1 MB task binary)
-        reps = list(self.members)
-        return F.map_from_arrays(F.lit(reps), F.lit([self.members[r] for r in reps]))
-
     def multi_sizes(self) -> DataFrame:
         """(__rep, __n) for groups with ≥2 members. dense: a filter over
-        the checkpointed group table; sparse: a LocalRelation built from
-        the driver-literal members (no job). Callers must branch on
-        ``twin_free`` before using it (bypass has none)."""
+        the checkpointed group table; sparse: a projection of the
+        LocalRelation (no job). Callers must branch on ``twin_free``
+        before using it (bypass has none)."""
         if self.kind == "sparse":
-            from pyspark.sql.types import LongType, StructField, StructType
-
-            schema = StructType(
-                [
-                    StructField("__rep", self._id_type),
-                    StructField("__n", LongType()),
-                ]
-            )
-            return self._spark.createDataFrame(
-                [(r, len(ms)) for r, ms in self.members.items()], schema
+            return self._members_df.select(
+                F.col("__q_rep").alias("__rep"),
+                F.size("__q_members").cast("long").alias("__n"),
             )
         if self._multi_sizes is None:
             raise ValueError("twin-free quotient has no multi-member groups")
@@ -492,11 +490,12 @@ class QuotientMapping:
     def attach_multiplicity(self, rep_df: DataFrame, rep_col: str,
                             out_col: str) -> DataFrame:
         """``rep_df`` + ``out_col`` = group size of ``rep_df[rep_col]``
-        (1 for singleton groups). sparse: a literal-map lookup, no join;
-        dense: left join against the multi-group sizes only."""
+        (1 for singleton groups). sparse: broadcast left join against the
+        LocalRelation (twin-proportional, no shuffle); dense: left join
+        against the multi-group sizes only."""
         if self.kind == "bypass":
             return rep_df.withColumn(out_col, F.lit(1).cast("long"))
-        if self.kind == "sparse":
+        if self.kind == "sparse" and self.literal:
             reps = list(self.members)
             size_map = F.map_from_arrays(
                 F.lit(reps), F.lit([len(self.members[r]) for r in reps])
@@ -510,6 +509,8 @@ class QuotientMapping:
         ms = self.multi_sizes().select(
             F.col("__rep").alias(rep_col), F.col("__n").alias("__q_n")
         )
+        if self.kind == "sparse":
+            ms = F.broadcast(ms)
         return (
             rep_df.join(ms, rep_col, "left")
             .withColumn(out_col, F.coalesce(F.col("__q_n"), F.lit(1)))
@@ -521,10 +522,15 @@ class QuotientMapping:
         compute the within-group self payload from the representative's own
         data, e.g. the identical-vector cosine). Branch on ``twin_free``
         first — bypass has none."""
-        if self.kind == "sparse":
+        if self.kind == "sparse" and self.literal:
             # positive isin over non-null literal rep ids (a NULL rep_col
-            # row matches nothing — same as the dense semi join)
+            # row matches nothing — same as the semi join)
             return reps.filter(F.col(rep_col).isin(list(self.members)))
+        if self.kind == "sparse":
+            keys = F.broadcast(
+                self._members_df.select(F.col("__q_rep").alias(rep_col))
+            )
+            return reps.join(keys, rep_col, "left_semi")
         keys = self.multi_sizes().select(F.col("__rep").alias(rep_col))
         return reps.join(keys, rep_col, "left_semi")
 
@@ -535,24 +541,40 @@ class QuotientMapping:
         result column is named ``out_col`` (default: ``rep_col``).
 
         bypass: pure rename — every group is a singleton, reps ARE members.
-        sparse: ``explode(try_element_at(<literal member map>, rep))`` with
-        an ``array(rep)`` fallback for singleton reps — a pure projection,
-        no joins/broadcasts/shuffles added to the plan (try_element_at,
-        never element_at: the driver's vanilla session is ANSI-ON and a
-        singleton rep is a missing key, which must be NULL, not an error).
-        dense: merge-pinned equi-join against the corpus-sized mapping (the
-        r09 shape; broadcast would be the driver-OOM anti-pattern on a
+        sparse: broadcast left join of the LocalRelation member lists, one
+        explode with an ``array(rep)`` fallback for singleton reps — no
+        shuffle of the (potentially large) pair stream, and ``rep_df`` has
+        exactly one consumer (no union/replay). dense: merge-pinned
+        equi-join against the corpus-sized mapping (the r09 shape;
+        broadcast would be the driver-OOM anti-pattern on a
         corpus-proportional frame)."""
         out_col = out_col or rep_col
         others = [c for c in rep_df.columns if c != rep_col]
         if self.kind == "bypass":
             return rep_df.select(F.col(rep_col).alias(out_col), *others)
-        if self.kind == "sparse":
+        if self.kind == "sparse" and self.literal:
+            reps = list(self.members)
+            member_map = F.map_from_arrays(
+                F.lit(reps), F.lit([self.members[r] for r in reps])
+            )
+            # try_element_at, never element_at: the driver's vanilla
+            # session is ANSI-ON and a singleton rep is a missing key,
+            # which must be NULL (→ array(rep) fallback), not an error
             members = F.coalesce(
-                F.try_element_at(self._member_map(), F.col(rep_col)),
+                F.try_element_at(member_map, F.col(rep_col)),
                 F.array(F.col(rep_col)),
             )
             return rep_df.select(F.explode(members).alias(out_col), *others)
+        if self.kind == "sparse":
+            extra = F.broadcast(
+                self._members_df.withColumnRenamed("__q_rep", rep_col)
+            )
+            members = F.coalesce(
+                F.col("__q_members"), F.array(F.col(rep_col))
+            )
+            return rep_df.join(extra, rep_col, "left").select(
+                F.explode(members).alias(out_col), *others
+            )
         return rep_df.join(
             self.df.select(
                 F.col("__rep").alias(rep_col), F.col(self.id_col).alias("__q_m")
@@ -611,6 +633,11 @@ def exact_dup_quotient(
             "spark.dataengineering_londonhousingmap_spark.quotient.sparseMaxDupMembers", "65536"
         )
     )
+    lit_max = int(
+        sess.conf.get(
+            "spark.dataengineering_londonhousingmap_spark.quotient.literalMaxDupMembers", "128"
+        )
+    )
     self_fp = F.concat(F.lit("__self:"), F.col(id_col).cast("string"))
     fp = fingerprint
     if collapsible is not None:
@@ -663,16 +690,46 @@ def exact_dup_quotient(
             members: dict = {}
             for r in pairs:
                 members.setdefault(r["__rep"], []).append(r[id_col])
-            nonrep = [i for r, ms in members.items() for i in ms if i != r]
-            # literal filter mirrors the dense semi join's NULL semantics:
-            # a NULL id is never a collected non-rep member, so it survives
-            # (anti-join on a NULL key matches nothing → kept)
-            reps = df.filter(
-                F.col(id_col).isNull() | ~F.col(id_col).isin(nonrep)  # null-audited: explicit isNull arm keeps NULL-id rows, matching the dense arm's left_semi/anti behavior
+            # ship the driver-side structures back as LocalRelations — ONE
+            # createDataFrame pickle batch each. Never per-element
+            # expressions: isin(<list>)/F.lit(<list>) cost one py4j call
+            # PER ELEMENT (measured r10: 45k ids ≈ 20s of pure driver
+            # time building the plan)
+            from pyspark.sql.types import ArrayType, StructField, StructType
+
+            id_type = m.schema[id_col].dataType
+            spark = df.sparkSession
+            members_df = spark.createDataFrame(
+                list(members.items()),
+                StructType(
+                    [
+                        StructField("__q_rep", id_type),
+                        StructField("__q_members", ArrayType(id_type)),
+                    ]
+                ),
             )
+            nonrep = [i for r, ms in members.items() for i in ms if i != r]
+            literal = dup_members <= lit_max
+            if literal:
+                # tiny dup set: pure Column expressions (no broadcast
+                # exchanges — measured 25-30% of twin-light query wall).
+                # NULL ids are never collected members, so the explicit
+                # isNull arm keeps them — the anti-join's NULL behavior.
+                reps = df.filter(
+                    F.col(id_col).isNull() | ~F.col(id_col).isin(nonrep)  # null-audited: explicit isNull arm keeps NULL-id rows, matching the anti-join/semi-join NULL semantics of the other arms
+                )
+            else:
+                nonrep_df = spark.createDataFrame(
+                    [(i,) for i in nonrep],
+                    StructType([StructField(id_col, id_type)]),
+                )
+                # twin-proportional broadcast anti join (no shuffle; NULL
+                # ids match nothing, so they survive — the dense arm's
+                # semi-join behavior)
+                reps = df.join(F.broadcast(nonrep_df), id_col, "left_anti")
             return reps, QuotientMapping(
-                "sparse", id_col, members=members, spark=df.sparkSession,
-                id_type=m.schema[id_col].dataType,
+                "sparse", id_col, members=members, members_df=members_df,
+                literal=literal,
             )
     # dense: the r09 shape — distributed group table, checkpointed once
     # (it feeds the mapping join AND the reps semi-join)
@@ -840,9 +897,18 @@ def connected_components(
     convergence rather than returning a silently-wrong partial clustering
     (2^25 diameter is unreachable in practice).
     """
+    # both orientations via ONE explode pass (r10): the union-of-swap shape
+    # made `edges` — often a whole un-materialized candidate+verify
+    # pipeline (q_dedup_clusters/semantic) — a two-consumer subtree that
+    # the lazy materialize's FIRST action replayed once per branch. Caught
+    # by lint rule 6 (tools/lint_null_semantics.py), the r09
+    # orientation-replay class.
     e = (
-        edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        both_orientations(
+            edges.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+            a_col="src",
+            b_col="dst",
+        )
         .distinct()
         .transform(materialize, eager=False)  # reused every iteration
     )

@@ -84,4 +84,26 @@ def cluster_conf(executors: int = 1000, cores_per_executor: int = 5) -> dict[str
         # sc.setCheckpointDir on a cluster-visible FS; see
         # operators/util.materialize)
         "spark.dataengineering_londonhousingmap_spark.reliableCheckpoint": "true",
+        # ---- streaming state posture (r10) --------------------------------
+        # RocksDB state store: keyed stream state (sessionization, stateful
+        # dedup, CDC apply) lives off-heap and spills to local disk instead
+        # of executor heap — the HDFSBackedStateStore default keeps every
+        # version in memory and is the OOM shape at production key
+        # cardinality. Changelog checkpointing uploads per-batch deltas
+        # rather than full RocksDB snapshots.
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": "true",
+        # The local[32] harness NARROWS shuffle partitions around
+        # writeStream.start() (streaming/incremental.py:_few_state_partitions
+        # — 8-16 state stores beat 200 for KB-sized test state). That tuning
+        # must not ship: "session" disables the narrowing so stream state
+        # parallelism follows the session's shuffle partitions; a positive
+        # integer pins it to a deliberate key-cardinality-sized value.
+        # NOTE: a stream's state partitioning is frozen by its FIRST
+        # checkpoint — set this before the stream ever starts, not on
+        # restart.
+        "spark.dataengineering_londonhousingmap_spark.streaming.statePartitions": "session",
     }

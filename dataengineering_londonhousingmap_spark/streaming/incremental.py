@@ -107,8 +107,25 @@ def _few_state_partitions(spark: SparkSession, n: int = 8):
     wrong setting. The check is a real RuntimeError (an ``assert`` would
     be compiled out under ``python -O``), and the original value is
     restored BEFORE raising — a detected race must never leave the
-    session conf narrowed for every subsequent batch query."""
+    session conf narrowed for every subsequent batch query.
+
+    Cluster override (r10):
+    ``spark.dataengineering_londonhousingmap_spark.streaming.statePartitions`` — set to
+    ``"session"`` to DISABLE the narrowing (state parallelism follows the
+    session's shuffle partitions; what cluster_conf ships, so the local
+    harness tuning never leaks into a deployment), or to a positive
+    integer to pin state partitions to a deliberate key-cardinality-sized
+    value. A stream's state partitioning is frozen by its first
+    checkpoint, so the override matters at first start, not restart."""
     key = "spark.sql.shuffle.partitions"
+    override = str(
+        spark.conf.get("spark.dataengineering_londonhousingmap_spark.streaming.statePartitions", "")
+    ).strip().lower()
+    if override == "session":
+        yield
+        return
+    if override.isdigit() and int(override) > 0:
+        n = int(override)
     old = spark.conf.get(key)
     token = str(n)
     spark.conf.set(key, token)

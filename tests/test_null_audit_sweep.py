@@ -154,3 +154,35 @@ def test_lint_hof_capture_rule():
         "    return F.transform(  # hof-capture-audited: 2-element array\n"
         "        F.array(F.lit(1), F.lit(2)), lambda i: F.element_at(t, i))\n"
     )
+
+
+def test_lint_union_replay_rule():
+    """r10 rule 6: union/unionByName with both branches chained off the
+    same frame variable is the orientation-replay shape (Spark replays the
+    shared un-materialized subtree per branch). Positive control = the
+    exact pre-r10 connected_components edge symmetrization; different
+    bases, a '# union-audited:' pragma, and the accumulation shape pass."""
+    bug = (
+        "e = (\n"
+        "    edges.select(F.col('id_a').alias('src'))\n"
+        "    .union(edges.select(F.col('id_b').alias('src')))\n"
+        "    .distinct()\n"
+        ")\n"
+    )
+    assert lint_source(bug), "the connected_components replay shape went unflagged"
+
+    audited = (
+        "e = (\n"
+        "    cand.select(F.col('id_a').alias('x'))\n"
+        "    .union(cand.select(F.col('id_b').alias('x')))  "
+        "# union-audited: cand is materialized above\n"
+        ")\n"
+    )
+    assert not lint_source(audited)
+
+    # different base frames — the normal append shape
+    assert not lint_source("out = urgent.unionByName(big)\n")
+    # accumulation over a loop variable
+    assert not lint_source("out = out.unionByName(p)\n")
+    # receiver bottoms out in a bare function call: not a frame chain
+    assert not lint_source("r = audit(li, o).unionByName(audit(o, li))\n")

@@ -549,7 +549,12 @@ def test_quotient_arm_selection(spark):
     _, m2 = exact_dup_quotient(
         twin_heavy, "doc_id", F.md5("text"), F.col("text").isNotNull()
     )
-    assert m2.kind == "sparse"
+    assert m2.kind == "sparse" and m2.literal  # tiny dup set → literal sub-arm
+    with _quotient_conf(spark, literalMaxDupMembers=0):
+        _, m2b = exact_dup_quotient(
+            twin_heavy, "doc_id", F.md5("text"), F.col("text").isNotNull()
+        )
+    assert m2b.kind == "sparse" and not m2b.literal  # LocalRelation sub-arm
     # exact-count gate: dup members above the threshold → dense
     with _quotient_conf(spark, sparseMaxDupMembers=0):
         _, m3 = exact_dup_quotient(
@@ -598,15 +603,22 @@ def test_jaccard_quotient_matches_direct_on_every_arm(spark):
     direct = {
         (r["id_a"], r["id_b"]): r["jaccard"] for r in _jaccard_direct(docs).collect()
     }
-    sparse = {
+    sparse_lit = {
         (r["id_a"], r["id_b"]): r["jaccard"] for r in _jaccard_quotient(docs).collect()
     }
+    # the LocalRelation sub-arm (big dup sets use broadcast joins, never
+    # per-element literals — the r10 py4j-storm fix)
+    with _quotient_conf(spark, literalMaxDupMembers=0):
+        sparse_rel = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in _jaccard_quotient(docs).collect()
+        }
     with _quotient_conf(spark, sparseMaxDupMembers=0):
         dense = {
             (r["id_a"], r["id_b"]): r["jaccard"]
             for r in _jaccard_quotient(docs).collect()
         }
-    assert sparse == direct and dense == direct
+    assert sparse_lit == direct and sparse_rel == direct and dense == direct
 
 
 # ---------------------------------------------------------------------------

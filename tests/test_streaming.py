@@ -503,6 +503,63 @@ def test_stream_harness_raced_conf_restores_then_raises(spark):
     assert spark.conf.get(key) == before
 
 
+def test_state_partitions_override_session_disables_narrowing(spark):
+    """r10 cluster posture: statePartitions='session' (what cluster_conf
+    ships) must make _few_state_partitions a no-op so the local-harness
+    narrowing never leaks into a deployment's stream state layout."""
+    from dataengineering_londonhousingmap_spark.streaming.incremental import (
+        _few_state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    flag = "spark.dataengineering_londonhousingmap_spark.streaming.statePartitions"
+    before = spark.conf.get(key)
+    spark.conf.set(flag, "session")
+    try:
+        with _few_state_partitions(spark, 8):
+            assert spark.conf.get(key) == before
+    finally:
+        spark.conf.unset(flag)
+    assert spark.conf.get(key) == before
+
+
+def test_state_partitions_override_integer_pins_value(spark):
+    """A positive-integer override pins stream state parallelism to a
+    deliberate key-cardinality-sized value, beating the call-site default;
+    the session conf is restored afterwards."""
+    from dataengineering_londonhousingmap_spark.streaming.incremental import (
+        _few_state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    flag = "spark.dataengineering_londonhousingmap_spark.streaming.statePartitions"
+    before = spark.conf.get(key)
+    spark.conf.set(flag, "24")
+    try:
+        with _few_state_partitions(spark, 8):
+            assert spark.conf.get(key) == "24"
+    finally:
+        spark.conf.unset(flag)
+    assert spark.conf.get(key) == before
+
+
+def test_cluster_conf_ships_rocksdb_state_store():
+    """The documented 1000-executor posture must carry the RocksDB state
+    store + changelog checkpointing and disable the local state-partition
+    narrowing — the r10 'local tuning must not ship' contract."""
+    from dataengineering_londonhousingmap_spark.session import cluster_conf
+
+    conf = cluster_conf()
+    assert conf["spark.sql.streaming.stateStore.providerClass"].endswith(
+        "RocksDBStateStoreProvider"
+    )
+    assert (
+        conf["spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"]
+        == "true"
+    )
+    assert conf["spark.dataengineering_londonhousingmap_spark.streaming.statePartitions"] == "session"
+
+
 def test_is_path_not_found_classifies_structurally(spark, tmp_path):
     """PATH_NOT_FOUND detection must be the AnalysisException's error
     CLASS, not a substring of its rendered message (Spark rewords messages

@@ -336,6 +336,22 @@ scale) — do not revert the literal arm to broadcast joins. A/B knob:
 spark.dataengineering_londonhousingmap_spark.quotient.mode=dense pins the r09 shape.
 Equivalence: tests/test_quotient.py pins every arm against the direct
 path (including the agreement matrix and split-leakage conversions).
+
+## r10 — streaming state posture for real clusters
+
+The local[32] harness narrows shuffle partitions around
+writeStream.start() (8–16 state stores beat 200 for KB-sized test state)
+— that tuning must not ship. cluster_conf() now carries the deployment
+posture: RocksDB state store (keyed state off-heap + local disk, not the
+HDFSBackedStateStore all-versions-in-heap OOM shape) with changelog
+checkpointing (per-batch deltas, not full snapshots), and
+spark.dataengineering_londonhousingmap_spark.streaming.statePartitions="session", which makes
+_few_state_partitions a no-op so stream state parallelism follows the
+session's shuffle partitions; a positive integer pins it to a deliberate
+key-cardinality-sized value instead. State partitioning freezes at a
+stream's FIRST checkpoint — the knob matters at first start, not restart.
+transformWithStateInPandas remains environment-blocked (broken container
+protobuf); the canary test flips loud when it's fixed.
 '''
 
 

@@ -46,6 +46,17 @@ The rule this lint enforces over the engine source
   else needs restructuring (pass it as the HOF argument, zip_with sliced
   copies) or a `# hof-capture-audited: <why O(1)>` pragma.
 
+  and (round 10) every `X.union(Y)` / `X.unionByName(Y)` whose receiver
+  and argument chain off the SAME frame variable — the union gives the
+  plan two consumers of that frame, and when it is un-materialized Spark
+  REPLAYS its whole subtree once per branch (the r09 orientation-replay
+  class: q_fuzzy_join's swap union re-ran the block join + Levenshtein DP,
+  ~2× on the 10× lane; r10 found the same shape replaying the near-dup
+  edge pipeline inside connected_components). Emit both orientations with
+  `both_orientations()` (one explode pass), or materialize the shared
+  frame and carry a `# union-audited: <why the shared frame is cheap or
+  materialized>` pragma.
+
 Array higher-order filters (`F.filter(col, lambda …)`) are exempt from the
 NULL rule: they drop NULL *elements* symmetrically on both engines and
 never delete rows.
@@ -245,7 +256,58 @@ def lint_source(src: str, filename: str = "<src>") -> list[tuple[int, str]]:
                                 "'# hof-capture-audited: <why>'",
                             )
                         )
+        # 6) union/unionByName whose receiver and argument chain off the
+        # SAME frame variable — two consumers of one (possibly
+        # un-materialized) subtree, replayed once per branch (the r09
+        # orientation-replay class). both_orientations() or a
+        # '# union-audited: <why>' pragma.
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr in ("union", "unionByName")
+            and node.args
+        ):
+            recv = _base_frame(node.func.value)
+            arg0 = _base_frame(node.args[0])
+            if recv is not None and recv == arg0:
+                lo, hi = _enclosing_span(spans, node.lineno)
+                if not any(
+                    "# union-audited" in lines[i - 1]
+                    for i in range(lo, min(hi, len(lines)) + 1)
+                ):
+                    out.append(
+                        (
+                            node.lineno,
+                            f".{node.func.attr}() with both branches "
+                            f"chained off '{recv}' — Spark replays the "
+                            "shared un-materialized subtree once per "
+                            "branch (the r09 orientation-replay class). "
+                            "Use both_orientations()' single explode, or "
+                            "materialize the shared frame and add "
+                            "'# union-audited: <why>'",
+                        )
+                    )
     return sorted(set(out))
+
+
+def _base_frame(expr: ast.AST) -> str | None:
+    """The variable name at the base of a DataFrame method chain —
+    ``candidates.select(...).filter(...)`` → ``'candidates'``. Returns None
+    when the chain bottoms out in a bare function call (``f(...)``: ``f``
+    is a function, not a frame) or anything other than a simple Name."""
+    node = expr
+    while True:
+        if isinstance(node, ast.Call):
+            if isinstance(node.func, ast.Attribute):
+                node = node.func.value
+                continue
+            return None
+        if isinstance(node, ast.Attribute):
+            node = node.value
+            continue
+        if isinstance(node, ast.Name):
+            return node.id
+        return None
 
 
 _HOFS = {"transform", "aggregate", "reduce", "filter", "exists", "forall", "zip_with"}
