@@ -1780,10 +1780,46 @@ def q_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket, so bucket granularity — not table count — is the scale knob. At
     a production near-dup threshold (cos ≥ 0.9, per-plane collision p≈0.86)
     8 tables × 8 planes gives recall ≈ 0.96; this corpus's 0.42 band is far
-    below that design point, which is why the exact twin exists."""
+    below that design point, which is why the exact twin exists.
+
+    Exact-dup quotient first (r10 — this was the LAST un-quotiented
+    embedding near-dup and posted the 10× probes' max ratio, 9.7/9.9:
+    identical vectors share every hyperplane sketch, so a k-twin group
+    contributes k² bucket pairs per table on the direct path). Sketches,
+    candidacy and the batched cosine are pure functions of the vector, so
+    the LSH pipeline runs on one representative per distinct vector and
+    pairs expand back through the mapping; twin pairs are ALWAYS mutual
+    candidates (identical sketches collide in every table) and carry the
+    same cosine_similarity_batched(v, v) bits the direct path computed.
+    Zero vectors stay singleton groups (their 0/0 cosine never passes the
+    threshold on the direct path). Output identical, oracle unchanged."""
+    from .functions.vectors import cosine_similarity_batched
+
     emb = _t(spark, sf_dir, "embeddings")
-    cand = lsh_near_dup_candidates(emb, num_tables=8, planes_per_table=8, dim=64)
-    out = embedding_near_dup(emb, threshold=0.42, candidates=cand)
+    reps, mapping = exact_dup_quotient(
+        emb.select("vec_id", "embedding"),
+        "vec_id",
+        F.md5(F.col("embedding").cast("string")),
+        F.exists(F.col("embedding"), lambda x: x != F.lit(0.0)),
+    )
+    mapping = mapping.materialize()
+    cand = lsh_near_dup_candidates(reps, num_tables=8, planes_per_table=8, dim=64)
+    rp = embedding_near_dup(reps, threshold=0.42, candidates=cand).select(
+        F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "cosine"
+    )
+    self_pairs = None
+    if not mapping.twin_free:
+        multi = mapping.multi_member_reps(reps, "vec_id")
+        self_pairs = multi.select(
+            F.col("vec_id").alias("rep_a"),
+            F.col("vec_id").alias("rep_b"),
+            cosine_similarity_batched(
+                F.col("embedding"), F.col("embedding")
+            ).alias("cosine"),
+        ).filter(F.col("cosine") >= 0.42)
+    out = quotient_expand_pairs(
+        rp, mapping, "vec_id", payload_cols=["cosine"], self_pairs=self_pairs
+    )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

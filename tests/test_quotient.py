@@ -771,3 +771,74 @@ def test_leakage_quotient_matches_direct(spark):
     # pair comes from a twin GROUP whose members straddle the split (the
     # rep-level pair alone could not decide it)
     assert direct, "fixture produced no cross-split near-dup pairs"
+
+
+def test_lsh_embed_quotient_matches_direct(spark):
+    """r10: q_dedup_embed's quotient (the last un-quotiented embedding
+    near-dup — 10× probe max ratio 9.7 before) must reproduce the direct
+    hyperplane-LSH pair set bit-for-bit, including twin pairs (identical
+    sketches collide in every table; cosine_similarity_batched(v, v) is
+    the same bits the direct path computed) and excluding zero-vector
+    twins (0/0 cosine never passes the threshold)."""
+    from dataengineering_londonhousingmap_spark.functions.vectors import cosine_similarity_batched
+    from dataengineering_londonhousingmap_spark.operators.similarity import (
+        lsh_near_dup_candidates,
+    )
+
+    a = [1.0, 0.0, 0.0, 0.0]
+    near_a = [0.9, 0.4, 0.0, 0.0]
+    ortho = [0.0, 0.0, 1.0, 0.0]
+    zero = [0.0, 0.0, 0.0, 0.0]
+    rows = (
+        [(i, a) for i in (1, 2, 3)]
+        + [(i, near_a) for i in (10, 11)]
+        + [(20, ortho), (21, ortho)]
+        + [(30, zero), (31, zero)]
+        + [(40, [0.0, 0.0, 0.0, 1.0])]
+    )
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(DoubleType())),
+        ]
+    )
+    emb = spark.createDataFrame(rows, schema)
+
+    def direct():
+        cand = lsh_near_dup_candidates(emb, num_tables=8, planes_per_table=8, dim=4)
+        return embedding_near_dup(emb, threshold=0.42, candidates=cand).select(
+            "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+        )
+
+    def quotient():
+        reps, mapping = exact_dup_quotient(
+            emb, "vec_id",
+            F.md5(F.col("embedding").cast("string")),
+            F.exists(F.col("embedding"), lambda x: x != F.lit(0.0)),
+        )
+        mapping = mapping.materialize()
+        cand = lsh_near_dup_candidates(reps, num_tables=8, planes_per_table=8, dim=4)
+        rp = embedding_near_dup(reps, threshold=0.42, candidates=cand).select(
+            F.col("id_a").alias("rep_a"), F.col("id_b").alias("rep_b"), "cosine"
+        )
+        self_pairs = None
+        if not mapping.twin_free:
+            multi = mapping.multi_member_reps(reps, "vec_id")
+            self_pairs = multi.select(
+                F.col("vec_id").alias("rep_a"),
+                F.col("vec_id").alias("rep_b"),
+                cosine_similarity_batched(
+                    F.col("embedding"), F.col("embedding")
+                ).alias("cosine"),
+            ).filter(F.col("cosine") >= 0.42)
+        return quotient_expand_pairs(
+            rp, mapping, "vec_id", payload_cols=["cosine"], self_pairs=self_pairs
+        ).select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+    d = {(r["id_a"], r["id_b"]): r["cosine"] for r in direct().collect()}
+    q = {(r["id_a"], r["id_b"]): r["cosine"] for r in quotient().collect()}
+    assert q == d
+    # fixture exercised the arms: twin pairs found (cosine 1.0), zero
+    # twins excluded, at least one cross-group near-dup pair survived LSH
+    assert d[(1, 2)] == 1.0 and (30, 31) not in d
+    assert any(x != y and v < 1.0 for (x, y), v in d.items())

@@ -327,15 +327,24 @@ the fingerprint groups (never planner stats): twin-free → bypass (one
 detection aggregate, no checkpoint/mapping/expansion joins — reps IS the
 input frame; 0.74× on q_dedup_embed_exact at sf0.1); dup members ≤
 spark.dataengineering_londonhousingmap_spark.quotient.sparseMaxDupMembers (default 64k) → a
-bounded driver collect and pure-expression expansion
-(explode(try_element_at(<literal map>, rep))) — zero extra joins; else →
-the r09 corpus-sized merge-pinned mapping, unchanged (the 10×-adversarial
-proven arm). A broadcast-join sparse variant was measured first and was
-SLOWER than dense at sf0.1 (every extra job is fixed overhead at that
-scale) — do not revert the literal arm to broadcast joins. A/B knob:
-spark.dataengineering_londonhousingmap_spark.quotient.mode=dense pins the r09 shape.
-Equivalence: tests/test_quotient.py pins every arm against the direct
-path (including the agreement matrix and split-leakage conversions).
+bounded driver collect with TWO physical sub-arms; else → the r09
+corpus-sized merge-pinned mapping, unchanged (the 10×-adversarial proven
+arm). The sub-arm split is a measured py4j lesson: Column.isin(<list>)
+and F.lit(<list>) cost one py4j round-trip PER ELEMENT (~0.4 ms — a
+45k-id isin spent 20s building the plan and put q_dedup_clusters at 68.8s
+on the 10× lane vs 8.3 forced-dense), so dup sets over
+…quotient.literalMaxDupMembers (default 128) ship as ONE createDataFrame
+LocalRelation and expand via broadcast left join + explode (clusters back
+to 7.8s ≈ dense), while tiny dup sets keep pure Column expressions
+(explode(try_element_at(<literal map>, rep)) — broadcast exchanges cost a
+measured 25-30% of twin-light sf0.1 query wall). Same-session interleaved
+best-of-3 at sf0.1 (8-twin vintage): auto/dense = 0.91 ngram_jaccard,
+1.12-1.14 minhash/incremental (detection+collect vs checkpoint costs,
+within the host's ±30% band — a wash), 0.69 embed_exact (bypass). A/B
+knob: spark.dataengineering_londonhousingmap_spark.quotient.mode=dense pins the r09 shape.
+Equivalence: tests/test_quotient.py pins every arm AND both sparse
+sub-arms against the direct path (including the agreement matrix and
+split-leakage conversions).
 
 ## r10 — streaming state posture for real clusters
 
