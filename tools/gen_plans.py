@@ -342,6 +342,15 @@ best-of-3 at sf0.1 (8-twin vintage): auto/dense = 0.91 ngram_jaccard,
 1.12-1.14 minhash/incremental (detection+collect vs checkpoint costs,
 within the host's ±30% band — a wash), 0.69 embed_exact (bypass). A/B
 knob: spark.dataengineering_londonhousingmap_spark.quotient.mode=dense pins the r09 shape.
+Closing isolated best-of-3 under the five drift controls (r10, host
+drift 1.425 that session): normalized q_dedup_incremental 4.06 (1.01× of
+the r08 ref — inside the 1.1× target), q_dedup_minhash 1.81 (1.21×),
+q_ngram_jaccard 4.53 (1.27×); the residual on the latter two is
+CROSS-VINTAGE, not plan — the current sf0.1 carries 8 twin documents and
+heavier text than r08's (the r09 driver measured ngram at 5.03 normalized
+on ITS vintage), and the same-data A/B above shows auto at or below the
+r09 dense shape on every query. Re-open trigger: auto/dense > 1.2 on any
+quotient query in a same-session interleaved A/B.
 Equivalence: tests/test_quotient.py pins every arm AND both sparse
 sub-arms against the direct path (including the agreement matrix and
 split-leakage conversions).
