@@ -195,3 +195,83 @@ def test_bigrams_edges(spark):
     assert got[1] == []
     assert got[2] == []
     assert got[3] == ["x y"]                  # whitespace-normalized pairs
+
+
+def test_let_bound_scorers_bit_identical_to_r09_forms(spark):
+    """r10: quality_score/lang_id_scores were rewritten with let-bindings
+    (functions/text.py:_let) for filter-position safety — the VALUES must
+    be bit-identical to the r09 expression forms (the oracles assume it).
+    The r09 forms are reconstructed here verbatim and compared in a
+    PROJECTION (where subexpression elimination made them correct)."""
+    from pyspark.sql import functions as F
+
+    from dataengineering_londonhousingmap_spark.functions.text import (
+        _STOPWORDS,
+        LANG_MARKERS,
+        lang_id_scores,
+        quality_score,
+        tokens,
+    )
+
+    def quality_r09(c):
+        toks = tokens(c)
+        n_tok = F.size(toks)
+        n_chars = F.length(c)
+        alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+        stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS)))
+        len_sig = F.least(n_chars.cast("double") / 500.0, F.lit(1.0))
+        alpha_ratio = alpha_chars.cast("double") / F.greatest(n_chars, F.lit(1)).cast("double")
+        stop_ratio = stop_hits.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+        stop_sig = F.least(stop_ratio * 5.0, F.lit(1.0))
+        mean_wordlen = alpha_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double")
+        wordlen_sig = F.when((mean_wordlen >= 3.0) & (mean_wordlen <= 12.0), 1.0).otherwise(0.5)
+        return len_sig * 0.25 + alpha_ratio * 0.25 + stop_sig * 0.25 + wordlen_sig * 0.25
+
+    def lang_r09(c):
+        toks = F.transform(tokens(c), F.lower)
+
+        def _hits(words):
+            return F.size(F.filter(toks, lambda t: t.isin(words)))
+
+        entries = F.array(
+            *[
+                F.struct(_hits(words).alias("hits"), F.lit(lang).alias("lang"))
+                for lang, words in sorted(LANG_MARKERS.items())
+            ]
+        )
+        ranked = F.sort_array(
+            F.transform(
+                entries,
+                lambda e: F.struct((-e["hits"]).alias("neg"), e["lang"].alias("lang")),
+            )
+        )
+        best = F.element_at(ranked, 1)
+        return F.when(best["neg"] == 0, F.lit("und")).otherwise(best["lang"])
+
+    rows = [
+        (1, "the quick brown fox is with the others and the rest of it"),
+        (2, "der hund ist nicht mit der katze und das haus"),
+        (3, "le chat est une histoire pour les enfants et la mer"),
+        (4, "el mundo es una casa por los caminos con las flores para ti"),
+        (5, ""),
+        (6, "   "),
+        (7, None),
+        (8, "xq zx qqq"),                      # zero marker hits → und
+        (9, "a" * 1200),                        # length cap arm, one giant token
+        (10, "!!! ### $$$ 123 456"),            # zero alpha chars
+        (11, "word\nword\tword\x0bword"),       # every whitespace class
+        (12, "the the the the the the"),        # stopword saturation
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = df.select(
+        "id",
+        quality_score("text").alias("q_new"),
+        quality_r09(F.col("text")).alias("q_old"),
+        lang_id_scores("text").alias("l_new"),
+        lang_r09(F.col("text")).alias("l_old"),
+    ).collect()
+    for r in got:
+        # bit-identity, not approx: the oracles compare rounded doubles and
+        # any ulp drift would surface as a driver hash mismatch
+        assert r["q_new"] == r["q_old"], (r["id"], r["q_new"], r["q_old"])
+        assert r["l_new"] == r["l_old"], (r["id"], r["l_new"], r["l_old"])
