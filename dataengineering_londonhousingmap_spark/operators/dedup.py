@@ -623,6 +623,16 @@ def exact_dup_quotient(
     mapping restricted to multi-member groups, twin-heavy inputs keep the
     r09 corpus-sized merge-join mapping. One fingerprint shuffle + one tiny
     detection aggregate in every arm.
+
+    Deliberate trade (r10): auto mode detects BEFORE checkpointing, so the
+    auto→dense fallback re-shuffles the (id, fingerprint) pairs once more
+    for the group-table checkpoint — a second narrow-column pass paid only
+    on corpora with >sparseMaxDupMembers dup rows, where the quotient's
+    savings dwarf it (the 10× lanes measure ~10-100× per family).
+    Checkpoint-first was measured worse: it charges every twin-free input
+    a wasted group-table checkpoint, and twin-free is the common curated
+    vintage. ``mode=dense`` skips detection entirely (one shuffle, the
+    exact r09 plan).
     """
     sess = df.sparkSession
     mode = str(
