@@ -314,7 +314,13 @@ their sf0.1 walls at 10× data, i.e. firmly sublinear. Plan pin:
 test_plan_shape.py::test_scoring_exprs_single_split_in_filter_position
 (counts split() in the pushed condition). Re-open trigger: either query's
 clean-lane 10× ratio >4 in a future probe → re-bisect the filter stage
-first. Counterfactual NOT taken: quotienting the scoring (run once per
+first. Catalog-wide sweep of the class (all 199 optimized plans, Filter
+conditions grepped for duplicated split/sort_array/regexp_extract_all/
+aggregate/transform/levenshtein/sequence): the only survivors are the
+post-fix curation shapes (one split per scorer, single-evaluation
+let-transforms) and two sub-second entries (q_collocations' tokens+bigrams
+explode filter, q_join_range's residual band sequence) in the pinned-noise
+class — no further >1s query pays a duplicated heavy filter expression. Counterfactual NOT taken: quotienting the scoring (run once per
 distinct text) would cut the replicated lanes ~10× further but adds an
 md5-shuffle detection job on every real (twin-light) vintage where the
 scoring volume is irreducible — the filter fix removes the actual defect;
