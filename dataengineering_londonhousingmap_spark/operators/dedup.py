@@ -624,6 +624,16 @@ def exact_dup_quotient(
     r09 corpus-sized merge-join mapping. One fingerprint shuffle + one tiny
     detection aggregate in every arm.
 
+    Precondition (r11): ``id_col`` must be non-NULL on every row. The three
+    arms' rep filters have different NULL-id semantics (the dense semi-join
+    drops a NULL id, the sparse anti-join keeps it, bypass returns ``df``
+    verbatim), so a NULL id would silently diverge across arms — and a
+    NULL-id rep could never be joined back by ``expand`` anyway. Auto mode
+    ENFORCES this with a ValueError for free (one extra max() folded into
+    the existing detection aggregate); explicit ``mode=dense`` skips
+    detection by design, so there the precondition is documented, not
+    checked.
+
     Deliberate trade (r10): auto mode detects BEFORE checkpointing, so the
     auto→dense fallback re-shuffles the (id, fingerprint) pairs once more
     for the group-table checkpoint — a second narrow-column pass paid only
@@ -662,7 +672,12 @@ def exact_dup_quotient(
     fp = F.coalesce(fp, self_fp)
     m = df.select(F.col(id_col), fp.alias("__fp"))
     grouped = m.groupBy("__fp").agg(
-        F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__n")
+        F.min(id_col).alias("__rep"),
+        F.count(F.lit(1)).alias("__n"),
+        # free precondition probe: count() counts ALL rows, count(id) only
+        # non-NULL ones — their difference per group is the NULL-id count,
+        # with no extra expression shuffled
+        F.count(F.col(id_col)).alias("__nn"),
     )
     if mode != "dense":
         # arm selection from EXACT counts, BEFORE any checkpoint: one
@@ -677,7 +692,15 @@ def exact_dup_quotient(
             F.sum(F.when(F.col("__n") >= 2, F.col("__n")).otherwise(0)).alias(
                 "__dup"
             ),
+            F.sum(F.col("__n") - F.col("__nn")).alias("__null_ids"),
         ).first()
+        if (stats["__null_ids"] or 0) > 0:
+            raise ValueError(
+                f"exact_dup_quotient requires non-NULL {id_col!r} on every "
+                f"row ({stats['__null_ids']} NULL-id rows found): the arms' "
+                "rep filters diverge on NULL ids and a NULL-id rep cannot "
+                "be expanded back"
+            )
         max_n = stats["__mx"] or 0
         dup_members = stats["__dup"] or 0
         if max_n <= 1:
@@ -723,27 +746,29 @@ def exact_dup_quotient(
             if literal:
                 # tiny dup set: pure Column expressions (no broadcast
                 # exchanges — measured 25-30% of twin-light query wall).
-                # NULL ids are never collected members, so the explicit
-                # isNull arm keeps them — the anti-join's NULL behavior.
-                reps = df.filter(
-                    F.col(id_col).isNull() | ~F.col(id_col).isin(nonrep)  # null-audited: explicit isNull arm keeps NULL-id rows, matching the anti-join/semi-join NULL semantics of the other arms
-                )
+                # ids are non-NULL here (the detection aggregate above
+                # raised otherwise), so plain NOT-IN is total — no
+                # three-valued-logic arm needed.
+                reps = df.filter(~F.col(id_col).isin(nonrep))  # null-audited: non-null id_col enforced by the detection aggregate's ValueError above
             else:
                 nonrep_df = spark.createDataFrame(
                     [(i,) for i in nonrep],
                     StructType([StructField(id_col, id_type)]),
                 )
-                # twin-proportional broadcast anti join (no shuffle; NULL
-                # ids match nothing, so they survive — the dense arm's
-                # semi-join behavior)
+                # twin-proportional broadcast anti join (no shuffle). ids
+                # are non-NULL (enforced above); note an anti join would
+                # KEEP a NULL id while the dense arm's semi join would DROP
+                # it — exactly the divergence the precondition forbids.
                 reps = df.join(F.broadcast(nonrep_df), id_col, "left_anti")
             return reps, QuotientMapping(
                 "sparse", id_col, members=members, members_df=members_df,
                 literal=literal,
             )
     # dense: the r09 shape — distributed group table, checkpointed once
-    # (it feeds the mapping join AND the reps semi-join)
-    groups = grouped.transform(materialize)
+    # (it feeds the mapping join AND the reps semi-join). The __nn
+    # precondition probe is pruned first so the checkpoint carries exactly
+    # the r09 columns.
+    groups = grouped.select("__fp", "__rep", "__n").transform(materialize)
     mapping = m.join(groups.select("__fp", "__rep"), "__fp").select(
         F.col(id_col), F.col("__rep")
     )
@@ -846,6 +871,17 @@ def quotient_expand_pairs(
                 f"({payload_cols}) for within-group twin pairs"
             )
     if mapping.twin_free:
+        if self_pairs is not None:
+            # fail-on-every-input, mirroring the self_payload validation
+            # above: a caller that built self_pairs unconditionally would
+            # otherwise lose those rows with no error on twin-free corpora
+            # (documented contract: branch on mapping.twin_free first)
+            raise ValueError(
+                "self_pairs passed to quotient_expand_pairs on a bypass "
+                "(twin-free) mapping — no multi-member group exists, so "
+                "these rows would be silently discarded; gate the "
+                "self_pairs build on `not mapping.twin_free`"
+            )
         # every group is a singleton: reps ARE members, rep_a < rep_b by
         # construction, and there are no within-group pairs to add — the
         # whole expansion (orientation explode + 2 joins + filter)

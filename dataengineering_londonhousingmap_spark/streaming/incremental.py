@@ -124,7 +124,17 @@ def _few_state_partitions(spark: SparkSession, n: int = 8):
     if override == "session":
         yield
         return
-    if override.isdigit() and int(override) > 0:
+    if override:
+        # any other non-empty value is a misconfig, and a silent
+        # fall-through to the local-harness n=8 would be exactly the
+        # test-tuning leak this knob exists to prevent — worse, state
+        # partitioning freezes at the stream's first checkpoint, so the
+        # wrong value would be sticky. Fail loudly instead (r11).
+        if not (override.isdigit() and int(override) > 0):
+            raise ValueError(
+                "spark.dataengineering_londonhousingmap_spark.streaming.statePartitions must be "
+                f"'session' or a positive integer, got {override!r}"
+            )
         n = int(override)
     old = spark.conf.get(key)
     token = str(n)

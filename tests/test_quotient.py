@@ -375,6 +375,42 @@ def test_quotient_expand_pairs_requires_matching_self_payload(spark):
         )
 
 
+def test_quotient_null_id_rows_raise(spark):
+    """ADVICE r10: the three arms' rep filters diverge on NULL ids (dense
+    semi-join drops them, sparse anti-join keeps them, bypass returns the
+    input verbatim), so auto mode must reject NULL ids loudly instead of
+    silently picking arm-dependent semantics. The check rides the existing
+    detection aggregate — no extra job."""
+    import pytest
+
+    # NULL id in a twin group (would be a collapsed member)
+    df = spark.createDataFrame([(1, "aa"), (None, "aa"), (2, "bb")], _PAIR_SCHEMA)
+    with pytest.raises(ValueError, match="non-NULL 'doc_id'"):
+        exact_dup_quotient(df, "doc_id", F.md5("text"))
+    # NULL id on a singleton row (would-be rep) is equally rejected: the
+    # divergence is about id NULLness, not group multiplicity
+    df2 = spark.createDataFrame([(1, "aa"), (None, "zz")], _PAIR_SCHEMA)
+    with pytest.raises(ValueError, match="non-NULL 'doc_id'"):
+        exact_dup_quotient(df2, "doc_id", F.md5("text"))
+
+
+def test_quotient_expand_pairs_bypass_rejects_self_pairs(spark):
+    """ADVICE r10: the bypass arm must not silently discard a non-None
+    self_pairs frame — a caller that builds it unconditionally (instead of
+    branching on mapping.twin_free) would lose rows with no error."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "aa"), (2, "bb")], _PAIR_SCHEMA)
+    _reps, mapping = exact_dup_quotient(df, "doc_id", F.md5("text"))
+    assert mapping.twin_free
+    rp = spark.createDataFrame([], "rep_a LONG, rep_b LONG, cos DOUBLE")
+    sp = spark.createDataFrame([], "rep_a LONG, rep_b LONG, cos DOUBLE")
+    with pytest.raises(ValueError, match="twin-free"):
+        quotient_expand_pairs(
+            rp, mapping, "doc_id", payload_cols=["cos"], self_pairs=sp
+        )
+
+
 # ---------------------------------------------------------------------------
 # fuzzy-join ordered-DP reconstruction (r09): the DP runs only on
 # name_a < name_b distinct pairs; the reverse orientation (via

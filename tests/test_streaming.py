@@ -543,6 +543,38 @@ def test_state_partitions_override_integer_pins_value(spark):
     assert spark.conf.get(key) == before
 
 
+def test_state_partitions_override_invalid_raises(spark):
+    """ADVICE r10: an unrecognized statePartitions value must raise, not
+    silently fall through to the local-harness n=8 narrowing — state
+    partitioning freezes at the stream's first checkpoint, so a silent
+    misconfig would be sticky."""
+    import pytest
+
+    from dataengineering_londonhousingmap_spark.streaming.incremental import (
+        _few_state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    flag = "spark.dataengineering_londonhousingmap_spark.streaming.statePartitions"
+    before = spark.conf.get(key)
+    for bad in ("none", "0", "-4", "1 6", "eight"):
+        spark.conf.set(flag, bad)
+        try:
+            with pytest.raises(ValueError, match="statePartitions"):
+                with _few_state_partitions(spark, 8):
+                    pass  # pragma: no cover — must not enter
+        finally:
+            spark.conf.unset(flag)
+        assert spark.conf.get(key) == before
+    # the documented tolerant spellings still work: strip/lower
+    spark.conf.set(flag, "  Session ")
+    try:
+        with _few_state_partitions(spark, 8):
+            assert spark.conf.get(key) == before
+    finally:
+        spark.conf.unset(flag)
+
+
 def test_cluster_conf_ships_rocksdb_state_store():
     """The documented 1000-executor posture must carry the RocksDB state
     store + changelog checkpointing and disable the local state-partition
