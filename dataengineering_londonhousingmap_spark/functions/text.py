@@ -162,7 +162,7 @@ def lang_id_scores(col: Column | str) -> Column:
         # binary lambda as an (element, index) function); tk is a BOUND
         # variable, so the four per-language passes share one split
         def _hits(words: list[str]):
-            return F.size(F.filter(tk, lambda t: t.isin(words)))
+            return F.size(F.filter(tk, lambda t: t.isin(words)))  # py4j-audited: words are the module's per-language literal lists (≤ ~10 each)
 
         # build (lang, hits) structs, pick max hits with lang as tiebreak:
         # sort by (-hits, lang) ascending and take element 1 — we want the

@@ -498,7 +498,7 @@ class QuotientMapping:
         if self.kind == "sparse" and self.literal:
             reps = list(self.members)
             size_map = F.map_from_arrays(
-                F.lit(reps), F.lit([len(self.members[r]) for r in reps])
+                F.lit(reps), F.lit([len(self.members[r]) for r in reps])  # py4j-audited: literal sub-arm only — dup members <= literalMaxDupMembers (128)
             )
             return rep_df.withColumn(
                 out_col,
@@ -525,7 +525,7 @@ class QuotientMapping:
         if self.kind == "sparse" and self.literal:
             # positive isin over non-null literal rep ids (a NULL rep_col
             # row matches nothing — same as the semi join)
-            return reps.filter(F.col(rep_col).isin(list(self.members)))
+            return reps.filter(F.col(rep_col).isin(list(self.members)))  # py4j-audited: literal sub-arm only — multi-group reps <= literalMaxDupMembers/2
         if self.kind == "sparse":
             keys = F.broadcast(
                 self._members_df.select(F.col("__q_rep").alias(rep_col))
@@ -555,7 +555,7 @@ class QuotientMapping:
         if self.kind == "sparse" and self.literal:
             reps = list(self.members)
             member_map = F.map_from_arrays(
-                F.lit(reps), F.lit([self.members[r] for r in reps])
+                F.lit(reps), F.lit([self.members[r] for r in reps])  # py4j-audited: literal sub-arm only — total member count <= literalMaxDupMembers (128)
             )
             # try_element_at, never element_at: the driver's vanilla
             # session is ANSI-ON and a singleton rep is a missing key,
@@ -749,7 +749,7 @@ def exact_dup_quotient(
                 # ids are non-NULL here (the detection aggregate above
                 # raised otherwise), so plain NOT-IN is total — no
                 # three-valued-logic arm needed.
-                reps = df.filter(~F.col(id_col).isin(nonrep))  # null-audited: non-null id_col enforced by the detection aggregate's ValueError above
+                reps = df.filter(~F.col(id_col).isin(nonrep))  # null-audited: non-null id_col enforced by the detection aggregate's ValueError above; # py4j-audited: literal arm gated on dup_members <= literalMaxDupMembers (default 128)
             else:
                 nonrep_df = spark.createDataFrame(
                     [(i,) for i in nonrep],

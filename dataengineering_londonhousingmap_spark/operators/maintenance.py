@@ -84,7 +84,7 @@ def purge_keys(
         key_df = F.broadcast(keys.select(F.col(keys.columns[0]).alias(key_col)).distinct())
         hit = df.join(key_df, key_col, "left_semi")
     else:
-        hit = df.filter(F.col(key_col).isin(list(keys)))
+        hit = df.filter(F.col(key_col).isin(list(keys)))  # py4j-audited: documented contract — the list path is for small purge sets; large sets take the DataFrame anti-join path
     affected = [r[0] for r in hit.select(partition_col).distinct().collect()]
     if not affected:
         return affected
@@ -96,7 +96,7 @@ def purge_keys(
     # same isin-over-nullable class as the upsert sink).
     non_null_parts = [v for v in affected if v is not None]
     pcond = (
-        F.col(partition_col).isin(non_null_parts) if non_null_parts else F.lit(False)
+        F.col(partition_col).isin(non_null_parts) if non_null_parts else F.lit(False)  # py4j-audited: blast-radius partition values; the literal IN statically prunes the rewrite scan
     )
     if any(v is None for v in affected):
         pcond = pcond | F.col(partition_col).isNull()
@@ -110,7 +110,7 @@ def purge_keys(
         # operator must not change survivors with the key-list
         # representation (round-7 audit finding).
         survivors = scoped.filter(
-            F.col(key_col).isNull() | ~F.col(key_col).isin(list(keys))
+            F.col(key_col).isNull() | ~F.col(key_col).isin(list(keys))  # py4j-audited: same small-list contract as the probe above
         )
     survivors = survivors.transform(materialize)
 

@@ -4222,7 +4222,7 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars = F.length(c)
     alpha_chars = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
     symbol_chars = F.length(F.regexp_replace(c, r"[A-Za-z0-9 \t\n\f\r\x0b]", ""))
-    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS)))
+    stop_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(_STOPWORDS)))  # py4j-audited: _STOPWORDS is an imported code-time literal (~30 words)
     mean_wl = F.round(
         alpha_chars.cast("double") / F.greatest(n_tok, F.lit(1)).cast("double"), 6
     )

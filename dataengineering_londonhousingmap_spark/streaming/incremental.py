@@ -573,7 +573,7 @@ def start_upsert_sink(
             # negated/positive-isin-over-nullable class as purge_keys)
             non_null = [v for v in affected if v is not None]
             cond = (
-                F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+                F.col(partition_col).isin(non_null) if non_null else F.lit(False)  # py4j-audited: one micro-batch's affected-partition values; the literal IN is what statically prunes the table scan to those partitions
             )
             if None in affected:
                 cond = cond | F.col(partition_col).isNull()

@@ -47,7 +47,8 @@ def test_lint_catches_the_purge_keys_bug_shape():
 
     fixed = (
         "survivors = scoped.filter(\n"
-        "    F.col(key_col).isNull() | ~F.col(key_col).isin(list(keys))\n"
+        "    F.col(key_col).isNull() | ~F.col(key_col).isin(list(keys))  "
+        "# py4j-audited: small-list contract\n"
         ")\n"
     )
     assert not lint_source(fixed)
@@ -186,3 +187,47 @@ def test_lint_union_replay_rule():
     assert not lint_source("out = out.unionByName(p)\n")
     # receiver bottoms out in a bare function call: not a frame chain
     assert not lint_source("r = audit(li, o).unionByName(audit(o, li))\n")
+
+
+def test_lint_py4j_storm_rule():
+    """r11 rule 7: Column.isin(<runtime list>) / F.lit(<runtime list>)
+    cost one py4j round-trip per element at plan-build time (the r10
+    45k-id/20s storm). Positive control = the exact pre-fix shape from
+    exact_dup_quotient's sparse arm; code-time literals, resolvable
+    constant names, and the pragma pass."""
+    # the r10 storm shape: ids collected from data, then isin(ids)
+    storm = (
+        "ids = [r[0] for r in dup.select('doc_id').collect()]\n"
+        "reps = df.filter(F.col('doc_id').isNull() | ~F.col('doc_id').isin(ids))\n"
+    )
+    assert any("py4j" in m for _l, m in lint_source(storm)), (
+        "the r10 isin-storm shape went unflagged"
+    )
+    # F.lit over a comprehension (data-dependent container)
+    lit_storm = (
+        "m = F.map_from_arrays(\n"
+        "    F.lit(reps), F.lit([members[r] for r in reps]))\n"
+    )
+    assert any("py4j" in m for _l, m in lint_source(lit_storm))
+    # pragma escape
+    assert not lint_source(
+        "reps = df.filter(F.col('k').isNull() | ~F.col('k').isin(ids))  "
+        "# null-audited: x; # py4j-audited: ids bounded by config gate\n"
+    )
+    # code-time literal elements: bounded by the source itself
+    assert not lint_source("df.filter(F.col('s').isin('O', 'F', 'P'))\n")
+    assert not lint_source("df.filter(F.col('k').isin([1, 2, 3]))\n")
+    # a Name resolving to a literal list of constants (module or local)
+    assert not lint_source(
+        "TERMS = ['spark', 'merge', 'window']\n"
+        "df.filter(F.col('term').isin(TERMS))\n"
+    )
+    assert not lint_source(
+        "def q(df):\n"
+        "    terms = ['a', 'b']\n"
+        "    return df.filter(F.col('t').isin(list(terms)))\n"
+    )
+    # scalar F.lit of a variable is NOT a container — never flagged
+    assert not lint_source("c = F.lit(threshold)\n")
+    # F.lit of a literal list of constants passes (code-time bounded)
+    assert not lint_source("c = F.lit([1, 2, 3])\n")

@@ -57,6 +57,16 @@ The rule this lint enforces over the engine source
   frame and carry a `# union-audited: <why the shared frame is cheap or
   materialized>` pragma.
 
+  and (round 11) every `Column.isin(...)` / `F.lit(...)` whose element
+  list is DATA-DEPENDENT (a runtime variable, a comprehension, a
+  `list(...)` over runtime data — anything that does not resolve to a
+  code-time literal of constants) — each element costs one py4j
+  round-trip (~0.4 ms) while the plan is BUILT on the driver: the r10
+  storm was a 45k-id `isin` spending 20 s in pure plan construction.
+  Bounded driver data above ~128 elements must ship as ONE
+  `createDataFrame` LocalRelation + broadcast join instead. Escape
+  hatch: a `# py4j-audited: <why the element count is bounded>` pragma.
+
 Array higher-order filters (`F.filter(col, lambda …)`) are exempt from the
 NULL rule: they drop NULL *elements* symmetrically on both engines and
 never delete rows.
@@ -287,7 +297,125 @@ def lint_source(src: str, filename: str = "<src>") -> list[tuple[int, str]]:
                             "'# union-audited: <why>'",
                         )
                     )
+        # 7) py4j literal storms (r10 lesson): Column.isin(<runtime list>)
+        # and F.lit(<runtime list>) build one py4j round-trip PER ELEMENT
+        # while constructing the plan on the driver (~0.4ms each; a 45k-id
+        # isin measured 20s of pure plan build). Code-time literals of
+        # constants are bounded by the source itself and pass; anything
+        # data-dependent (variables, comprehensions, list(...) over runtime
+        # data) must carry a '# py4j-audited: <bounded why>' pragma or ship
+        # as a LocalRelation.
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "isin"
+            and node.args
+        ):
+            env7 = _resolve_env(tree, node)
+            if not all(_is_static_values(a, env7) for a in node.args):
+                lo, hi = _enclosing_span(spans, node.lineno)
+                if not any(
+                    "# py4j-audited" in lines[i - 1]
+                    for i in range(lo, min(hi, len(lines)) + 1)
+                ):
+                    out.append(
+                        (
+                            node.lineno,
+                            "isin() over a data-dependent element list — one "
+                            "py4j round-trip PER ELEMENT at plan-build time "
+                            "(the r10 45k-id/20s storm). Ship bounded driver "
+                            "data as ONE createDataFrame LocalRelation + "
+                            "broadcast join, or add '# py4j-audited: <why "
+                            "the count is bounded>'",
+                        )
+                    )
+        if (
+            isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "F"
+            and node.func.attr == "lit"
+            and node.args
+        ):
+            arg = node.args[0]
+            env7 = _resolve_env(tree, node)
+            if isinstance(arg, ast.Name) and arg.id in env7:
+                arg = env7[arg.id]
+            container = isinstance(
+                arg,
+                (ast.List, ast.Tuple, ast.Set, ast.ListComp, ast.SetComp,
+                 ast.GeneratorExp),
+            ) or (
+                isinstance(arg, ast.Call)
+                and isinstance(arg.func, ast.Name)
+                and arg.func.id in ("list", "tuple", "set", "sorted")
+            )
+            if container and not _is_static_values(node.args[0], env7):
+                lo, hi = _enclosing_span(spans, node.lineno)
+                if not any(
+                    "# py4j-audited" in lines[i - 1]
+                    for i in range(lo, min(hi, len(lines)) + 1)
+                ):
+                    out.append(
+                        (
+                            node.lineno,
+                            "F.lit() of a data-dependent container — one py4j "
+                            "round-trip PER ELEMENT (~2.2ms nested) at "
+                            "plan-build time (the r10 storm class). Ship "
+                            "bounded driver data as ONE createDataFrame "
+                            "LocalRelation, or add '# py4j-audited: <why the "
+                            "count is bounded>'",
+                        )
+                    )
     return sorted(set(out))
+
+
+def _module_assignments(tree: ast.AST) -> dict[str, ast.AST]:
+    """name -> value for simple assignments at MODULE level only (constants
+    like _STOPWORDS = [...])."""
+    out: dict[str, ast.AST] = {}
+    body = tree.body if isinstance(tree, ast.Module) else []
+    for node in body:
+        if isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(
+            node.targets[0], ast.Name
+        ):
+            out[node.targets[0].id] = node.value
+    return out
+
+
+def _resolve_env(tree: ast.AST, site: ast.AST) -> dict[str, ast.AST]:
+    """Module-level constants overlaid with the enclosing function's simple
+    assignments (function bindings shadow module ones)."""
+    env = _module_assignments(tree)
+    env.update(_assignments(tree, site))
+    return env
+
+
+def _is_static_values(expr: ast.AST, env: dict[str, ast.AST], depth: int = 0) -> bool:
+    """True when the expression's element count is fixed by the SOURCE CODE
+    (a literal of constants, possibly behind list()/sorted() wrappers or a
+    resolvable Name) — the py4j cost is then bounded at code-review time,
+    not data-dependent."""
+    if depth > 6:
+        return False
+    if isinstance(expr, ast.Constant):
+        return True
+    if isinstance(expr, ast.Starred):
+        return _is_static_values(expr.value, env, depth + 1)
+    if isinstance(expr, (ast.List, ast.Tuple, ast.Set)):
+        return all(_is_static_values(e, env, depth + 1) for e in expr.elts)
+    if isinstance(expr, ast.Name) and expr.id in env:
+        return _is_static_values(
+            env[expr.id], {k: v for k, v in env.items() if k != expr.id}, depth + 1
+        )
+    if (
+        isinstance(expr, ast.Call)
+        and isinstance(expr.func, ast.Name)
+        and expr.func.id in ("list", "tuple", "set", "sorted")
+        and len(expr.args) == 1
+    ):
+        return _is_static_values(expr.args[0], env, depth + 1)
+    return False
 
 
 def _base_frame(expr: ast.AST) -> str | None:
