@@ -722,28 +722,6 @@ def test_upsert_sink_recovers_exactly_once_after_transient_read_failure(
     assert got == [(1, 10.0), (2, 2.0)], got
 
 
-def test_protobuf_canary_for_transform_with_state():
-    """Canary for the container's missing protobuf (VERDICT r08 stretch).
-
-    Spark 4's transformWithStateInPandas is the intended replacement for
-    applyInPandasWithState in sessionize_stream / dedup_stream, but its
-    state server imports google.protobuf, which this container lacks and
-    cannot pip-install (.claude/skills/verify/SKILL.md). This test skips
-    while that holds. The day protobuf becomes importable it FAILS LOUDLY
-    so the Spark-4 arbitrary-state API gets adopted deliberately instead
-    of staying forgotten behind the workaround.
-    """
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        pytest.skip(
-            "google.protobuf absent: transformWithStateInPandas state "
-            "server unusable in this container (documented limitation)"
-        )
-    pytest.fail(
-        "google.protobuf is now importable — transformWithStateInPandas "
-        "(Spark 4 arbitrary-state API) is likely usable in this "
-        "environment. Port sessionize_stream / dedup_stream "
-        "(streaming/incremental.py) from applyInPandasWithState, then "
-        "update this canary and .claude/skills/verify/SKILL.md."
-    )
+# The protobuf canary for transformWithStateInPandas moved to
+# tests/test_environment_canaries.py (r11: all environment-limit canaries
+# consolidated in one file).
