@@ -112,6 +112,24 @@ HEADLINE = [
 ]
 
 
+def _spreads(timings: dict[str, float], second: dict[str, float]) -> list[float]:
+    # second-best/best per query, sub-0.3s walls excluded (scheduler-
+    # overhead-bounded; their ratios are meaningless)
+    return sorted(
+        second[k] / v for k, v in timings.items() if v > 0.3 and k in second
+    )
+
+
+def _median_spread(timings: dict[str, float], second: dict[str, float]) -> float:
+    s = _spreads(timings, second)
+    return round(s[len(s) // 2], 2) if s else 1.0
+
+
+def _max_spread(timings: dict[str, float], second: dict[str, float]) -> float:
+    s = _spreads(timings, second)
+    return round(s[-1], 2) if s else 1.0
+
+
 def main() -> None:
     spark = get_session("dataengineering_londonhousingmap-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -125,6 +143,7 @@ def main() -> None:
     import gc
 
     timings: dict[str, float] = {}
+    second_best: dict[str, float] = {}
     for name in HEADLINE:
         runs: list[float] = []
         for _ in range(2):
@@ -141,6 +160,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
         timings[name] = round(min(runs), 3)
+        second_best[name] = round(sorted(runs)[1], 3)
         # drop the plan refs and collect BETWEEN queries: localCheckpoint
         # blocks and broadcasts are ContextCleaner-freed only once the
         # Python DataFrame objects are GC'd, and 60+ queries of retained
@@ -191,11 +211,23 @@ def main() -> None:
         # r07-r08 control ref) — the full protocol lives in PLANS.md
         "methodology": "best-of-2-warm-noop;normalized=value/median(control ratios)",
         "queries": {k: round(v, 2) for k, v in timings.items()},
+        # Per-query noise bands (VERDICT r10 task 4): each control emits
+        # [wall/ref ratio, second-best wall] — best wall is already in
+        # `queries`, so [best, second] per control is recoverable, giving
+        # the within-session spread a judge needs to separate host noise
+        # from a real regression without cross-referencing BENCH_LOCAL
+        # (the r10 driver session read one control at ×1.49 while total
+        # drift read 1.001). spread_med/spread_max summarize second/best
+        # over EVERY headline query with best > 0.3s — spread_max IS this
+        # session's per-query ± band (±30-50% is normal on this host; see
+        # the PLANS.md drift protocol).
         "controls": {
-            c: round(timings[c] / ref, 3)
+            c: [round(timings[c] / ref, 3), round(second_best[c], 2)]
             for c, ref in controls_ref.items()
             if c in timings
         },
+        "spread_med": _median_spread(timings, second_best),
+        "spread_max": _max_spread(timings, second_best),
         "value": total,
         "host_drift": drift,
         "normalized_total": round(total / drift, 3) if drift > 0 else total,
@@ -203,6 +235,14 @@ def main() -> None:
     line = json.dumps(out, separators=(",", ":"))
     if len(line) > 1900:  # stay under the tail buffer with margin
         out["queries"] = {k: round(v, 1) for k, v in timings.items()}
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        # drop the per-control second-best walls (spread_med/spread_max
+        # keep the noise-band summary); never let detail push the verdict
+        # numbers out of the driver's 2000-char tail capture
+        out["controls"] = {
+            c: v[0] for c, v in out["controls"].items()
+        }
         line = json.dumps(out, separators=(",", ":"))
     print(line)
 

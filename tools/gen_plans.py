@@ -280,7 +280,14 @@ q_join_nn, q_copurchase, q_stream_hourly — vs pinned r07–r08 reference
 means; q_pagerank was evaluated and EXCLUDED as a control: 1.84/2.91/4.88s
 across three same-day sessions, iterative driver loops are too noisy),
 `host_drift` (median control ratio) and `normalized_total` =
-value/host_drift. r09 local run:
+value/host_drift. Since r11 each `controls` entry is
+`[wall/ref ratio, second-best wall]` (best wall lives in `queries`, so
+the per-control [best, second] pair is recoverable) and the line carries
+`spread_med`/`spread_max` — second-best/best over every headline query
+with best > 0.3 s — so a judge can read THIS session's per-query noise
+band straight from the artifact instead of cross-referencing BENCH_LOCAL
+(VERDICT r10 task 4: a control read ×1.49 in the driver session while
+total drift read 1.001). r09 local run:
 raw 75.0s, drift 1.147, normalized 65.3 — r08→r09 is flat-to-better once
 the host factor is removed. Caveat measured the same session: single
 controls are NOT trustworthy (pagerank read 1.56 while triangle read 0.99
