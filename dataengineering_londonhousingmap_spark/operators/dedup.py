@@ -104,6 +104,111 @@ def char_shingles(
     return out.distinct() if distinct else out
 
 
+def selected_windows(
+    df: DataFrame, id_col: str, text_col: str, w: int = 64, mod: int = 16
+) -> DataFrame:
+    """Content-defined window selection for cross-document repeated-SPAN
+    detection — the substring-dedup shape (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better") re-expressed for Spark.
+
+    Every w-char window is hashed and a window is SELECTED when its hash
+    ≡ 0 (mod ``mod``). Selection depends on CONTENT, not position, so two
+    documents sharing any span of ≥ w + mod·E[gap] chars share a selected
+    window with high probability regardless of byte alignment — the
+    winnowing / content-defined-chunking argument; a fixed stride would
+    miss spans whose offsets differ between the two documents. Expected
+    selected windows per doc = (len − w + 1)/mod, so only ~1/mod of the
+    exploded windows ever shuffle; the explode itself is embarrassingly
+    parallel pre-shuffle work (``char_shingles``' O(len) slice shape, not
+    the O(len²) substring-seek the r09 fix removed).
+
+    Returns DISTINCT (id, win) rows where ``win`` is the window's md5 hex
+    — the selection hash is reused as the join key, one md5 per window
+    total. The md5-hex-prefix → int64 idiom matches the MinHash family so
+    the DuckDB oracle reproduces the selection bit-identically.
+    """
+    wins = char_shingles(df, id_col, text_col, w=w, distinct=False).select(
+        F.col(id_col), F.md5(F.col("shingle")).alias("win")
+    )
+    selected = (
+        F.conv(F.substring(F.col("win"), 1, 15), 16, 10).cast("long") % mod == 0
+    )
+    return wins.filter(selected).distinct()
+
+
+def substring_dedup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 64,
+    mod: int = 16,
+    max_texts: int = 64,
+) -> DataFrame:
+    """Document pairs sharing ≥ 1 kept selected window — the full
+    substring-dedup pipeline over :func:`selected_windows`: exact-dup
+    quotient → content-defined selection → boilerplate cut (windows in
+    more than ``max_texts`` DISTINCT TEXTS are template chrome, cut
+    BEFORE the pair join — the hot-bucket quadratic guard) → equi-join on
+    the window hash → member-level expansion. Output: (id_a, id_b,
+    shared_windows) with id_a < id_b.
+
+    The boilerplate cut counts distinct texts by DEFINITION (twins must
+    not promote a span to boilerplate), which is exactly the rep count
+    after the quotient — so the quotiented frequency needs no group-size
+    weighting to match a direct path. A twin pair shares exactly its
+    rep's own kept windows, so the self payload is the rep's kept-window
+    count (computed, not a literal).
+    """
+    from .util import materialize as _mat
+
+    reps, mapping = exact_dup_quotient(
+        docs.select(id_col, text_col), id_col, F.md5(F.col(text_col)),
+        F.col(text_col).isNotNull(),
+    )
+    mapping = mapping.materialize()
+    wins = selected_windows(reps, id_col, text_col, w=w, mod=mod)
+    # one shuffle for the boilerplate frequency (window count over the win
+    # key), not a groupBy + join-back pair
+    freq = F.count(F.lit(1)).over(Window.partitionBy("win"))
+    kept = (
+        wins.withColumn("__df", freq)
+        .filter(F.col("__df") <= max_texts)
+        .select(id_col, "win")
+    )
+    # feeds 3 subtrees (both join sides + the twin self-pair counts):
+    # materialize the explode+selection once (the q_ngram_jaccard shape)
+    kept = kept.transform(_mat)
+    a = kept.select(F.col(id_col).alias("rep_a"), "win")
+    b = kept.select(F.col(id_col).alias("rep_b"), "win")
+    # kept is checkpoint-derived (underestimated stats): pin sort-merge so
+    # the planner never broadcasts a corpus-proportional side (the
+    # merge-pin contract, PLANS.md)
+    rp = (
+        a.hint("merge")
+        .join(b, "win")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .groupBy("rep_a", "rep_b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+    self_pairs = None
+    if not mapping.twin_free:
+        multi = mapping.multi_member_reps(reps, id_col).select(id_col)
+        self_pairs = (
+            kept.join(multi.hint("merge"), id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("shared_windows"))
+            .select(
+                F.col(id_col).alias("rep_a"),
+                F.col(id_col).alias("rep_b"),
+                "shared_windows",
+            )
+        )
+    return quotient_expand_pairs(
+        rp, mapping, id_col,
+        payload_cols=["shared_windows"], self_pairs=self_pairs,
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

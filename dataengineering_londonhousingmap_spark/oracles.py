@@ -3741,3 +3741,38 @@ ORACLES["q_unigram_logprob"] = f"""
     FROM tok t JOIN uni u USING (tok)
     GROUP BY t.doc_id
 """
+
+# content-defined 64-char window selection (operators/dedup.py:
+# selected_windows): the md5-hex-prefix → int64 selection replays the Spark
+# filter bit-identically (the MinHash base idiom). Shared by the
+# substring-dedup pair query and the boilerplate-span report.
+_SELECTED_WINDOWS = """
+    SELECT DISTINCT doc_id, text,
+           md5(substring(text, CAST(i AS INTEGER), 64)) AS win
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text) - 63, 1))) AS i
+          FROM documents)
+    WHERE substring(text, CAST(i AS INTEGER), 64) IS NOT NULL
+      AND (CAST('0x' || substring(md5(substring(text, CAST(i AS INTEGER), 64)), 1, 15) AS BIGINT) % 16) = 0
+"""
+
+ORACLES["q_dedup_substring"] = f"""
+    WITH w AS ({_SELECTED_WINDOWS}),
+    kept AS (
+        SELECT win FROM (SELECT DISTINCT win, text FROM w)
+        GROUP BY win HAVING count(*) <= 64
+    ),
+    wk AS (SELECT DISTINCT doc_id, win FROM w JOIN kept USING (win))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS shared_windows
+    FROM wk a JOIN wk b USING (win)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+"""
+
+ORACLES["q_boilerplate_spans"] = f"""
+    WITH w AS ({_SELECTED_WINDOWS})
+    SELECT win, CAST(count(*) AS BIGINT) AS n_texts
+    FROM (SELECT DISTINCT win, text FROM w)
+    GROUP BY win HAVING count(*) >= 2
+"""

@@ -49,7 +49,9 @@ from .operators.dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     quotient_expand_pairs,
+    selected_windows,
     simhash,
+    substring_dedup_pairs,
 )
 from .operators.joins import (
     asof_join,
@@ -1664,6 +1666,57 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         self_payload={"jaccard": F.lit(1.0)},
     )
     return expanded.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-SPAN detection — substring-level dedup (the
+    Lee-et-al training-data shape the shingle/minhash family can't see:
+    two long documents sharing one verbatim 64+ char passage are NOT
+    near-dups by whole-doc Jaccard but still leak memorizable text).
+    Content-defined window selection (operators/dedup.py:selected_windows)
+    keeps ~1/16 of 64-char windows by content hash, so shared spans
+    collide on a selected window regardless of alignment; windows carried
+    by > 64 distinct texts are boilerplate and cut BEFORE the pair join
+    (the hot-bucket quadratic guard — same discipline as the LSH band
+    join). Output: (id_a, id_b, shared_windows) per document pair sharing
+    ≥ 1 kept selected window.
+
+    Exact-dup quotient first (operators/dedup.py:substring_dedup_pairs):
+    windows are pure functions of the text, so selection runs once per
+    distinct text and pairs expand through the (doc → rep) mapping; a
+    twin pair shares exactly the rep's own kept windows, so the self
+    payload is the rep's kept-window count (computed, not a literal).
+    Scale shape: the explode is pre-shuffle map work, only ~1/16 of
+    windows shuffle, and the pair join is an equi-join on win with
+    per-window fan-out bounded by the boilerplate cap."""
+    docs = _t(spark, sf_dir, "documents")
+    out = substring_dedup_pairs(docs, "doc_id", "text", w=64, mod=16, max_texts=64)
+    return out.select("id_a", "id_b", "shared_windows")
+
+
+def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span frequency report — the inverse view of
+    q_dedup_substring: every selected 64-char window carried by ≥ 2
+    distinct texts, with its distinct-text frequency. In a training
+    pipeline this is the template/license/navigation-chrome detector: the
+    high-frequency tail of this report becomes the boilerplate blocklist
+    (q_dedup_substring's > 64 cut is one downstream threshold choice);
+    output is the window's content hash + frequency — the hash is what a
+    100 TB blocklist ships, and the span text is recoverable by joining
+    any carrying doc. One groupBy on the already-1/16-selected windows;
+    the quotient means frequency counts distinct TEXTS by construction
+    (twins never promote a span)."""
+    docs = _t(spark, sf_dir, "documents")
+    reps, _ = exact_dup_quotient(
+        docs.select("doc_id", "text"), "doc_id", F.md5("text"),
+        F.col("text").isNotNull(),
+    )
+    wins = selected_windows(reps, "doc_id", "text", w=64, mod=16)
+    return (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n_texts"))
+        .filter(F.col("n_texts") >= 2)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -5996,6 +6049,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_dedup": q_stream_dedup,
     "q_dedup_simhash": q_dedup_simhash,
     "q_ngram_jaccard": q_ngram_jaccard,
+    "q_dedup_substring": q_dedup_substring,
+    "q_boilerplate_spans": q_boilerplate_spans,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_join": q_stream_join,
     "q_corpus_curation": q_corpus_curation,

@@ -878,3 +878,114 @@ def test_lsh_embed_quotient_matches_direct(spark):
     # twins excluded, at least one cross-group near-dup pair survived LSH
     assert d[(1, 2)] == 1.0 and (30, 31) not in d
     assert any(x != y and v < 1.0 for (x, y), v in d.items())
+
+
+# ---------------------------------------------------------------------------
+# r11: substring-level dedup (q_dedup_substring's operator) — quotient vs a
+# hand-rolled direct path, every arm, including the boilerplate cut whose
+# frequency must count DISTINCT TEXTS (twins must not promote a span).
+# ---------------------------------------------------------------------------
+
+from dataengineering_londonhousingmap_spark.operators.dedup import (  # noqa: E402
+    selected_windows,
+    substring_dedup_pairs,
+)
+
+
+def _substring_corpus(spark):
+    shared = "this exact passage is repeated verbatim across several long documents"
+    boiler = "COMMON FOOTER boilerplate chrome shared by far too many documents!"
+    rows = (
+        # twins carrying a shared span (self-pair arm + cross-group pairs)
+        [(1, "alpha intro " + shared + " tail one"),
+         (2, "alpha intro " + shared + " tail one"),
+         (3, "совершенно different head § " + shared + " other ending here")]
+        # unrelated long doc: no pairs
+        + [(4, "no overlap content about catalyst plans and shuffles at all")]
+        # NULL twins: no windows, no pairs
+        + [(5, None), (6, None)]
+        # short-text twins: whole text is the single window IF selected
+        + [(7, "short"), (8, "short")]
+        # boilerplate: the same footer in 5 DISTINCT texts — its interior
+        # windows exceed the cap and must be cut BEFORE the pair join
+        + [(100 + i, f"doc {i} unique preamble … {boiler} … unique coda {i}")
+           for i in range(5)]
+    )
+    return spark.createDataFrame(rows, _PAIR_SCHEMA)
+
+
+def _substring_direct(docs, w, mod, cap):
+    """Direct path on raw documents: selection per doc, boilerplate
+    frequency = count of DISTINCT TEXTS per window (via join-back to the
+    doc table), pair join, count shared kept windows."""
+    wins = selected_windows(docs, "doc_id", "text", w=w, mod=mod)
+    wtext = wins.join(docs, "doc_id").select("win", "text").distinct()
+    kept_wins = (
+        wtext.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= cap)
+        .select("win")
+    )
+    wk = wins.join(kept_wins, "win")
+    a = wk.select(F.col("doc_id").alias("id_a"), "win")
+    b = wk.select(F.col("doc_id").alias("id_b"), "win")
+    return (
+        a.join(b, "win")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+
+
+def test_substring_quotient_matches_direct_on_every_arm(spark):
+    docs = _substring_corpus(spark)
+    w, mod, cap = 8, 2, 3
+    direct = {
+        (r["id_a"], r["id_b"]): r["shared_windows"]
+        for r in _substring_direct(docs, w, mod, cap).collect()
+    }
+    results = {}
+    for tag, conf in (
+        ("sparse_lit", {}),
+        ("sparse_rel", {"literalMaxDupMembers": 0}),
+        ("dense", {"sparseMaxDupMembers": 0}),
+    ):
+        with _quotient_conf(spark, **conf):
+            results[tag] = {
+                (r["id_a"], r["id_b"]): r["shared_windows"]
+                for r in substring_dedup_pairs(
+                    docs, "doc_id", "text", w=w, mod=mod, max_texts=cap
+                ).collect()
+            }
+    assert results["sparse_lit"] == direct
+    assert results["sparse_rel"] == direct
+    assert results["dense"] == direct
+    # the fixture exercised what it claims: the twin self-pair, the
+    # twin-to-near-dup cross pair, and NO pair among the 5 boilerplate
+    # carriers (their only shared windows exceed the cap and were cut);
+    # NULL twins contribute nothing
+    assert (1, 2) in direct and (1, 3) in direct and (2, 3) in direct
+    assert not any(a >= 100 and b >= 100 for a, b in direct)
+    assert (5, 6) not in direct
+    # shared_windows of the twin pair equals the rep's own kept windows
+    assert direct[(1, 2)] >= direct[(1, 3)]
+
+
+def test_substring_bypass_arm_on_twin_free_corpus(spark):
+    rows = [
+        (1, "a long document sharing one exact passage with its sibling doc"),
+        (2, "prefix text then: a long document sharing one exact passage --"),
+        (3, "completely unrelated content with nothing in common whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, _PAIR_SCHEMA)
+    direct = {
+        (r["id_a"], r["id_b"]): r["shared_windows"]
+        for r in _substring_direct(docs, 8, 2, 64).collect()
+    }
+    quot = {
+        (r["id_a"], r["id_b"]): r["shared_windows"]
+        for r in substring_dedup_pairs(
+            docs, "doc_id", "text", w=8, mod=2, max_texts=64
+        ).collect()
+    }
+    assert quot == direct and len(direct) > 0
