@@ -3776,3 +3776,19 @@ ORACLES["q_boilerplate_spans"] = f"""
     FROM (SELECT DISTINCT win, text FROM w)
     GROUP BY win HAVING count(*) >= 2
 """
+
+ORACLES["q_decontaminate_spans"] = f"""
+    WITH w AS ({_SELECTED_WINDOWS}),
+    bw AS (SELECT doc_id AS bench_id, win FROM w WHERE doc_id % 50 = 0),
+    cw AS (SELECT doc_id, win FROM w WHERE doc_id % 50 <> 0),
+    ov AS (
+        SELECT cw.doc_id, bw.bench_id, CAST(count(*) AS BIGINT) AS n_spans
+        FROM cw JOIN bw USING (win)
+        GROUP BY cw.doc_id, bw.bench_id
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bench_matches,
+           CAST(max(n_spans) AS BIGINT) AS max_shared_spans
+    FROM ov
+    GROUP BY doc_id
+"""

@@ -1719,6 +1719,54 @@ def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level benchmark decontamination — the substring upgrade of
+    q_decontaminate's shingle-overlap sweep: flag corpus documents sharing
+    ≥ 1 selected 64-char WINDOW (a verbatim long span, not just n-gram
+    vocabulary) with any held-out benchmark document (doc_id%50==0 stands
+    in for the benchmark set). Whole-doc overlap misses a short quoted
+    eval item inside a long document; span collision catches it. Output:
+    contaminated doc, how many benchmark DOCS it collides with, and the
+    worst per-bench-doc shared-span count.
+
+    Same scale shape as q_decontaminate: equi-join on the window hash
+    (never corpus×benchmark pairwise), merge-pinned because the bench side
+    is corpus-proportional behind a checkpoint; exact-dup quotient PER
+    SIDE, bench-text doc counts fold back as a multiplicity sum. No
+    boilerplate cut by design — a span appearing in many corpus docs IS
+    the contamination signal; the join's fan-out is bounded by the bench
+    side, which is tiny by definition."""
+    docs = _t(spark, sf_dir, "documents")
+    bench_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
+    corpus_docs = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")  # null-audited: doc_id non-null (pinned vintage invariant), oracle-symmetric <>
+    b_reps, b_map = exact_dup_quotient(
+        bench_docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
+    )
+    c_reps, c_map = exact_dup_quotient(
+        corpus_docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
+    )
+    wb = selected_windows(b_reps, "doc_id", "text", w=64, mod=16).select(
+        F.col("doc_id").alias("bench_rep"), "win"
+    )
+    wc = selected_windows(c_reps, "doc_id", "text", w=64, mod=16)
+    overlaps = (
+        wc.join(wb.hint("merge"), "win")
+        .groupBy("doc_id", "bench_rep")
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
+    per_rep = (
+        b_map.attach_multiplicity(overlaps, "bench_rep", "__m")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__m").alias("n_bench_matches"),
+            F.max("n_spans").alias("max_shared_spans"),
+        )
+    )
+    return c_map.expand(per_rep, "doc_id").select(
+        "doc_id", "n_bench_matches", "max_shared_spans"
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: similarity search
 # ---------------------------------------------------------------------------
@@ -6051,6 +6099,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_dedup_substring": q_dedup_substring,
     "q_boilerplate_spans": q_boilerplate_spans,
+    "q_decontaminate_spans": q_decontaminate_spans,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_join": q_stream_join,
     "q_corpus_curation": q_corpus_curation,
