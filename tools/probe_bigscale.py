@@ -207,6 +207,13 @@ def main() -> None:
             "entries carry over from the artifact's last full-catalog run "
             f"(prior note: {prior.get('probe_note', 'full catalog')})"
         )
+    else:
+        # affirmative, not implied-by-absence (VERDICT r10 task 1: the
+        # carryover blemish is only auditable if full runs SAY so)
+        doc["probe_note"] = (
+            f"full catalog ({len(selected)} queries), every entry measured "
+            "in this single session — no carried-over timings"
+        )
         if prior_bench_name and prior_bench_name != bench_name:
             # vintage integrity: carried ratios keep their own denominator
             doc["bench_denominator"] = {
