@@ -519,7 +519,12 @@ class QuotientMapping:
       +0.7s on q_ngram_jaccard at sf0.1 — VERDICT r09 task 1).
     - ``sparse`` — duplicates exist but the dup-involved rows number at most
       ``spark.dataengineering_londonhousingmap_spark.quotient.sparseMaxDupMembers``
-      (exact count; default 64k ≈ ~1 MB of (id, rep) pairs on the driver).
+      (exact count; default 16k after the r11 10x threshold A/B — at 45k
+      dup members the dense merge-join mapping beat the sparse collect +
+      LocalRelation arm on every probed query by 10-25%, consistent sign
+      across clusters/minhash/ngram/embed-exact, so the sparse arm is now
+      reserved for dup sets where its fixed cost is provably small;
+      ~16k ≈ a few hundred KB of (id, rep) pairs on the driver).
       The multi-group members are collected ONCE and expansion becomes pure
       Column expressions — ``explode(try_element_at(<literal map>, rep))``
       — so the main plan gains ZERO joins, broadcasts, or shuffles. A
@@ -755,7 +760,7 @@ def exact_dup_quotient(
     ).lower()
     sparse_max = int(
         sess.conf.get(
-            "spark.dataengineering_londonhousingmap_spark.quotient.sparseMaxDupMembers", "65536"
+            "spark.dataengineering_londonhousingmap_spark.quotient.sparseMaxDupMembers", "16384"
         )
     )
     lit_max = int(

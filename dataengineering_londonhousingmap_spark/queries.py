@@ -2078,8 +2078,15 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir).select("user_id", "ts", "value")
     sessions = sessionize_stream(events, gap_minutes=30)
     # the Python stateful function wants task parallelism more than it
-    # fears state-store count — 16 beats the narrow default here
-    out = run_stream_to_memory(sessions, "q_stream_sessions_sink", "append", state_partitions=16)
+    # fears state-store count — and the r11 10x profile shows it scales
+    # with cores: 8/16/32 state partitions ran 29.5/19.6/11.5s on the
+    # same 1M-event micro-batch (addBatch is ~99% of wall; harness
+    # start/stop <0.2s, Arrow batch size a wash). Track core count
+    # locally; clusters size it via the statePartitions session knob.
+    out = run_stream_to_memory(
+        sessions, "q_stream_sessions_sink", "append",
+        state_partitions=spark.sparkContext.defaultParallelism,
+    )
     return out.select(
         "user_id", "session_start", "session_end", "n_events",
         F.round("total_value", 6).alias("total_value"),

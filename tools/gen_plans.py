@@ -383,6 +383,73 @@ key-cardinality-sized value instead. State partitioning freezes at a
 stream's FIRST checkpoint — the knob matters at first start, not restart.
 transformWithStateInPandas remains environment-blocked (broken container
 protobuf); the canary test flips loud when it's fixed.
+
+## r11 — the dedup-trio residual REPRODUCED: pair density, not text weight
+
+The r10 closing left q_dedup_minhash at 1.21× and q_ngram_jaccard at
+1.27× of their r08 reference walls, attributed BY ELIMINATION to "8 twin
+documents and heavier text". r11 measured the two vintages' workload
+stats directly and the attribution was half wrong: per-doc-distinct
+char-8 shingles — the signature-stage work volume — are IDENTICAL
+(current 1,351,090 vs r08's recorded ~1.35M), but the current vintage
+carries 3.8× the LSH candidates (653 vs 172) and 3.6× the verified pairs
+(253 vs 70). The real axis is near-dup PAIR DENSITY feeding the
+verify/expand stages. Falsified by reproduction, not elimination:
+tools/gen_vintage_profile.py rebuilds the SAME corpus at r08's recorded
+profile (surplus pairs broken by a deterministic per-doc char shuffle —
+same length/chars, shingle set randomized; achieved 0 twins / 1.359M
+shingles / 212 candidates / 74 verified), and tools/ab_vintage.py ran
+the trio interleaved best-of-3 on both vintages in ONE session under the
+five drift controls (drift 1.401 that session). Normalized vs the r08
+refs: minhash heavy 1.27× → light 0.69×, ngram 1.11× → 0.93×,
+incremental 1.09× → 0.85× — the residual VANISHES on the r08-profile
+vintage, so it is workload, and the quotient detection aggregate is
+exonerated. (Light undershooting 1.0 is consistent: 0 twins routes the
+r10 bypass arm past work r08's code always paid.) Re-open trigger
+unchanged: auto/dense > 1.2 in a same-session interleaved A/B.
+
+## r11 — q_stream_sessions 10× profile: state partitions are the story
+
+The catalog's max 10× ratio (25.1 s at sp16) decomposes as ~99%
+micro-batch addBatch (the applyInPandasWithState Python exchange +
+state commit); harness start/stop/plan-build are <0.2 s combined and
+Arrow batch size is a wash (1k/10k/100k within noise). The dominant
+knob is state partitions — the stateful stage runs one task per
+partition, so parallelism is capped there: 8/16/32 partitions ran
+29.5/19.6/11.5 s best-of-3 on the same 1M-event micro-batch (and
+within-noise 5.5/7.1/5.2 s at sf0.1, where the batch is small). Local
+pin switched from 16 to sparkContext.defaultParallelism (output
+partition-independent — oracle re-verified on local[8]); clusters size
+state via the statePartitions session knob as before. The residual
+~11.5 s at 32 partitions is the irreducible Python-per-group cost of
+951,630 emitted sessions over 15k keys — no plan defect; tools/
+profile_stream_sessions.py reproduces the whole matrix.
+
+## r11 — quotient-threshold A/B at 10×: sparse default lowered to 16k
+
+tools/ab_quotient_thresholds.py, interleaved best-of-3 per lane in one
+session. SPARSE axis (.bigdata, ~45k dup members; literal pinned 128):
+sparseMaxDupMembers 16384 forces dense, 65536/262144 take the sparse
+LocalRelation arm — dense won on EVERY query (clusters 5.72 vs
+7.01/6.66, minhash 2.69 vs 3.54/3.24, ngram 5.59 vs 6.11/5.73,
+embed-exact 3.48 vs 4.27/4.34 s): at 45k members the bounded collect +
+LocalRelation broadcasts cost more than the merge-join mapping, so the
+r10 default (64k, chosen from sf0.1) was INVERTED at scale →
+sparseMaxDupMembers now defaults 16384. LITERAL axis (sf0.1, 16 dup
+members; sparse pinned 64k): lit 32/128/512 all within ±10% with no
+consistent sign — a wash, default 128 kept. Re-open trigger: a vintage
+with 16k–45k dup members where the sparse arm beats forced-dense by
+>1.2× in a same-session A/B would argue for re-raising the threshold.
+
+## r11 — substring-dedup family added (plan shape)
+
+q_dedup_substring / q_boilerplate_spans / q_decontaminate_spans run on
+content-defined 64-char window selection (selected_windows keeps ~1/16
+of windows by hash — alignment-free, so the explode is pre-shuffle map
+work and only selected windows shuffle), boilerplate windows >64
+distinct texts cut before the pair join, merge-pinned equi-joins on the
+window hash, exact-dup quotient with a computed self-pair payload.
+10× walls 13.1/3.1/4.6 s vs 2.5/2.0/1.1 s warm sf0.1 — sublinear.
 '''
 
 
