@@ -65,6 +65,10 @@ NO_CORPUS_BROADCAST = {
     "q_dedup_incremental": ("shingle", "band_hash"),
     "q_dedup_minhash": ("shingle", "band_hash"),
     "q_decontaminate": ("shingle",),
+    # r11 substring family: the selected-window tables are corpus-
+    # proportional (1/16 of all 64-char windows) behind a checkpoint
+    "q_dedup_substring": ("win",),
+    "q_decontaminate_spans": ("win",),
 }
 
 
