@@ -3792,3 +3792,81 @@ ORACLES["q_decontaminate_spans"] = f"""
     FROM ov
     GROUP BY doc_id
 """
+
+# 4x8-bit banding over the 32-bit simhash fingerprint (q_simhash_recall)
+_SIMHASH_BAND_SELECTS = "\n  UNION ALL\n".join(
+    f"  SELECT doc_id, {j} AS band_idx, (simhash >> {8 * j}) & 255 AS band_val FROM fp"
+    for j in range(4)
+)
+
+ORACLES["q_simhash_recall"] = f"""
+    WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+    sh AS (
+        SELECT DISTINCT doc_id, substring(text, CAST(i AS INTEGER), 8) AS shingle
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1, greatest(length(text) - 7, 1))) AS i
+              FROM docs)
+        WHERE substring(text, CAST(i AS INTEGER), 8) IS NOT NULL
+    ),
+    sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY doc_id),
+    inter_all AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS i
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT id_a, id_b
+        FROM inter_all
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE i / (sa.sz + sb.sz - i) >= 0.2
+    ),
+    tok AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '[ \\t\\n\\f\\r\\x0b]+')) AS tok
+        FROM docs
+    ),
+    h AS (
+        SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS h
+        FROM tok
+    ),
+    sums AS (
+        SELECT doc_id, {_SIMHASH_SUMS}
+        FROM h GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM sums),
+    bands AS (
+    {_SIMHASH_BAND_SELECTS}
+    ),
+    cand AS (
+        SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        FROM bands x
+        JOIN bands y ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+        WHERE x.doc_id < y.doc_id
+    ),
+    verified AS (
+        SELECT c.id_a, c.id_b,
+               bit_count(xor(fa.simhash, fb.simhash)) AS ham
+        FROM cand c
+        JOIN fp fa ON fa.doc_id = c.id_a
+        JOIN fp fb ON fb.doc_id = c.id_b
+    ),
+    j AS (
+        SELECT coalesce(t.id_a, v.id_a) AS id_a,
+               coalesce(t.id_b, v.id_b) AS id_b,
+               (t.id_a IS NOT NULL) AS is_t,
+               (v.id_a IS NOT NULL) AS is_c,
+               (v.ham IS NOT NULL AND v.ham <= 3) AS is_v
+        FROM truth t
+        FULL JOIN verified v ON v.id_a = t.id_a AND v.id_b = t.id_b
+    )
+    SELECT CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_band_pairs,
+           CAST(sum(CASE WHEN is_v THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+           CAST(sum(CASE WHEN is_t AND is_v THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+           round(sum(CASE WHEN is_t AND is_v THEN 1 ELSE 0 END)
+                 / sum(CASE WHEN is_t THEN 1 ELSE 0 END), 6) AS recall,
+           round(sum(CASE WHEN is_t AND is_v THEN 1 ELSE 0 END)
+                 / sum(CASE WHEN is_v THEN 1 ELSE 0 END), 6) AS precision
+    FROM j
+"""

@@ -4546,6 +4546,75 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MEASURED recall/precision of the SimHash near-dup method against
+    exact Jaccard ground truth — the X157/X158 QA twin for the LAST
+    approximate family that had none: on the bounded 1000-doc subset
+    (exact truth is only ever computed on a sample), truth = all pairs
+    with char-8 Jaccard ≥ 0.2; the SimHash method = 4×8-bit banding over
+    the 32-bit fingerprint (pigeonhole: Hamming ≤ 3 pairs ALWAYS share a
+    band, so banding is lossless for the verified set) then a Hamming ≤ 3
+    cut via bit_count(xor). One row: truth size, band-collision pairs,
+    Hamming-verified pairs, hits, recall, precision — the bit-width /
+    Hamming-threshold tuning loop reads exactly this query."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 1000)
+    sh = char_shingles(docs, "doc_id", "text", w=8).transform(materialize)
+    truth = ngram_jaccard_pairs(sh, "doc_id", threshold=0.2, candidates=None).select(
+        "id_a", "id_b"
+    )
+    # fingerprints feed the band explode AND both sides of the Hamming
+    # verify — materialize the 32-aggregate job once
+    fp = simhash(docs, "doc_id", "text", bits=32).transform(materialize)
+    bands = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_idx"),
+                        F.shiftright(F.col("simhash"), 8 * j)
+                        .bitwiseAND(F.lit(255))
+                        .alias("band_val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.band_idx").alias("band_idx"), F.col("b.band_val").alias("band_val"))
+    cand = (
+        bands.alias("x")
+        .join(bands.alias("y"), ["band_idx", "band_val"])
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__fa"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("__fb"))
+    ham = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb")))
+    verified = (
+        cand.join(fa, "id_a").join(fb, "id_b")
+        .withColumn("__ham", ham)
+        .select("id_a", "id_b", "__ham")
+    )
+    t = truth.withColumn("__t", F.lit(1))
+    c = verified.withColumn("__c", F.lit(1))
+    j = t.join(c, ["id_a", "id_b"], "full_outer")
+    is_v = F.col("__ham").isNotNull() & (F.col("__ham") <= 3)
+    hit = F.when(F.col("__t").isNotNull() & is_v, 1).otherwise(0)
+    return j.agg(
+        F.sum(F.coalesce("__t", F.lit(0))).alias("n_true"),
+        F.sum(F.coalesce("__c", F.lit(0))).alias("n_band_pairs"),
+        F.sum(F.when(is_v, 1).otherwise(0)).alias("n_verified"),
+        F.sum(hit).alias("n_hits"),
+        F.round(F.sum(hit) / F.sum(F.coalesce("__t", F.lit(0))), 6).alias("recall"),
+        F.round(
+            F.sum(hit) / F.sum(F.when(is_v, 1).otherwise(0)), 6
+        ).alias("precision"),
+    )
+
+
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MEASURED recall/precision of the IVF ANN path (X9) against the exact
     brute-force top-k — the q_lsh_recall (X157) QA twin for the IVF family:
@@ -6024,6 +6093,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_audio_frames": q_audio_frames,
     "q_lsh_recall": q_lsh_recall,
     "q_ivf_recall": q_ivf_recall,
+    "q_simhash_recall": q_simhash_recall,
     "q_prune_report": q_prune_report,
     "q_stream_backfill": q_stream_backfill,
     "q_ab_test": q_ab_test,
