@@ -97,6 +97,25 @@ def main() -> None:
                         f"OK  {name} {run2:.1f}s (+{stage_s[name]:.1f}s staging)",
                         file=out, flush=True,
                     )
+                elif wall > 5.0:
+                    # best-of-2 for the slow tail (r11): single cold runs
+                    # on this host scatter ±30-50% (two same-code probe
+                    # sessions disagreed 447 vs 508s total, inflations
+                    # concentrated in whichever heavy queries ran cold),
+                    # and the headline max_ratio rides exactly these
+                    # entries. One retake of the >5s tail (~15 queries)
+                    # costs ~2 min and pins them to their warm wall —
+                    # the same min-of-N convention as bench.py.
+                    t1 = time.time()
+                    df = fn(spark, BIG)
+                    df.write.format("noop").mode("overwrite").save()
+                    run2 = round(time.time() - t1, 3)
+                    results[name] = min(wall, run2)
+                    print(
+                        f"OK  {name} {results[name]:.1f}s (best-of-2: "
+                        f"{wall:.1f}/{run2:.1f})",
+                        file=out, flush=True,
+                    )
                 else:
                     results[name] = wall
                     print(f"OK  {name} {results[name]:.1f}s", file=out, flush=True)
@@ -164,9 +183,12 @@ def main() -> None:
         "note": (
             "wall sec per catalog query on the 10x-replicated ~sf1 vintage "
             "(tools/gen_bigdata.py: 6M lineitem / 1M events / 50k docs), "
-            "single run, noop sink, local[32]; ratio_vs_sf01 compares "
-            "against the sf0.1 bench for queries above the 0.5s noise "
-            "floor — 10x the data, so ratios well under 10 = sublinear"
+            "single run (best-of-2 for queries whose first run exceeds 5s "
+            "— cold single runs scatter ±30-50% on this host and the "
+            "headline max_ratio rides the slow tail), noop sink, "
+            "local[32]; ratio_vs_sf01 compares against the sf0.1 bench "
+            "for queries above the 0.5s noise floor — 10x the data, so "
+            "ratios well under 10 = sublinear"
         ),
         "quadratic_output_note": (
             "the replication gives every document/vector/name/coordinate "
