@@ -167,13 +167,21 @@ def substring_dedup_pairs(
     )
     mapping = mapping.materialize()
     wins = selected_windows(reps, id_col, text_col, w=w, mod=mod)
-    # one shuffle for the boilerplate frequency (window count over the win
-    # key), not a groupBy + join-back pair
-    freq = F.count(F.lit(1)).over(Window.partitionBy("win"))
-    kept = (
-        wins.withColumn("__df", freq)
+    # boilerplate frequency as groupBy + semi-join-back, NOT a window
+    # count over partitionBy(win): a true boilerplate window (carried by
+    # millions of distinct texts — exactly the rows this cut targets) is
+    # the hot key, and a window function buffers its whole partition on
+    # one task with no map-side partial aggregation. The groupBy ships
+    # only partial counts for the hot key, and the semi-join probe is
+    # streaming (sort-merge, so AQE can skew-split it) (ADVICE r11).
+    kept_keys = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("__df"))
         .filter(F.col("__df") <= max_texts)
-        .select(id_col, "win")
+        .select("win")
+    )
+    kept = wins.join(kept_keys.hint("merge"), "win", "left_semi").select(
+        id_col, "win"
     )
     # feeds 3 subtrees (both join sides + the twin self-pair counts):
     # materialize the explode+selection once (the q_ngram_jaccard shape)

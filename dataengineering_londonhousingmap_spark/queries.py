@@ -2083,6 +2083,12 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same 1M-event micro-batch (addBatch is ~99% of wall; harness
     # start/stop <0.2s, Arrow batch size a wash). Track core count
     # locally; clusters size it via the statePartitions session knob.
+    # defaultParallelism is ONLY safe to read here because this is the
+    # local-harness path: on a cluster it can be tiny before executors
+    # register, and state partitioning freezes at the first checkpoint —
+    # the shipped cluster_conf sets statePartitions='session', which
+    # overrides this arg so state parallelism follows the cluster's own
+    # shuffle-partition setting (ADVICE r11).
     out = run_stream_to_memory(
         sessions, "q_stream_sessions_sink", "append",
         state_partitions=spark.sparkContext.defaultParallelism,

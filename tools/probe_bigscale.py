@@ -162,6 +162,12 @@ def main() -> None:
     # ratios recorded against THEIR denominator, and the artifact names
     # both denominators when they differ.
     prior_bench_name = prior.get("bench_denominator")
+    if isinstance(prior_bench_name, dict):
+        # the prior artifact itself recorded a mismatch ({fresh_entries,
+        # carried_entries}); its most recent measurements used
+        # fresh_entries, so that is the name to compare against — and any
+        # standing difference still flags below (ADVICE r11).
+        prior_bench_name = prior_bench_name.get("fresh_entries")
     carried_ratios = (
         {
             q: r
@@ -229,15 +235,11 @@ def main() -> None:
             "entries carry over from the artifact's last full-catalog run "
             f"(prior note: {prior.get('probe_note', 'full catalog')})"
         )
-    else:
-        # affirmative, not implied-by-absence (VERDICT r10 task 1: the
-        # carryover blemish is only auditable if full runs SAY so)
-        doc["probe_note"] = (
-            f"full catalog ({len(selected)} queries), every entry measured "
-            "in this single session — no carried-over timings"
-        )
+        # vintage integrity: only PARTIAL runs carry entries, so only they
+        # can mismatch — carried ratios keep their own denominator.
+        # (ADVICE r11: this guard previously sat in the full-run branch,
+        # where there is nothing carried and the note was a false alarm.)
         if prior_bench_name and prior_bench_name != bench_name:
-            # vintage integrity: carried ratios keep their own denominator
             doc["bench_denominator"] = {
                 "fresh_entries": bench_name,
                 "carried_entries": prior_bench_name,
@@ -248,6 +250,13 @@ def main() -> None:
                 f"verbatim, fresh entries use {bench_name} — rerun the "
                 "full catalog to unify"
             )
+    else:
+        # affirmative, not implied-by-absence (VERDICT r10 task 1: the
+        # carryover blemish is only auditable if full runs SAY so)
+        doc["probe_note"] = (
+            f"full catalog ({len(selected)} queries), every entry measured "
+            "in this single session — no carried-over timings"
+        )
     if ADV:
         doc["note"] = (
             "wall sec per catalog query on the 10x-replicated ~sf1 vintage "
