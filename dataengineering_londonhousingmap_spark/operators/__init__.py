@@ -12,5 +12,6 @@ from .dedup import (  # noqa: F401
     lsh_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash64,
 )
 from .similarity import ann_topk_bruteforce, ann_topk_lsh  # noqa: F401

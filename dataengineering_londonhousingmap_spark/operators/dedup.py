@@ -1200,3 +1200,57 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
         bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
         fp = bit if fp is None else fp + bit
     return sums.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash fingerprint as TWO 32-bit halves — the tuned method
+    default (r12, picked from the q_simhash_recall sweep matrix in
+    tools/sweep_simhash.py): at 32 bits the corpus's shared vocabulary
+    collides fingerprints so badly that the Hamming ≤ 3 verify stage ran
+    at precision 0.0015–0.03; 64 bits with an 8×8-band / Hamming ≤ 5 cut
+    holds recall EXACTLY equal to the old config on both measured
+    vintages (0.92 sf0.01 / 0.75 sf0.1) while lifting precision 19.6× /
+    36.7× (0.6216 / 0.055).
+
+    Representation: ``simhash_lo`` = bits 0–31 (per-token hash from md5
+    hex chars 1–8, the 32-bit :func:`simhash` construction verbatim) and
+    ``simhash_hi`` = bits 32–63 (an independent 32-bit hash from hex
+    chars 9–16). Two positive longs keep every value and every banding
+    shift inside signed-BIGINT range on BOTH engines — a single 64-bit
+    column would need bit 63 and overflow DuckDB's BIGINT arithmetic.
+    Hamming(a, b) = bit_count(lo⊕lo) + bit_count(hi⊕hi).
+
+    Same execution shape as :func:`simhash`: 64 conditional-sum
+    aggregates over exploded tokens, one shuffle on doc id with full
+    map-side partial aggregation.
+    """
+    tok = fan_out(df).select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), WS_RE)).alias("tok"),
+    )
+    md5 = F.md5(F.col("tok"))
+    tok = tok.withColumn(
+        "__lo", F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    ).withColumn("__hi", F.conv(F.substring(md5, 9, 8), 16, 10).cast("long"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col(h), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"{p}{i}")
+        for p, h in (("a", "__lo"), ("b", "__hi"))
+        for i in range(32)
+    ]
+    sums = tok.groupBy(id_col).agg(*aggs)
+    halves = []
+    for p in ("a", "b"):
+        fp = None
+        for i in range(32):
+            bit = F.when(
+                F.col(f"{p}{i}") > 0, F.lit(2**i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+            fp = bit if fp is None else fp + bit
+        halves.append(fp)
+    return sums.select(
+        F.col(id_col),
+        halves[0].alias("simhash_lo"),
+        halves[1].alias("simhash_hi"),
+    )

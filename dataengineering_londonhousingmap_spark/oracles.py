@@ -68,14 +68,21 @@ _BAND_SELECTS = "\n  UNION ALL\n".join(
     for b in range(_BANDS)
 )
 
-_SIMHASH_BITS = 32
-_SIMHASH_SUMS = ",\n    ".join(
-    f"CAST(sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{i}"
-    for i in range(_SIMHASH_BITS)
+# 64-bit SimHash as two 32-bit halves (r12 tuning, tools/sweep_simhash.py):
+# h_lo from md5 hex chars 1-8, h_hi from chars 9-16; two positive BIGINTs
+# keep every value and shift inside signed range on both engines.
+_SIMHASH64_SUMS = ",\n    ".join(
+    f"CAST(sum(CASE WHEN (h_{h} >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS {p}{i}"
+    for p, h in (("a", "lo"), ("b", "hi"))
+    for i in range(32)
 )
-_SIMHASH_FP = " + ".join(
+_SIMHASH64_FP_LO = " + ".join(
+    f"CASE WHEN a{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for i in range(32)
+)
+_SIMHASH64_FP_HI = " + ".join(
     f"CASE WHEN b{i} > 0 THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-    for i in range(_SIMHASH_BITS)
+    for i in range(32)
 )
 
 _STOPWORDS_SQL = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','by','at','this','that']"
@@ -712,15 +719,19 @@ ORACLES: dict[str, str] = {
         ),
         h AS (
             SELECT doc_id,
-                   CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS h
+                   CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS h_lo,
+                   CAST('0x' || substring(md5(tok), 9, 8) AS BIGINT) AS h_hi
             FROM tok
         ),
         sums AS (
             SELECT doc_id,
-                   {_SIMHASH_SUMS}
+                   {_SIMHASH64_SUMS}
             FROM h GROUP BY doc_id
         )
-        SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM sums
+        SELECT doc_id,
+               CAST({_SIMHASH64_FP_LO} AS BIGINT) AS simhash_lo,
+               CAST({_SIMHASH64_FP_HI} AS BIGINT) AS simhash_hi
+        FROM sums
     """,
     "q_ngram_jaccard": f"""
         WITH sh AS ({_SHINGLES}),
@@ -3793,10 +3804,12 @@ ORACLES["q_decontaminate_spans"] = f"""
     GROUP BY doc_id
 """
 
-# 4x8-bit banding over the 32-bit simhash fingerprint (q_simhash_recall)
+# 8x8-bit banding over the 64-bit two-half simhash fingerprint (r12 tuned
+# literals, q_simhash_recall): bands 0-3 from the lo half, 4-7 from hi
 _SIMHASH_BAND_SELECTS = "\n  UNION ALL\n".join(
-    f"  SELECT doc_id, {j} AS band_idx, (simhash >> {8 * j}) & 255 AS band_val FROM fp"
-    for j in range(4)
+    f"  SELECT doc_id, {j} AS band_idx,"
+    f" (simhash_{'lo' if j < 4 else 'hi'} >> {8 * (j % 4)}) & 255 AS band_val FROM fp"
+    for j in range(8)
 )
 
 ORACLES["q_simhash_recall"] = f"""
@@ -3827,14 +3840,19 @@ ORACLES["q_simhash_recall"] = f"""
         FROM docs
     ),
     h AS (
-        SELECT doc_id, CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS h
+        SELECT doc_id,
+               CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS h_lo,
+               CAST('0x' || substring(md5(tok), 9, 8) AS BIGINT) AS h_hi
         FROM tok
     ),
     sums AS (
-        SELECT doc_id, {_SIMHASH_SUMS}
+        SELECT doc_id, {_SIMHASH64_SUMS}
         FROM h GROUP BY doc_id
     ),
-    fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS simhash FROM sums),
+    fp AS (SELECT doc_id,
+                  CAST({_SIMHASH64_FP_LO} AS BIGINT) AS simhash_lo,
+                  CAST({_SIMHASH64_FP_HI} AS BIGINT) AS simhash_hi
+           FROM sums),
     bands AS (
     {_SIMHASH_BAND_SELECTS}
     ),
@@ -3846,7 +3864,8 @@ ORACLES["q_simhash_recall"] = f"""
     ),
     verified AS (
         SELECT c.id_a, c.id_b,
-               bit_count(xor(fa.simhash, fb.simhash)) AS ham
+               bit_count(xor(fa.simhash_lo, fb.simhash_lo))
+               + bit_count(xor(fa.simhash_hi, fb.simhash_hi)) AS ham
         FROM cand c
         JOIN fp fa ON fa.doc_id = c.id_a
         JOIN fp fb ON fb.doc_id = c.id_b
@@ -3856,7 +3875,7 @@ ORACLES["q_simhash_recall"] = f"""
                coalesce(t.id_b, v.id_b) AS id_b,
                (t.id_a IS NOT NULL) AS is_t,
                (v.id_a IS NOT NULL) AS is_c,
-               (v.ham IS NOT NULL AND v.ham <= 3) AS is_v
+               (v.ham IS NOT NULL AND v.ham <= 5) AS is_v
         FROM truth t
         FULL JOIN verified v ON v.id_a = t.id_a AND v.id_b = t.id_b
     )

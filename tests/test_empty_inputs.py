@@ -66,6 +66,7 @@ def test_dedup_family_on_empty(frames):
     assert dedup.lsh_candidate_pairs(sig, "doc_id").count() == 0
     assert dedup.ngram_jaccard_pairs(sh, "doc_id").count() == 0
     assert dedup.simhash(docs, "doc_id", "text").count() == 0
+    assert dedup.simhash64(docs, "doc_id", "text").count() == 0
     assert dedup.selected_windows(docs, "doc_id", "text").count() == 0
     assert dedup.substring_dedup_pairs(docs, "doc_id", "text").count() == 0
 

@@ -215,6 +215,32 @@ def test_simhash_near_dup_small_hamming(spark):
     assert ham12 < ham13
 
 
+def test_simhash64_halves_and_hamming(spark):
+    from dataengineering_londonhousingmap_spark.operators.dedup import simhash64
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    fp64 = {
+        r.doc_id: (r.simhash_lo, r.simhash_hi)
+        for r in simhash64(docs, "doc_id", "text").collect()
+    }
+    # the lo half IS the 32-bit construction (hex chars 1-8), verbatim
+    fp32 = {r.doc_id: r.simhash for r in simhash(docs, "doc_id", "text", bits=32).collect()}
+    for d in (1, 2, 3):
+        assert fp64[d][0] == fp32[d]
+        # both halves stay in positive signed-64 range (DuckDB parity)
+        assert 0 <= fp64[d][0] < 2**32 and 0 <= fp64[d][1] < 2**32
+
+    def ham(a, b):
+        return (bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1"))
+
+    assert ham(fp64[1], fp64[2]) < ham(fp64[1], fp64[3])
+
+
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     from dataengineering_londonhousingmap_spark.sources.io import read_testdata
 
