@@ -105,7 +105,8 @@ def char_shingles(
 
 
 def selected_windows(
-    df: DataFrame, id_col: str, text_col: str, w: int = 64, mod: int = 16
+    df: DataFrame, id_col: str, text_col: str, w: int = 64, mod: int = 16,
+    with_span: bool = False,
 ) -> DataFrame:
     """Content-defined window selection for cross-document repeated-SPAN
     detection — the substring-dedup shape (Lee et al., "Deduplicating
@@ -126,10 +127,14 @@ def selected_windows(
     — the selection hash is reused as the join key, one md5 per window
     total. The md5-hex-prefix → int64 idiom matches the MinHash family so
     the DuckDB oracle reproduces the selection bit-identically.
+    ``with_span=True`` additionally carries the window's TEXT as ``span``
+    (win → span is 1:1 — the hash IS md5(span) — so the distinct
+    cardinality is unchanged); :func:`excise_spans` needs the text to cut.
     """
-    wins = char_shingles(df, id_col, text_col, w=w, distinct=False).select(
-        F.col(id_col), F.md5(F.col("shingle")).alias("win")
-    )
+    cols = [F.col(id_col), F.md5(F.col("shingle")).alias("win")]
+    if with_span:
+        cols.append(F.col("shingle").alias("span"))
+    wins = char_shingles(df, id_col, text_col, w=w, distinct=False).select(*cols)
     selected = (
         F.conv(F.substring(F.col("win"), 1, 15), 16, 10).cast("long") % mod == 0
     )
@@ -215,6 +220,77 @@ def substring_dedup_pairs(
         rp, mapping, id_col,
         payload_cols=["shared_windows"], self_pairs=self_pairs,
     )
+
+
+def excise_spans(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 64,
+    mod: int = 16,
+    min_texts: int = 2,
+) -> DataFrame:
+    """Span-level EXCISION — the curation step downstream of the
+    substring-dedup report (Lee et al. dedup at span level, not just doc
+    level): rewrite each document with every FLAGGED repeated ``w``-char
+    selected window cut out. Flagged = the :func:`selected_windows`
+    windows carried by ≥ ``min_texts`` distinct texts (``min_texts=2`` is
+    exactly the q_boilerplate_spans report). Output per input doc:
+    (id, n_flagged_spans, clean_text).
+
+    Determinism: a window hash IS md5 of its span text, so win → span is
+    1:1 and the cut text needs no representative choice; each doc folds
+    replace(acc, span, '') over ITS OWN flagged spans in ascending span
+    order (replace removes every occurrence, so alignment never matters).
+    Both the fold order and replace-all semantics are engine-exact, so a
+    DuckDB list_reduce over the same sorted list reproduces the surgery
+    byte-for-byte.
+
+    Scale shape: the flagged set can be corpus-proportional at a low
+    ``min_texts``, so NO doc ever sees the global span list — each doc
+    equi-joins to the flagged spans it actually CONTAINS (semi-join on
+    the window hash over the already-1/16-selected windows) and folds
+    only those; docs carrying none pass through a left join unchanged.
+    Exact-dup quotient first: excision is a pure function of text, so the
+    rewrite runs once per distinct text and expands back through the
+    (doc → rep) mapping.
+    """
+    from .util import materialize as _mat
+
+    reps, mapping = exact_dup_quotient(
+        docs.select(id_col, text_col), id_col, F.md5(F.col(text_col)),
+        F.col(text_col).isNotNull(),
+    )
+    mapping = mapping.materialize()
+    # feeds the flag count AND the per-doc span lists — cut the
+    # explode+selection once (the substring_dedup_pairs shape)
+    wins = selected_windows(
+        reps, id_col, text_col, w=w, mod=mod, with_span=True
+    ).transform(_mat)
+    # flagged frequency counts distinct TEXTS (= reps under the quotient):
+    # groupBy + semi-join-back, same skew discipline as the boilerplate
+    # cut (a window function would buffer a hot window on one task)
+    flagged = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= min_texts)
+        .select("win")
+    )
+    per_doc = (
+        wins.join(flagged.hint("merge"), "win", "left_semi")
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("span")).alias("__spans"))  # null-audited: span = md5 input text, non-null by the shingle NULL filter
+    )
+    spans = F.coalesce(F.col("__spans"), F.array().cast("array<string>"))
+    clean = F.aggregate(
+        spans, F.col(text_col), lambda acc, s: F.replace(acc, s, F.lit(""))
+    )
+    out_reps = reps.join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.size(spans).cast("long").alias("n_flagged_spans"),
+        clean.alias("clean_text"),
+    )
+    return mapping.expand(out_reps, id_col)
 
 
 # ---------------------------------------------------------------------------

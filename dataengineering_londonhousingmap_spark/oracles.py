@@ -3788,6 +3788,41 @@ ORACLES["q_boilerplate_spans"] = f"""
     GROUP BY win HAVING count(*) >= 2
 """
 
+# span-carrying variant of _SELECTED_WINDOWS (win is md5(span), 1:1) for
+# the excision surgery — the fold replays Spark's F.aggregate replace-all
+# in identical ascending span order via list_reduce over a prepended list
+_SELECTED_WINDOWS_SPAN = """
+    SELECT DISTINCT doc_id, text,
+           substring(text, CAST(i AS INTEGER), 64) AS span,
+           md5(substring(text, CAST(i AS INTEGER), 64)) AS win
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(1, greatest(length(text) - 63, 1))) AS i
+          FROM documents)
+    WHERE substring(text, CAST(i AS INTEGER), 64) IS NOT NULL
+      AND (CAST('0x' || substring(md5(substring(text, CAST(i AS INTEGER), 64)), 1, 15) AS BIGINT) % 16) = 0
+"""
+
+ORACLES["q_excise_spans"] = f"""
+    WITH w AS ({_SELECTED_WINDOWS_SPAN}),
+    f AS (
+        SELECT win FROM (SELECT DISTINCT win, text FROM w)
+        GROUP BY win HAVING count(*) >= 2
+    ),
+    per_doc AS (
+        SELECT doc_id, list(span ORDER BY span) AS spans
+        FROM (SELECT DISTINCT doc_id, span, win FROM w)
+        JOIN f USING (win)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(len(p.spans), 0) AS BIGINT) AS n_flagged_spans,
+           CASE WHEN p.spans IS NULL THEN d.text
+                ELSE list_reduce(list_prepend(d.text, p.spans),
+                                 (acc, s) -> replace(acc, s, ''))
+           END AS clean_text
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
 ORACLES["q_decontaminate_spans"] = f"""
     WITH w AS ({_SELECTED_WINDOWS}),
     bw AS (SELECT doc_id AS bench_id, win FROM w WHERE doc_id % 50 = 0),

@@ -45,6 +45,7 @@ from .operators.dedup import (
     connected_components,
     dedup_first_seen,
     exact_dup_quotient,
+    excise_spans,
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -1721,6 +1722,26 @@ def q_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_texts"))
         .filter(F.col("n_texts") >= 2)
     )
+
+
+def q_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level excision — the curation step that CONSUMES the
+    q_boilerplate_spans report (Lee et al. dedup at span level, not just
+    doc level): every selected 64-char window carried by ≥ 2 distinct
+    texts is cut from every document carrying it, producing the rewritten
+    corpus plus a per-doc count of flagged spans. Deterministic surgery:
+    win → span text is 1:1 (the hash is md5 of the span), each doc folds
+    replace-all over ITS OWN flagged spans in ascending span order, so a
+    DuckDB list_reduce over the same sorted list is an exact oracle.
+
+    Scale shape (operators/dedup.py:excise_spans): no doc ever sees the
+    global flagged list — a semi-join on the window hash hands each doc
+    only the spans it contains; the flag frequency is a groupBy (map-side
+    partial agg), not a hot-key window; exact-dup quotient runs the
+    rewrite once per distinct text."""
+    docs = _t(spark, sf_dir, "documents")
+    out = excise_spans(docs, "doc_id", "text", w=64, mod=16, min_texts=2)
+    return out.select("doc_id", "n_flagged_spans", "clean_text")
 
 
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6201,6 +6222,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ngram_jaccard": q_ngram_jaccard,
     "q_dedup_substring": q_dedup_substring,
     "q_boilerplate_spans": q_boilerplate_spans,
+    "q_excise_spans": q_excise_spans,
     "q_decontaminate_spans": q_decontaminate_spans,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_join": q_stream_join,

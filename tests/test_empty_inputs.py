@@ -69,6 +69,7 @@ def test_dedup_family_on_empty(frames):
     assert dedup.simhash64(docs, "doc_id", "text").count() == 0
     assert dedup.selected_windows(docs, "doc_id", "text").count() == 0
     assert dedup.substring_dedup_pairs(docs, "doc_id", "text").count() == 0
+    assert dedup.excise_spans(docs, "doc_id", "text").count() == 0
 
 
 def test_similarity_family_on_empty(frames):

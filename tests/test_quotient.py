@@ -989,3 +989,65 @@ def test_substring_bypass_arm_on_twin_free_corpus(spark):
         ).collect()
     }
     assert quot == direct and len(direct) > 0
+
+
+def test_excise_spans_rescan_finds_zero_flagged_windows(spark):
+    """VERDICT r11 task 3's pin — the full curation chain: boilerplate
+    report → span excision → RE-SCAN of the rewritten corpus must find
+    none of the originally-flagged windows, on every quotient arm."""
+    from dataengineering_londonhousingmap_spark.operators.dedup import excise_spans
+
+    docs = _substring_corpus(spark)
+    w, mod = 8, 2
+    # the q_boilerplate_spans report at this (w, mod): flagged = selected
+    # windows carried by >= 2 distinct texts
+    wins = selected_windows(docs, "doc_id", "text", w=w, mod=mod)
+    wtext = wins.join(docs, "doc_id").select("win", "text").distinct()
+    flagged = {
+        r["win"]
+        for r in wtext.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .collect()
+    }
+    assert flagged, "fixture produced no flagged cross-text spans"
+
+    results = {}
+    for tag, conf in (
+        ("sparse_lit", {}),
+        ("sparse_rel", {"literalMaxDupMembers": 0}),
+        ("dense", {"sparseMaxDupMembers": 0}),
+    ):
+        with _quotient_conf(spark, **conf):
+            results[tag] = {
+                r["doc_id"]: (r["n_flagged_spans"], r["clean_text"])
+                for r in excise_spans(
+                    docs, "doc_id", "text", w=w, mod=mod, min_texts=2
+                ).collect()
+            }
+    assert results["sparse_lit"] == results["sparse_rel"] == results["dense"]
+    out = results["dense"]
+
+    # every input doc comes back exactly once (NULL texts included)
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8, 100, 101, 102, 103, 104}
+    # docs carrying no flagged span pass through unchanged
+    assert out[4] == (0, "no overlap content about catalyst plans and shuffles at all")
+    assert out[5] == (0, None) and out[6] == (0, None)
+    # twins are rewritten identically, and the shared passage is gone
+    assert out[1] == out[2] and out[1][0] > 0
+    assert "repeated verbatim" not in out[1][1]
+    # boilerplate footer cut from all five carriers
+    for d in (100, 101, 102, 103, 104):
+        assert "COMMON FOOTER" not in out[d][1]
+
+    # THE RE-SCAN: no originally-flagged window survives in the rewritten
+    # corpus (selection is content-defined, so a surviving span would
+    # re-select its window)
+    clean = spark.createDataFrame(
+        [(d, t) for d, (_, t) in out.items()], _PAIR_SCHEMA
+    )
+    rescan = {
+        r["win"]
+        for r in selected_windows(clean, "doc_id", "text", w=w, mod=mod).collect()
+    }
+    assert not (rescan & flagged)
