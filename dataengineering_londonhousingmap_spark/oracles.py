@@ -2406,6 +2406,40 @@ ORACLES["q_compact_plan"] = f"""
     SELECT file, n_rows, CAST(strt // 2500 AS INTEGER) AS out_group FROM cum
 """
 
+# post-compaction manifest: two independent footer readers (pyarrow via
+# build_manifest, DuckDB parquet_metadata) over the SAME rewritten files
+ORACLES["q_compact_apply"] = f"""
+    WITH fm AS (
+        SELECT file_name, num_row_groups, num_rows
+        FROM parquet_file_metadata('{_STAGE_DIR}/events_compact_apply_dst/*.parquet')
+    ),
+    rg AS (
+        SELECT file_name,
+               CAST(stats_min_value AS BIGINT) AS mn,
+               CAST(stats_max_value AS BIGINT) AS mx
+        FROM parquet_metadata('{_STAGE_DIR}/events_compact_apply_dst/*.parquet')
+        WHERE path_in_schema = 'event_id'
+    )
+    SELECT regexp_extract(fm.file_name, '[^/]+$') AS file,
+           CAST(fm.num_row_groups AS INTEGER) AS n_row_groups,
+           CAST(fm.num_rows AS BIGINT) AS n_rows,
+           CAST(min(rg.mn) AS BIGINT) AS event_id_min,
+           CAST(max(rg.mx) AS BIGINT) AS event_id_max
+    FROM fm JOIN rg ON fm.file_name = rg.file_name
+    GROUP BY fm.file_name, fm.num_row_groups, fm.num_rows
+"""
+
+# exactly-once across availableNow restarts: the sink table must equal the
+# whole events table — a double-loaded or dropped file shifts these sums
+ORACLES["q_stream_restart"] = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(value) AS BIGINT) AS n_valued,
+           CAST(sum(CAST(floor(value * 1e2) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY event_type
+"""
+
 ORACLES["q_runtime_filter"] = """
     WITH supp AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5),
     bs AS (

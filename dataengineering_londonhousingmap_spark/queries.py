@@ -3818,6 +3818,69 @@ def q_compact_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compaction_plan(manifest, target_rows=2500)
 
 
+def q_compact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction APPLIED — maintenance.compact (X52) promoted
+    to a driver-verified query (VERDICT r11 task 4): stage events as 16
+    deliberately-small files, run the rewriter into a fresh directory at a
+    1 MB target (output file count sized from directory bytes, round-robin
+    repartition — compaction balances sizes, never assumes a keying), and
+    return the POST-COMPACTION manifest (per-file rows, row groups,
+    event_id min/max) read from footers only via build_manifest. The
+    DuckDB oracle recomputes the same stats from parquet_metadata() on
+    the identical compacted files — two independent footer readers must
+    agree on the rewrite's output, so a dropped/duplicated row or a
+    mis-sized file shows up as a hash mismatch, not a vibe."""
+    from .operators.maintenance import compact
+
+    src = os.path.join(STAGE_DIR, "events_compact_apply_src")
+    dst = os.path.join(STAGE_DIR, "events_compact_apply_dst")
+    _t(spark, sf_dir, "events").repartition(16).write.mode("overwrite").parquet(src)
+    compact(spark, src, dst, target_file_mb=1)
+    return build_manifest(spark, dst, "event_id")
+
+
+def q_stream_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed availableNow restart-recovery readout — the X50 sink
+    promoted to a driver-verified query (VERDICT r11 task 4): land the
+    events table in two deterministic halves (event_id parity), run the
+    checkpointed parquet sink once per landing — the second run a RESTART
+    from the first's offset log that must process ONLY the new files —
+    then a third no-new-data restart that must add nothing, and finally
+    aggregate the sink table. Exactly-once across restarts is the claim
+    under test: a double-loaded or dropped file shifts the per-type
+    counts/sums and hash-mismatches the whole-table oracle. The staging
+    area is wiped per call so every invocation replays the full
+    restart sequence from a clean offset log."""
+    import shutil
+
+    from .streaming.incremental import start_parquet_sink
+
+    base = os.path.join(STAGE_DIR, "stream_restart")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    sink = os.path.join(base, "sink")
+    cp = os.path.join(base, "cp")
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = start_parquet_sink(stream, sink, cp)
+        q.awaitTermination(300)
+
+    run_once()
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    run_once()
+    run_once()
+    out = spark.read.parquet(sink)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("value").alias("n_valued"),
+        F.sum(F.floor(F.col("value") * 100)).cast("long").alias("sum_cents"),
+    )
+
+
 def q_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-style runtime filter (semi-join reduction): the dim side's
     key set is compressed to md5 hash buckets (mod 4096), broadcast, and
@@ -6208,6 +6271,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_scan_xml": q_scan_xml,
     "q_stream_sliding": q_stream_sliding,
     "q_compact_plan": q_compact_plan,
+    "q_compact_apply": q_compact_apply,
     "q_token_count": q_token_count,
     "q_multimodal_features": q_multimodal_features,
     "q_multimodal_frames": q_multimodal_frames,
@@ -6226,6 +6290,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_decontaminate_spans": q_decontaminate_spans,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_join": q_stream_join,
+    "q_stream_restart": q_stream_restart,
     "q_corpus_curation": q_corpus_curation,
     "q_closest_line": q_closest_line,
     "q_parse_pages": q_parse_pages,
