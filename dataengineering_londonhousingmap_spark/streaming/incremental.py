@@ -353,6 +353,17 @@ def sessionize_stream(
     whose successor arrived is emitted; each key's trailing open session
     stays in state until timeout, so a finite run emits all-but-last session
     per key (the batch oracle mirrors exactly that).
+
+    MEASURED scale posture (r12, AB_SESSIONIZE_r12.json — interleaved
+    best-of-2, one session, tools/ab_sessionize.py): the native
+    ``F.session_window`` formulation (q_stream_session_native) runs the
+    same 30-minute gap semantics 3.46× faster at sf0.1 and 3.70× faster
+    on the 10× replication — there is NO crossover where this operator
+    wins on wall clock; the Python-per-group boundary is the whole gap
+    (r11 profile: ~99% of wall is stateful addBatch). Use this operator
+    only for semantics session_window can't express (per-session custom
+    logic/payloads, immediate successor-closed emission); use the native
+    exec for plain gap sessionization at any scale.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 

@@ -24,7 +24,8 @@ embed_exact rides the bypass arm and should be invariant — a moving
 bypass number flags noise, not a knob effect).
 
 Run from the repo root after tools/gen_bigdata.py:
-  python tools/ab_quotient_thresholds.py [--lane sparse|literal|both]
+  python tools/ab_quotient_thresholds.py [--lane sparse|sparse_adv|literal|both]
+(sparse_adv needs tools/gen_bigdata.py --adv staged first)
 """
 
 from __future__ import annotations
@@ -52,6 +53,16 @@ LANES = {
         "queries": ["q_dedup_clusters", "q_dedup_minhash", "q_ngram_jaccard",
                     "q_dedup_embed_exact"],
     },
+    # r12 (VERDICT r11 task 5): same sparse axis on the ADVERSARIAL 10x
+    # replication (NULL/empty/duplicated/newline/repetitive docs carried
+    # to scale) — confirms the 16384 default's sign holds under nasty
+    # inputs, not just the clean twins
+    "sparse_adv": {
+        "sf_dir": os.path.join(_ROOT, ".bigdata_adv"),
+        "configs": [(16384, 128), (65536, 128), (262144, 128)],
+        "queries": ["q_dedup_clusters", "q_dedup_minhash", "q_ngram_jaccard",
+                    "q_dedup_embed_exact"],
+    },
     "literal": {
         "sf_dir": os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
         "configs": [(65536, 32), (65536, 128), (65536, 512)],
@@ -64,6 +75,15 @@ lane_arg = "both"
 for i, a in enumerate(sys.argv):
     if a == "--lane" and i + 1 < len(sys.argv):
         lane_arg = sys.argv[i + 1]
+
+# drift gate (r12, VERDICT r11 stretch task 7): the configs interleave in
+# ONE session, so only WITHIN-session condition drift can bias the matrix.
+# q_dedup_embed_exact rides the bypass arm — invariant to both knobs by
+# construction — so its config-to-config spread IS the noise control: when
+# it exceeds the gate the lane re-runs once in a fresh session, then
+# REFUSES to conclude (exit 2) instead of letting noise pick a default.
+DRIFT_GATE = 1.25
+INVARIANT_Q = "q_dedup_embed_exact"
 
 
 def run_lane(lane: str) -> dict:
@@ -100,10 +120,35 @@ def run_lane(lane: str) -> dict:
 
 def main() -> None:
     out = {}
-    for lane in ("sparse", "literal"):
-        if lane_arg in (lane, "both"):
-            out[lane] = run_lane(lane)
+    refused = False
+    for lane in LANES:
+        if lane_arg not in (lane, "both"):
+            continue
+        for attempt in range(2):
+            matrix = run_lane(lane)
+            inv = matrix.get(INVARIANT_Q, {})
+            spread = (max(inv.values()) / max(min(inv.values()), 1e-9)) if inv else 1.0
+            gate = {"invariant": INVARIANT_Q, "spread": round(spread, 3),
+                    "gate": DRIFT_GATE, "status": "ok"}
+            if spread <= DRIFT_GATE:
+                break
+            print(
+                f"[{lane}] DRIFT GATE: {INVARIANT_Q} (knob-invariant bypass "
+                f"arm) spread {spread:.3f} > {DRIFT_GATE} — "
+                + ("re-running lane in a fresh session" if attempt == 0
+                   else "still out of band after re-run"),
+                flush=True,
+            )
+            gate["status"] = (
+                "REFUSED — within-session noise exceeds the knob effect "
+                "size; do not conclude from this run"
+            )
+        if gate["status"] != "ok":
+            refused = True
+        out[lane] = {"matrix": matrix, "drift_gate": gate}
     print(json.dumps(out, indent=2))
+    if refused:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

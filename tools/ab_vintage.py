@@ -40,6 +40,13 @@ HEAVY = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LIGHT = os.path.join(_ROOT, ".vintage_light")
 TRIO = ("q_dedup_minhash", "q_ngram_jaccard", "q_dedup_incremental")
 REPS = 3
+# drift gate (r12, VERDICT r11 stretch task 7): AB_VINTAGE_r11 normalized
+# through session drift 1.401 — the highest recorded — and only its wide
+# margins saved the conclusion. A close-call A/B must never be decided by
+# normalization alone: when the median control ratio leaves [1/1.25, 1.25]
+# the measurement re-runs ONCE in a fresh session, and if drift is still
+# out of band the tool REFUSES to conclude (exit 2) instead of normalizing.
+DRIFT_GATE = 1.25
 
 # bench.py's pinned r07–r08 control references (same constants)
 CONTROLS_REF = {
@@ -67,7 +74,9 @@ def _run(spark, name: str, sf_dir: str) -> float:
     return time.time() - t0
 
 
-def main() -> None:
+def _measure() -> tuple[dict, dict, float]:
+    """One full interleaved measurement in its OWN session (so a drift-gate
+    re-run starts from fresh conditions, not the same aged JVM)."""
     spark = get_session("dataengineering_londonhousingmap-ab-vintage")
     spark.sparkContext.setLogLevel("ERROR")
     best: dict[tuple[str, str], float] = {}
@@ -89,9 +98,33 @@ def main() -> None:
                 print(f"rep{rep} ctrl {c} {w:.2f}s", flush=True)
     ratios = sorted(ctrl_best[c] / r for c, r in CONTROLS_REF.items())
     drift = ratios[len(ratios) // 2]
+    spark.stop()
+    return best, ctrl_best, drift
+
+
+def main() -> None:
+    attempts: list[float] = []
+    for attempt in range(2):
+        best, ctrl_best, drift = _measure()
+        attempts.append(round(drift, 3))
+        if 1.0 / DRIFT_GATE <= drift <= DRIFT_GATE:
+            break
+        print(
+            f"DRIFT GATE: median control drift {drift:.3f} outside "
+            f"[{1/DRIFT_GATE:.2f}, {DRIFT_GATE}] — "
+            + ("re-running in a fresh session" if attempt == 0
+               else "still out of band after re-run"),
+            flush=True,
+        )
+    gated = not (1.0 / DRIFT_GATE <= drift <= DRIFT_GATE)
     out = {
-        "protocol": f"interleaved best-of-{REPS} after 1 warmup, one session, noop sink",
+        "protocol": f"interleaved best-of-{REPS} after 1 warmup, one session per attempt, noop sink",
         "drift": round(drift, 3),
+        "drift_gate": {
+            "gate": DRIFT_GATE,
+            "attempts": attempts,
+            "status": "REFUSED — do not conclude from this run; rerun on a quieter host" if gated else "ok",
+        },
         "controls": {c: round(v, 2) for c, v in ctrl_best.items()},
         "matrix": {},
     }
@@ -106,7 +139,8 @@ def main() -> None:
             "heavy_vs_r08": round(h / drift / R08_REF[name], 2),
         }
     print(json.dumps(out, indent=2))
-    spark.stop()
+    if gated:
+        sys.exit(2)
 
 
 if __name__ == "__main__":

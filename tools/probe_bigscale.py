@@ -76,8 +76,10 @@ def main() -> None:
         "q_export_shards",
     }
     stage_s: dict[str, float] = dict(prior.get("stage_s", {}))
+    runs: dict[str, list[float]] = dict(prior.get("runs", {}))
     for name in selected:
         stage_s.pop(name, None)
+        runs.pop(name, None)
     with open("/tmp/bigscale_adv_progress.txt" if ADV else "/tmp/bigscale_progress.txt", "w") as out:
         for name, fn in selected.items():
             gc.collect()
@@ -86,39 +88,41 @@ def main() -> None:
                 df = fn(spark, BIG)
                 df.write.format("noop").mode("overwrite").save()
                 wall = round(time.time() - t0, 3)
+                # best-of-2 for EVERY query (r12, VERDICT r11 task 2: the
+                # headline max_ratio moved 4.03→6.23 between same-tree
+                # re-probes under the old >5s-tail-only retake — single
+                # cold runs scatter ±30-50% on this host and the headline
+                # rode whichever entry ran cold). Both walls are recorded
+                # in the artifact's "runs" so the spread is auditable;
+                # ratios use the best run (the min-of-N convention bench.py
+                # established). For staged-LAYOUT queries run 1 also pays
+                # layout staging, so stage_s = run1 − best(query runs).
+                t1 = time.time()
+                df = fn(spark, BIG)
+                df.write.format("noop").mode("overwrite").save()
+                run2 = round(time.time() - t1, 3)
                 if name in stage_split:
-                    t1 = time.time()
+                    # run1 = staging + query; runs 2..3 are query-only
+                    t2 = time.time()
                     df = fn(spark, BIG)
                     df.write.format("noop").mode("overwrite").save()
-                    run2 = round(time.time() - t1, 3)
-                    results[name] = run2
-                    stage_s[name] = round(max(0.0, wall - run2), 3)
+                    run3 = round(time.time() - t2, 3)
+                    results[name] = min(run2, run3)
+                    runs[name] = [run2, run3]
+                    stage_s[name] = round(max(0.0, wall - results[name]), 3)
                     print(
-                        f"OK  {name} {run2:.1f}s (+{stage_s[name]:.1f}s staging)",
+                        f"OK  {name} {results[name]:.1f}s (best-of-2: "
+                        f"{run2:.1f}/{run3:.1f}, +{stage_s[name]:.1f}s staging)",
                         file=out, flush=True,
                     )
-                elif wall > 5.0:
-                    # best-of-2 for the slow tail (r11): single cold runs
-                    # on this host scatter ±30-50% (two same-code probe
-                    # sessions disagreed 447 vs 508s total, inflations
-                    # concentrated in whichever heavy queries ran cold),
-                    # and the headline max_ratio rides exactly these
-                    # entries. One retake of the >5s tail (~15 queries)
-                    # costs ~2 min and pins them to their warm wall —
-                    # the same min-of-N convention as bench.py.
-                    t1 = time.time()
-                    df = fn(spark, BIG)
-                    df.write.format("noop").mode("overwrite").save()
-                    run2 = round(time.time() - t1, 3)
+                else:
                     results[name] = min(wall, run2)
+                    runs[name] = [wall, run2]
                     print(
                         f"OK  {name} {results[name]:.1f}s (best-of-2: "
                         f"{wall:.1f}/{run2:.1f})",
                         file=out, flush=True,
                     )
-                else:
-                    results[name] = wall
-                    print(f"OK  {name} {results[name]:.1f}s", file=out, flush=True)
             except Exception as e:  # record, keep probing
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 print(f"ERR {name} {errors[name]}", file=out, flush=True)
@@ -189,9 +193,9 @@ def main() -> None:
         "note": (
             "wall sec per catalog query on the 10x-replicated ~sf1 vintage "
             "(tools/gen_bigdata.py: 6M lineitem / 1M events / 50k docs), "
-            "single run (best-of-2 for queries whose first run exceeds 5s "
-            "— cold single runs scatter ±30-50% on this host and the "
-            "headline max_ratio rides the slow tail), noop sink, "
+            "best-of-2 for EVERY query (r12: cold single runs scatter "
+            "±30-50% on this host; both walls recorded per query under "
+            "'runs', headline ratios use the best), noop sink, "
             "local[32]; ratio_vs_sf01 compares against the sf0.1 bench "
             "for queries above the 0.5s noise floor — 10x the data, so "
             "ratios well under 10 = sublinear"
@@ -211,9 +215,11 @@ def main() -> None:
             "bench as denominator, so Python-boundary queries over the "
             "1.32x-heavier adversarial text (q_udtf, q_vocab_oov) "
             "legitimately read 10-14 — compare them against their own "
-            "clean-lane entry before suspecting a regression"
+            "clean-lane entry before suspecting a regression; best-of-2 "
+            "per query since r12, both walls under 'runs'"
         ),
         "queries": results,
+        "runs": runs,
         "stage_s": stage_s,
         "stage_split_note": (
             "staged-layout queries (bucketed tables, partitioned exports) "
