@@ -450,6 +450,82 @@ work and only selected windows shuffle), boilerplate windows >64
 distinct texts cut before the pair join, merge-pinned equi-joins on the
 window hash, exact-dup quotient with a computed self-pair payload.
 10× walls 13.1/3.1/4.6 s vs 2.5/2.0/1.1 s warm sf0.1 — sublinear.
+
+## r12 — SimHash tuned from its own QA number (sweep matrix)
+
+The r11 q_simhash_recall measurement (32-bit / 4×8 bands / Hamming ≤ 3)
+read precision 0.0015–0.03 — the verify stage did 30–600× more work
+than true pairs earned. `tools/sweep_simhash.py` swept bits ∈ {32, 64}
+× band layout × Hamming threshold against the SAME exact ground truth
+(char-8 Jaccard ≥ 0.2, bounded doc sample, DuckDB-computed with the
+oracle's own md5 construction so the chosen config transplants
+literally). Decision rows (full matrix in `.sweep_simhash.json`,
+regenerate with the tool):
+
+| sf | bits | bands | ham | recall | precision | n_verified |
+|---|---|---|---|---|---|---|
+| 0.01 | 32 | 4×8 | ≤3 (old) | 0.92 | 0.0317 | 725 |
+| 0.01 | 64 | 8×8 | ≤4 | 0.80 | 0.9524 | 21 |
+| 0.01 | 64 | 8×8 | **≤5 (new)** | **0.92** | **0.6216** | 37 |
+| 0.01 | 64 | 8×8 | ≤7 | 0.92 | 0.1369 | 168 |
+| 0.1 | 32 | 4×8 | ≤3 (old) | 0.75 | 0.0015 | 3952 |
+| 0.1 | 64 | 8×8 | **≤5 (new)** | **0.75** | **0.055** | 109 |
+| 0.1 | 64 | 8×8 | ≤12 | 1.00 | 0.0003 | 23684 |
+
+Picked: **64-bit (two 32-bit halves), 8×8 bands, Hamming ≤ 5** — recall
+bit-identical to the old config on BOTH vintages (every old hit is still
+a hit), precision 19.6× (sf0.01) / 36.7× (sf0.1), and the 8-band layout
+stays pigeonhole-lossless through Hamming ≤ 7 so the verified set is
+exact, not sampled. Hamming ≤ 4 drops recall to 0.80 — 5 is the knee.
+The 64-bit fingerprint ships as two positive BIGINT halves
+(`simhash_lo` = md5 hex 1–8, `simhash_hi` = hex 9–16): a single 64-bit
+column would need bit 63 and overflow DuckDB BIGINT arithmetic; two
+halves keep every value and banding shift signed-safe on both engines
+(Hamming = sum of per-half bit_count(xor)). 4×16 banding (fewer, wider
+bands — 21× fewer band collisions) was REJECTED: not lossless above
+Hamming 3, it loses a true hit at the chosen threshold (recall 0.88).
+Candidate volume rises 1.7× (39,990 vs 23,720 at sf0.01) — the price of
+8 bands — but candidates feed only a cheap bit_count verify; the 20–37×
+cut lands on the verified pairs that downstream exact-Jaccard
+confirmation actually pays for. Cost of the wider fingerprint:
+q_dedup_simhash's 64 conditional-sum aggregates run ~2× the 32-bit
+agg work (1.19 → 2.04 s at sf0.1 in a drift-1.11 session) — the same
+shuffle count, paid once per corpus for a 20–37× cheaper verify stage.
+
+## r12 — quotient 16384 default confirmed on the ADVERSARIAL 10× lane
+
+AB_QUOTIENT_ADV_r12.json (VERDICT r11 task 5): the sparse axis replayed
+on .bigdata_adv (NULL/empty/duplicated/newline/repetitive docs at ~45k
+dup members). Dense (sparse=16384 forcing the dense arm) won every
+query again — clusters 8.12 vs 8.57/9.00, minhash 4.42 vs 4.77/4.75,
+ngram 7.19 vs 7.47/7.48 — same sign as the clean lane, so the r11
+default stands under nasty inputs. The knob-invariant bypass query
+(q_dedup_embed_exact) spread 1.09 ≤ the new 1.25 drift gate, so the
+session was quiet enough to conclude. Re-open trigger unchanged: a
+future vintage whose dup-member count sits near 16k showing the sparse
+arm faster by >1.25× outside the gate.
+
+## r12 — sessionize crossover MEASURED: there isn't one
+
+AB_SESSIONIZE_r12.json (VERDICT r11 stretch task 8, tools/
+ab_sessionize.py — interleaved best-of-2, one session): custom
+applyInPandasWithState vs native F.session_window on the same events
+feed, same 30-minute gap. Native wins 3.46× at sf0.1 (0.89 vs 3.09 s)
+and 3.70× at 10× (2.67 vs 9.90 s) — the gap *grows* with scale, so
+"use native at scale" undersold it: use native at EVERY scale unless
+the session needs per-group custom logic or immediate successor-closed
+emission (the two things session_window can't express — and the reason
+X20 exists). Docstring of sessionize_stream now carries the numbers.
+
+## r12 — A/B harnesses drift-gated
+
+AB_VINTAGE_r11 normalized through drift 1.401; both A/B tools now
+refuse to be decided by normalization: ab_vintage re-runs once in a
+fresh session when the median control ratio leaves [0.8, 1.25], then
+exits 2 ("REFUSED") if still out of band; ab_quotient_thresholds uses
+its knob-invariant bypass query's config-to-config spread as the
+within-session noise control with the same re-run-then-refuse protocol
+(demonstrated ok at spread 1.09 on the adversarial lane).
 '''
 
 
