@@ -2918,12 +2918,22 @@ def q_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 5 sketch rows back over events) — no per-group value buffering
     anywhere, scale-safe at any corpus size."""
     ev = _t(spark, sf_dir, "events")
+    # the exact distinct count runs in its OWN aggregation, never beside
+    # the object-state sketches: a distinct aggregate in the same agg()
+    # puts the whole group through Spark's distinct rewrite — a 4-level
+    # ObjectHashAggregate cascade that re-merges the HLL/KLL sketch state
+    # across the per-(group, user_id) expansion. Measured at 10x: 8.8 s
+    # clean / 21.0 s adversarial fused vs 1.0 s as two single-pass
+    # aggregations joined on the 5-row key (r12).
     sk = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("__hll"),
         F.percentile_approx("value", 0.5, 10_000).alias("__p50"),
         F.percentile_approx("value", 0.9, 10_000).alias("__p90"),
-        F.count_distinct("user_id").alias("exact_users"),
     )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    sk = sk.join(exact, "event_type")
     n = F.count("value")
     def lo(est):  # exact rank interval of the sketch estimate
         return F.sum(F.when(F.col("value") < F.col(est), 1).otherwise(0)) / n
@@ -6401,6 +6411,9 @@ RE_VERIFY_FRONT: dict[str, int] = {
     # fingerprints, 8x8 bands, Hamming <= 5 (tools/sweep_simhash.py)
     "q_dedup_simhash": 12,
     "q_simhash_recall": 12,
+    # r12: distinct count split out of the sketch aggregation (values
+    # identical, plan changed 9-20x — force a fresh driver row)
+    "q_approx_sketches": 12,
     "q_multimodal_resize": 8,
     # r08 exact-dup quotient rewires (output proven identical, but the
     # pipeline under them changed — force a fresh driver row)

@@ -526,6 +526,22 @@ exits 2 ("REFUSED") if still out of band; ab_quotient_thresholds uses
 its knob-invariant bypass query's config-to-config spread as the
 within-session noise control with the same re-run-then-refuse protocol
 (demonstrated ok at spread 1.09 on the adversarial lane).
+
+## r12 — never put a DISTINCT aggregate beside object-state sketches
+
+q_approx_sketches fused count_distinct(user_id) into the same agg() as
+approx_count_distinct + two percentile_approx(10k) sketches. Spark's
+distinct rewrite then plans a FOUR-level ObjectHashAggregate cascade
+(partial/merge over (group, user_id), then final over group) that
+carries and re-merges the HLL/KLL sketch buffers across the per-
+distinct-key expansion: each aggregate ALONE runs < 1 s at 10×, fused
+they ran 8.8 s clean / 21.0 s adversarial. Split into two single-pass
+aggregations joined on the 5-row group key: 1.42 / 1.79 s (one extra
+sub-second scan buys a 9–20× win; values identical, oracle untouched).
+Sweep rule: grep any new agg() mixing count_distinct/countDistinct with
+TypedImperative aggregates (percentile_approx, approx_count_distinct
+beside it is fine — it's the EXACT distinct that triggers the rewrite);
+catalog audited r12, q_approx_sketches was the only instance.
 '''
 
 
