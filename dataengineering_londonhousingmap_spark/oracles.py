@@ -3857,6 +3857,27 @@ ORACLES["q_excise_spans"] = f"""
     FROM documents d LEFT JOIN per_doc p USING (doc_id)
 """
 
+# span-level incremental dedup: new-batch (md5 bucket < 2000) vs standing
+# index, kept windows only (boilerplate cut over BOTH sides' distinct texts)
+ORACLES["q_substring_incremental"] = f"""
+    WITH w AS ({_SELECTED_WINDOWS}),
+    kept AS (
+        SELECT win FROM (SELECT DISTINCT win, text FROM w)
+        GROUP BY win HAVING count(*) <= 64
+    ),
+    wk AS (
+        SELECT DISTINCT doc_id, win,
+               (CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || 'ded_idx'), 1, 8) AS BIGINT)
+                   % 10000 < 2000) AS is_new
+        FROM w JOIN kept USING (win)
+    )
+    SELECT n.doc_id AS new_id, i.doc_id AS index_id,
+           CAST(count(*) AS BIGINT) AS shared_windows
+    FROM wk n JOIN wk i USING (win)
+    WHERE n.is_new AND NOT i.is_new
+    GROUP BY 1, 2
+"""
+
 ORACLES["q_decontaminate_spans"] = f"""
     WITH w AS ({_SELECTED_WINDOWS}),
     bw AS (SELECT doc_id AS bench_id, win FROM w WHERE doc_id % 50 = 0),

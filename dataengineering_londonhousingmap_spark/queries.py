@@ -1744,6 +1744,65 @@ def q_excise_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_flagged_spans", "clean_text")
 
 
+def q_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SUBSTRING dedup against a standing window index — the
+    span-level twin of q_dedup_incremental's daily-batch shape (and the
+    last gap in the substring family's production story): a deterministic
+    20 % "new batch" (md5 bucket of doc_id, the q_dedup_incremental
+    split) equi-joined on selected 64-char window hashes against the
+    other 80 % as the standing index. At 100 TB the index side is a
+    precomputed (doc, win) table; the increment explodes only its own
+    windows and the join is new×index on the window hash — never a
+    corpus self-join. Output: new docs sharing ≥ 1 kept span with an
+    index doc, with the span count.
+
+    Boilerplate windows (> 64 distinct texts across BOTH sides) are cut
+    before the join — a template span in millions of index docs is not
+    duplication evidence and would be exactly the hot-key fan-out the
+    family guards against (groupBy + semi-join, the skew-safe shape).
+    Exact-dup quotient PER SIDE (side membership is decided by the
+    original doc_id's bucket, so sides quotient independently and the
+    selection runs once per distinct text per side); sides are disjoint,
+    so no orientation or self-pair cases arise."""
+    from .operators.sampling import _hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    is_new = _hash_bucket(F.col("doc_id"), "ded_idx") < 2000
+    n_reps, n_map = exact_dup_quotient(
+        docs.filter(is_new).select("doc_id", "text"),
+        "doc_id", F.md5("text"), F.col("text").isNotNull(),
+    )
+    i_reps, i_map = exact_dup_quotient(
+        docs.filter(~is_new).select("doc_id", "text"),
+        "doc_id", F.md5("text"), F.col("text").isNotNull(),
+    )
+    # one window table over both sides' reps (rep ids keep their side:
+    # groups never cross sides because the bucket decides membership)
+    wins = selected_windows(
+        n_reps.unionByName(i_reps), "doc_id", "text", w=64, mod=16
+    ).transform(materialize)
+    kept_keys = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= 64)
+        .select("win")
+    )
+    kept = wins.join(kept_keys.hint("merge"), "win", "left_semi")
+    wn = kept.filter(is_new).select(F.col("doc_id").alias("rep_a"), "win")
+    wi = kept.filter(~is_new).select(F.col("doc_id").alias("rep_b"), "win")
+    # merge-pinned: both sides are corpus-proportional behind checkpoints
+    # whose stats underestimate (the PLANS.md broadcast-OOM shape)
+    rp = (
+        wn.hint("merge")
+        .join(wi, "win")
+        .groupBy("rep_a", "rep_b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+    out = n_map.expand(rp, "rep_a", "new_id")
+    out = i_map.expand(out, "rep_b", "index_id")
+    return out.select("new_id", "index_id", "shared_windows")
+
+
 def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level benchmark decontamination — the substring upgrade of
     q_decontaminate's shingle-overlap sweep: flag corpus documents sharing
@@ -6297,6 +6356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_substring": q_dedup_substring,
     "q_boilerplate_spans": q_boilerplate_spans,
     "q_excise_spans": q_excise_spans,
+    "q_substring_incremental": q_substring_incremental,
     "q_decontaminate_spans": q_decontaminate_spans,
     "q_stream_sessions": q_stream_sessions,
     "q_stream_join": q_stream_join,

@@ -69,6 +69,9 @@ NO_CORPUS_BROADCAST = {
     # proportional (1/16 of all 64-char windows) behind a checkpoint
     "q_dedup_substring": ("win",),
     "q_decontaminate_spans": ("win",),
+    # r12: the incremental window join's BOTH sides are corpus-
+    # proportional kept-window tables behind checkpoints
+    "q_substring_incremental": ("win",),
 }
 
 
