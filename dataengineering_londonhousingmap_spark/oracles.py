@@ -3979,3 +3979,96 @@ ORACLES["q_simhash_recall"] = f"""
                  / sum(CASE WHEN is_v THEN 1 ELSE 0 END), 6) AS precision
     FROM j
 """
+
+# cluster-aware split: the q_dedup_clusters components (reused verbatim as
+# a nested CTE) bucketed by md5 of the component id — the identical lottery
+# as operators/sampling.py:_hash_bucket
+ORACLES["q_split_cluster_safe"] = f"""
+    WITH cc AS ({ORACLES["q_dedup_clusters"]})
+    SELECT doc_id, cluster_id,
+           CASE WHEN CAST('0x' || substring(md5(CAST(cluster_id AS VARCHAR)
+                    || 'cwsplit'), 1, 8) AS BIGINT) % 10000 < 9000
+                THEN 'train' ELSE 'eval' END AS split
+    FROM cc
+"""
+
+# BPE vocabulary induction: 5 chained merge iterations over the word-
+# frequency table. The fold is list_reduce over singleton-wrapped symbols
+# (accumulator and element must share a type); DuckDB list slice ends are
+# INCLUSIVE, so dropping the accumulator's last element is acc[:-2].
+# {cols} carries word through the seq CTEs when the consumer (q_bpe_encode)
+# joins the segmented vocabulary back to the corpus.
+_BPE_ITER = """
+    p{k} AS (
+        SELECT pr[1] AS pair_a, pr[2] AS pair_b, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (SELECT freq,
+                     unnest(list_transform(generate_series(1, len(seq) - 1),
+                         i -> [seq[CAST(i AS INTEGER)],
+                               seq[CAST(i AS INTEGER) + 1]])) AS pr
+              FROM seq{k})
+        GROUP BY 1, 2
+    ),
+    t{k} AS (SELECT pair_a, pair_b, cnt FROM p{k}
+             ORDER BY cnt DESC, pair_a, pair_b LIMIT 1),
+    seq{k1} AS (
+        SELECT {cols},
+               list_reduce(list_transform(s.seq, x -> [x]),
+                   (acc, el) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.pair_a
+                                          AND el[1] = t.pair_b
+                                     THEN list_append(acc[:-2], t.pair_a || t.pair_b)
+                                     ELSE list_concat(acc, el) END) AS seq
+        FROM seq{k} s, t{k} t
+    )"""
+
+_BPE_TOKS = """
+        SELECT doc_id, lower(w) AS word
+        FROM (SELECT doc_id,
+                     unnest(string_split_regex(trim(text),
+                         '[ \\t\\n\\f\\r\\x0b]+')) AS w
+              FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+        WHERE regexp_matches(w, '^[A-Za-z]+$')
+          AND length(w) BETWEEN 2 AND 16
+"""
+
+_BPE_SEQ0 = """
+        SELECT word, freq,
+               list_transform(generate_series(1, length(word)),
+                   i -> substring(word, CAST(i AS INTEGER), 1)) AS seq
+        FROM words
+"""
+
+ORACLES["q_bpe_merges"] = (
+    f"""
+    WITH toks AS ({_BPE_TOKS}),
+    words AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY word),
+    seq0 AS ({_BPE_SEQ0}),"""
+    + ",".join(_BPE_ITER.format(k=k, k1=k + 1, cols="s.freq") for k in range(5))
+    + """
+    SELECT * FROM ("""
+    + "\n    UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS INTEGER) AS iter, pair_a, pair_b,"
+        f" pair_a || pair_b AS merged, cnt FROM t{k}"
+        for k in range(5)
+    )
+    + """)
+"""
+)
+
+# the APPLY side: the corpus joined to the segmented vocabulary (seq5 under
+# all five merges), per-doc subword stats; integer sums cast to BIGINT
+# (DuckDB promotes to HUGEINT)
+ORACLES["q_bpe_encode"] = (
+    f"""
+    WITH toks AS ({_BPE_TOKS}),
+    words AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM toks GROUP BY word),
+    seq0 AS ({_BPE_SEQ0}),"""
+    + ",".join(_BPE_ITER.format(k=k, k1=k + 1, cols="s.word, s.freq") for k in range(5))
+    + """
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(word)) AS BIGINT) AS n_chars,
+           CAST(sum(len(seq)) AS BIGINT) AS n_subwords
+    FROM toks JOIN seq5 USING (word)
+    GROUP BY doc_id
+"""
+)

@@ -2347,6 +2347,33 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapping.expand(cc, "doc_id").select("doc_id", "cluster_id")
 
 
+def q_split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-aware train/eval split — the curation step that PREVENTS
+    the leakage q_split_leakage (X127) audits: a doc-level hash split
+    puts near-duplicate pairs on opposite sides of the eval boundary
+    (memorized training text graded as eval), so the split key must be
+    the NEAR-DUP CLUSTER, not the document. Every doc is assigned
+    train/eval by the md5 bucket of its connected-component id (the
+    q_dedup_clusters components: LSH candidates → Jaccard-verified edges
+    → min-label components, exact-dup quotient underneath) — by
+    construction no verified near-dup pair, and no exact-dup twin pair,
+    can straddle the split. 90/10 via the engine's partition-independent
+    md5 lottery (operators/sampling.py:_hash_bucket), so the assignment
+    is reproducible row-anywhere at any scale: the only work beyond the
+    clustering itself is one narrow projection.
+
+    Oracle: the q_dedup_clusters recursive-CTE components wrapped with
+    the identical md5-bucket CASE — construction-exact."""
+    from .operators.sampling import _hash_bucket
+
+    cc = q_dedup_clusters(spark, sf_dir)
+    split = (
+        F.when(_hash_bucket(F.col("cluster_id"), "cwsplit") < 9000, F.lit("train"))
+        .otherwise(F.lit("eval"))
+    )
+    return cc.select("doc_id", "cluster_id", split.alias("split"))
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic dedup clusters: exact embedding-cosine near-dup pairs
     (≥0.42) → connected components — the embedding-space twin of
@@ -4293,6 +4320,76 @@ def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "n_oov",
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction — 5 unrolled merge iterations of
+    Sennrich-style byte-pair encoding over the corpus word-frequency
+    table (operators/vocab.py:bpe_merge_steps): the tokenizer-training
+    step of a pretraining pipeline, next to q_vocab_oov's fixed-vocab
+    audit. Words are ASCII-alpha whitespace tokens of 2-16 chars,
+    case-folded AFTER the ASCII filter (full Unicode case mapping
+    diverges between engines; ASCII folding doesn't). The corpus
+    contributes exactly one aggregation (word counts); every merge
+    iteration then runs on the VOCABULARY — pair-count shuffle keyed on
+    the symbol pair, single-row winner broadcast into the merge fold —
+    so the loop's cost is independent of corpus size at 100 TB.
+
+    Output: the learned merge list in order (iter, pair_a, pair_b,
+    merged, cnt). Oracle: the identical construction as chained DuckDB
+    CTEs — list_reduce replays the same greedy left-to-right fold
+    (inclusive-end list slicing documented in the operator)."""
+    from .operators.util import fan_out
+    from .operators.vocab import bpe_merge_steps
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))  # token explode must not run as ONE task on a single-file scan
+    words = (
+        _bpe_corpus_words(docs)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return bpe_merge_steps(words, "word", "freq", n_merges=5)
+
+
+def _bpe_corpus_words(docs: DataFrame) -> DataFrame:
+    """(doc_id, word) occurrences feeding the BPE queries: ASCII-alpha
+    whitespace tokens of 2-16 chars, case-folded AFTER the ASCII filter
+    (full Unicode case mapping diverges between engines)."""
+    return (
+        docs.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .filter(F.col("w").rlike("^[A-Za-z]+$") & F.length("w").between(2, 16))
+        .select("doc_id", F.lower(F.col("w")).alias("word"))
+    )
+
+
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of q_bpe_merges — tokenize the corpus under the 5
+    learned merges and report per-document subword stats (n_words,
+    n_chars, n_subwords): the tokenizer-throughput readout that tells a
+    corpus build what its merge table buys (chars-per-subword
+    compression). Encoding is ONE vocab-sized equi-join on the word
+    (operators/vocab.py:bpe_encode_words — the per-word segmentation is
+    computed once per DISTINCT word by the induction loop itself, never
+    per occurrence), merge-pinned because the encode table is
+    checkpoint-derived and vocab-proportional. The corpus explode is
+    checkpointed — it feeds both the frequency aggregation and the final
+    join (the multi-consumer rule)."""
+    from .operators.util import fan_out
+    from .operators.vocab import bpe_encode_words
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    toks = _bpe_corpus_words(docs).transform(materialize)
+    words = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    enc = bpe_encode_words(words, "word", "freq", n_merges=5)
+    return (
+        toks.join(enc.hint("merge"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum(F.size("seq")).alias("n_subwords"),
         )
     )
 
@@ -6248,6 +6345,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_transition_matrix": q_transition_matrix,
     "q_skew_report": q_skew_report,
     "q_vocab_oov": q_vocab_oov,
+    "q_bpe_merges": q_bpe_merges,
+    "q_bpe_encode": q_bpe_encode,
     "q_split_leakage": q_split_leakage,
     "q_spearman_corr": q_spearman_corr,
     "q_containment": q_containment,
@@ -6324,6 +6423,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_cdc": q_stream_cdc,
     "q_multimodal_resize": q_multimodal_resize,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_split_cluster_safe": q_split_cluster_safe,
     "q_dedup_semantic": q_dedup_semantic,
     "q_embed_ann_lsh": q_embed_ann_lsh,
     "q_embed_ann_ivf": q_embed_ann_ivf,

@@ -72,6 +72,23 @@ def test_dedup_family_on_empty(frames):
     assert dedup.excise_spans(docs, "doc_id", "text").count() == 0
 
 
+def test_vocab_family_on_empty(spark):
+    from dataengineering_londonhousingmap_spark.operators.vocab import (
+        bpe_encode_words,
+        bpe_merge_steps,
+    )
+
+    words = spark.createDataFrame([], "word string, freq long")
+    out = bpe_merge_steps(words, "word", "freq", n_merges=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "iter", "pair_a", "pair_b", "merged", "cnt",
+    ]
+    enc = bpe_encode_words(words, "word", "freq", n_merges=2)
+    assert enc.count() == 0
+    assert [f.name for f in enc.schema.fields] == ["word", "seq"]
+
+
 def test_similarity_family_on_empty(frames):
     emb, one = frames["emb"], frames["one_emb"]
     # empty corpus × real query, real corpus × empty query — both sides

@@ -1001,3 +1001,61 @@ def test_resize_images_decodes_real_pgm(spark):
         r.asset_id: r.resized_mean for r in resize_images(pgm_assets).collect()
     }
     assert raw_means == pgm_means
+
+
+def test_bpe_merge_steps_greedy_fold_and_order(spark):
+    """r12 (X166): the merge fold is greedy left-to-right non-overlapping
+    ('aaaa' under (a,a) → two 'aa', never three), ties break
+    lexicographically, and later iterations count MERGED symbols (the
+    winning pair of iteration 2 includes symbols produced by iteration
+    1). Fixed fixture chosen so every property decides a row."""
+    from pyspark.sql import functions as F
+
+    from dataengineering_londonhousingmap_spark.operators.vocab import bpe_merge_steps
+
+    words = spark.createDataFrame(
+        # 'aaaa'×3: pair (a,a) count 9 (3 adjacent positions × 3)
+        # 'abab'×2: (a,b) 4, (b,a) 2 — after merging (a,a), 'aaaa'→[aa,aa]
+        # creating pair (aa,aa) count 3; (a,b) at 4 still wins iter 2
+        [("aaaa", 3), ("abab", 2)],
+        "word string, freq long",
+    )
+    got = [
+        tuple(r)
+        for r in bpe_merge_steps(words, "word", "freq", n_merges=3)
+        .orderBy("iter")
+        .collect()
+    ]
+    assert got[0] == (1, "a", "a", "aa", 9)
+    assert got[1] == (2, "a", "b", "ab", 4)
+    # iter 3: 'abab'→[ab,ab] gives (ab,ab)=2; 'aaaa'→[aa,aa] gives
+    # (aa,aa)=3 — merged symbols are first-class pair members
+    assert got[2] == (3, "aa", "aa", "aaaa", 3)
+
+    # lexicographic tie-break: (a,b) and (b,a) both count 2 in 'abab'×1 +
+    # 'baba'×1 ... construct an exact tie: 'ab'×2 and 'ba'×2
+    tie = spark.createDataFrame([("ab", 2), ("ba", 2)], "word string, freq long")
+    first = (
+        bpe_merge_steps(tie, "word", "freq", n_merges=1)
+        .select("pair_a", "pair_b", "cnt")
+        .collect()[0]
+    )
+    assert tuple(first) == ("a", "b", 2)
+
+    # n_merges beyond exhaustion: single-symbol vocab yields no rows
+    spent = spark.createDataFrame([("x", 5)], "word string, freq long")
+    assert bpe_merge_steps(spent, "word", "freq", n_merges=2).count() == 0
+
+
+def test_bpe_encode_words_segments_under_learned_merges(spark):
+    """r12 (X167): the encode table is the SAME final fold state the
+    induction produced — every vocab word present exactly once, segmented
+    under all merges in order."""
+    from dataengineering_londonhousingmap_spark.operators.vocab import bpe_encode_words
+
+    words = spark.createDataFrame(
+        [("aaaa", 3), ("abab", 2)], "word string, freq long"
+    )
+    enc = {r.word: r.seq for r in bpe_encode_words(words, "word", "freq", 3).collect()}
+    # merges learned (see the steps test): (a,a) -> (a,b) -> (aa,aa)
+    assert enc == {"aaaa": ["aaaa"], "abab": ["ab", "ab"]}

@@ -809,6 +809,30 @@ def test_leakage_quotient_matches_direct(spark):
     assert direct, "fixture produced no cross-split near-dup pairs"
 
 
+def test_cluster_safe_split_never_straddles(spark):
+    """r12 (X165): the cluster-aware split's whole contract — the split
+    label is CONSTANT within every near-dup connected component, so no
+    verified near-dup pair (and no exact twin, which shares its rep's
+    component) can land astride the train/eval boundary. Checked against
+    real sf0.001 components; non-vacuity: both labels occur and at least
+    one multi-doc cluster exists."""
+    from dataengineering_londonhousingmap_spark.queries import q_split_cluster_safe
+
+    out = q_split_cluster_safe(spark, "/root/testdata/sf0.001")
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(
+            F.countDistinct("split").alias("n_splits"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .collect()
+    )
+    assert per_cluster and all(r.n_splits == 1 for r in per_cluster)
+    assert any(r.n_docs > 1 for r in per_cluster), "no multi-doc cluster"
+    labels = {r.split for r in out.select("split").distinct().collect()}
+    assert labels == {"train", "eval"}
+
+
 def test_lsh_embed_quotient_matches_direct(spark):
     """r10: q_dedup_embed's quotient (the last un-quotiented embedding
     near-dup — 10× probe max ratio 9.7 before) must reproduce the direct
