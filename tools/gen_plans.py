@@ -542,6 +542,40 @@ Sweep rule: grep any new agg() mixing count_distinct/countDistinct with
 TypedImperative aggregates (percentile_approx, approx_count_distinct
 beside it is fine — it's the EXACT distinct that triggers the rewrite);
 catalog audited r12, q_approx_sketches was the only instance.
+
+## r12 — new surface: incremental-substring, cluster-safe split, BPE
+
+Four catalog additions close two production stories. q_substring_incremental
+(X164) is the span-level twin of the daily-batch dedup shape: a 20 % new
+batch equi-joins its selected 64-char window hashes against the 80 %
+standing index — boilerplate cut over BOTH sides first, per-side exact-dup
+quotient, merge-pinned window join (both sides corpus-proportional behind
+checkpoints). q_split_cluster_safe (X165) turns the X127 leakage AUDIT into
+prevention: the train/eval lottery keys on the near-dup connected-component
+id, so no verified near-dup pair or exact twin can straddle the eval
+boundary by construction (invariant pinned in tests/test_quotient.py); cost
+is one narrow projection past the X40 clustering (10× walls 8.5 vs 6.6 s
+for the clustering alone). q_bpe_merges / q_bpe_encode (X166/X167) add the
+tokenizer-training step: 5 unrolled Sennrich merge iterations over the
+word-frequency table — the corpus pays ONE aggregation; each iteration is
+vocabulary-sized with the single-row winner broadcast into a greedy
+left-to-right aggregate() fold — and the apply side segments each DISTINCT
+word once, tokenizing the corpus via one merge-pinned vocab join (10×
+walls 2.8 / 3.9 s; the DuckDB twins replay the fold via list_reduce over
+singleton-wrapped symbols — list slice ends are INCLUSIVE there, acc[:-2]
+drops the last element).
+
+## r12 — final-tree measurement state (this round's lanes)
+
+All four lanes re-run on the final 210-query tree with same-vintage
+denominators (BENCH_LOCAL_r12 refreshed first, best-of-2 everywhere):
+clean 10× 210/210 zero errors max ratio 3.63 (r11: 6.23 — most of the
+drop is the best-of-2 protocol plus the sketch split above), adversarial
+10× 210/210 zero errors max 5.35 (r11: 7.75), with the worst entries the
+documented workload shapes (q_corpus_curation 3.63/5.35 — quadratic pair
+output by replication design). driver_sim green on ALL FIVE vintages on
+the final tree (sf0.001 via the pytest oracle suite, sf0.01, sf0.1,
+.advdata, .advdata_skew — 210/210 each); pytest 481 passed / 2 env skips.
 '''
 
 

@@ -55,6 +55,12 @@ SCALEUP_SET = [
     # incremental dedup (cost must track the increment, not the corpus)
     "q_ngram_jaccard",
     "q_dedup_incremental",
+    # round-12 additions: BPE induction (iteration cost must track the
+    # VOCABULARY, not the corpus), its corpus-encode join, and the
+    # cluster-keyed split (one projection past the clustering)
+    "q_bpe_merges",
+    "q_bpe_encode",
+    "q_split_cluster_safe",
 ]
 
 
