@@ -96,10 +96,19 @@ def _bpe_loop(
                 "cnt",
             )
         )
-        # the winner is ONE row — broadcast it into the fold; the merged
-        # vocab is checkpointed so iteration k+1 never replays 1..k
+        # the winner is ONE row — broadcast it into the fold via a
+        # constant-key LEFT join, not a cross join: when merges exhaust
+        # (no adjacent pair left anywhere) the winner frame is EMPTY and
+        # a cross join would silently drop the whole vocabulary; under
+        # the left join pair_a/pair_b are NULL and the fold's equality
+        # test degenerates to the identity copy. The merged vocab is
+        # checkpointed so iteration k+1 never replays 1..k.
+        winner = top.select(
+            F.lit(1).alias("__k"), "pair_a", "pair_b"
+        )
         seqs = (
-            seqs.crossJoin(F.broadcast(top.select("pair_a", "pair_b")))
+            seqs.withColumn("__k", F.lit(1))
+            .join(F.broadcast(winner), "__k", "left")
             .select("word", "freq", F.expr(_MERGE_FOLD).alias("seq"))
             .transform(materialize)
         )

@@ -4017,7 +4017,7 @@ _BPE_ITER = """
                                           AND el[1] = t.pair_b
                                      THEN list_append(acc[:-2], t.pair_a || t.pair_b)
                                      ELSE list_concat(acc, el) END) AS seq
-        FROM seq{k} s, t{k} t
+        FROM seq{k} s LEFT JOIN t{k} t ON TRUE
     )"""
 
 _BPE_TOKS = """

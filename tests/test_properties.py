@@ -687,3 +687,67 @@ def test_nearest_join_multi_col_tiebreak_shell_invariant(spark, lpts, rrows, k):
             left, right, left_key="id", cell_deg=1.0, tiebreak=tie
         )
         assert rows(legacy) == rows(hardened)
+
+
+def _py_bpe(words: dict[str, int], n_merges: int):
+    """Plain-Python reference BPE: weighted adjacent-pair counts, max
+    count with lexicographic tie-break, greedy left-to-right
+    non-overlapping merge — the model operators/vocab.py must match."""
+    seqs = {w: list(w) for w in words}
+    steps = []
+    for it in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in words.items():
+            s = seqs[w]
+            for a, b in zip(s, s[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        steps.append((it, a, b, a + b, c))
+        for w, s in seqs.items():
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            seqs[w] = out
+    return steps, seqs
+
+
+@settings(max_examples=12, deadline=None, derandomize=True, suppress_health_check=list(HealthCheck))
+@given(
+    st.dictionaries(
+        st.text(alphabet="abc", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=5),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bpe_matches_reference_model(spark, words):
+    """r12 (X166/X167): induction steps AND final segmentation must match
+    the plain-Python BPE on arbitrary small vocabularies — ties, repeated
+    symbols, single-char words, merge-created symbols included. Also pins
+    the reconstruction invariant: concat(seq) == word."""
+    from dataengineering_londonhousingmap_spark.operators.vocab import (
+        bpe_encode_words,
+        bpe_merge_steps,
+    )
+
+    df = spark.createDataFrame(list(words.items()), "word string, freq long")
+    got_steps = [
+        tuple(r)
+        for r in bpe_merge_steps(df, "word", "freq", n_merges=3)
+        .orderBy("iter")
+        .collect()
+    ]
+    want_steps, want_seqs = _py_bpe(words, 3)
+    assert got_steps == want_steps, (words, got_steps, want_steps)
+    got_seqs = {
+        r.word: list(r.seq)
+        for r in bpe_encode_words(df, "word", "freq", n_merges=3).collect()
+    }
+    assert got_seqs == want_seqs, (words, got_seqs, want_seqs)
+    for w, s in got_seqs.items():
+        assert "".join(s) == w
