@@ -128,6 +128,48 @@ def bpe_merge_steps(
     return reduce(DataFrame.unionByName, steps)
 
 
+# apply a FIXED ordered merge list (broadcast single-row array) to a word:
+# outer fold over the merges, inner fold = the same greedy merge as
+# _MERGE_FOLD closing over the outer lambda's merge struct
+_APPLY_MERGES_FOLD = """
+aggregate(
+    merges,
+    transform(sequence(1, length(word)), i -> substring(word, i, 1)),
+    (acc, m) -> aggregate(acc, cast(array() as array<string>),
+        (a2, x) -> if(size(a2) > 0 AND element_at(a2, -1) = m.pair_a
+                          AND x = m.pair_b,
+                      concat(slice(a2, 1, size(a2) - 1),
+                             array(concat(m.pair_a, m.pair_b))),
+                      concat(a2, array(x)))))
+"""
+
+
+def bpe_apply_merges(
+    words: DataFrame, word_col: str, merges: DataFrame
+) -> DataFrame:
+    """Tokenize words under a STANDING merge table — the apply-to-UNSEEN
+    side ``bpe_encode_words`` can't do (it only segments the vocabulary
+    the induction ran on). ``merges`` is a (iter, pair_a, pair_b) frame;
+    it is collected into ONE ordered array row — bounded by the merge
+    count (a shipped tokenizer has hundreds to tens of thousands of
+    merges, never corpus-scale) — broadcast, and applied as a nested
+    fold (merge order outer, greedy left-to-right scan inner) once per
+    input row. Callers pass DISTINCT words (one output row per input
+    row); an empty merge table degenerates to character segmentation —
+    rows are never lost (the collect is a global aggregate, so the
+    array row exists even over zero merges)."""
+    marr = merges.agg(
+        F.array_sort(
+            F.collect_list(F.struct("iter", "pair_a", "pair_b"))
+        ).alias("merges")
+    )
+    return (
+        words.select(F.col(word_col).alias("word"))
+        .crossJoin(F.broadcast(marr))
+        .select("word", F.expr(_APPLY_MERGES_FOLD).alias("seq"))
+    )
+
+
 def bpe_encode_words(
     words: DataFrame, word_col: str, freq_col: str, n_merges: int = 5
 ) -> DataFrame:

@@ -4072,3 +4072,47 @@ ORACLES["q_bpe_encode"] = (
     GROUP BY doc_id
 """
 )
+
+# apply-to-unseen: merges learned on the 80% train split (md5 lottery on
+# doc_id, salt 'bpe_split'), applied to the 20% held-out docs' distinct
+# words via the nested fold — merge order outer (list_reduce with the
+# char seq prepended as the seed), greedy scan inner
+_BPE_SPLIT_HOLD = ("CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)"
+                   " || 'bpe_split'), 1, 8) AS BIGINT) % 10000 < 2000")
+
+ORACLES["q_bpe_tokenize"] = (
+    f"""
+    WITH toks AS ({_BPE_TOKS}),
+    hold AS (SELECT doc_id, word FROM toks WHERE {_BPE_SPLIT_HOLD}),
+    words AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+              FROM toks WHERE NOT ({_BPE_SPLIT_HOLD}) GROUP BY word),
+    seq0 AS ({_BPE_SEQ0}),"""
+    + ",".join(_BPE_ITER.format(k=k, k1=k + 1, cols="s.freq") for k in range(5))
+    + """,
+    merges AS ("""
+    + "\n        UNION ALL ".join(
+        f"SELECT {k + 1} AS it, pair_a, pair_b FROM t{k}" for k in range(5)
+    )
+    + """),
+    marr AS (SELECT list([pair_a, pair_b] ORDER BY it) AS ml FROM merges),
+    enc AS (
+        SELECT word,
+               list_reduce(list_prepend(chars, marr.ml),
+                   (acc, m) -> list_reduce(list_transform(acc, x -> [x]),
+                       (a2, el) -> CASE WHEN len(a2) > 0 AND a2[-1] = m[1]
+                                             AND el[1] = m[2]
+                                        THEN list_append(a2[:-2], m[1] || m[2])
+                                        ELSE list_concat(a2, el) END)) AS seq
+        FROM (SELECT word,
+                     list_transform(generate_series(1, length(word)),
+                         i -> substring(word, CAST(i AS INTEGER), 1)) AS chars
+              FROM (SELECT DISTINCT word FROM hold)), marr
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(word)) AS BIGINT) AS n_chars,
+           CAST(sum(len(seq)) AS BIGINT) AS n_subwords
+    FROM hold JOIN enc USING (word)
+    GROUP BY doc_id
+"""
+)

@@ -4394,6 +4394,48 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize a HELD-OUT batch under a STANDING merge table — the
+    apply-to-unseen completion of the tokenizer triple (q_bpe_merges
+    trains, q_bpe_encode segments the training vocabulary, this one
+    tokenizes text the induction never saw): merges are learned on the
+    80 % train split ONLY, then applied to the 20 % held-out docs'
+    words via operators/vocab.py:bpe_apply_merges — a nested fold over
+    the broadcast ordered merge list, run once per DISTINCT held-out
+    word, so an eval batch / incoming stream batch tokenizes without
+    rescanning the training corpus. Held-out words absent from the
+    train vocabulary segment fine (the fold needs only the merge list).
+    Output per held-out doc: n_words, n_chars, n_subwords.
+
+    The md5 doc lottery (salt 'bpe_split') decides the split; the
+    corpus token explode is checkpointed (feeds the train aggregation
+    and the held-out join), and the word join back is merge-pinned."""
+    from .operators.sampling import _hash_bucket
+    from .operators.util import fan_out
+    from .operators.vocab import bpe_apply_merges, bpe_merge_steps
+
+    docs = fan_out(_t(spark, sf_dir, "documents"))
+    toks = _bpe_corpus_words(docs).transform(materialize)
+    is_hold = _hash_bucket(F.col("doc_id"), "bpe_split") < 2000
+    train_words = (
+        toks.filter(~is_hold)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    merges = bpe_merge_steps(train_words, "word", "freq", n_merges=5)
+    hold = toks.filter(is_hold)
+    enc = bpe_apply_merges(hold.select("word").distinct(), "word", merges)
+    return (
+        hold.join(enc.hint("merge"), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("word")).alias("n_chars"),
+            F.sum(F.size("seq")).alias("n_subwords"),
+        )
+    )
+
+
 def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/test NEAR-DUP leakage audit — the eval-integrity check exact
     fingerprints miss: MinHash-LSH candidate pairs verified by n-gram
@@ -6347,6 +6389,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_vocab_oov": q_vocab_oov,
     "q_bpe_merges": q_bpe_merges,
     "q_bpe_encode": q_bpe_encode,
+    "q_bpe_tokenize": q_bpe_tokenize,
     "q_split_leakage": q_split_leakage,
     "q_spearman_corr": q_spearman_corr,
     "q_containment": q_containment,

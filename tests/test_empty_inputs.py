@@ -87,6 +87,12 @@ def test_vocab_family_on_empty(spark):
     enc = bpe_encode_words(words, "word", "freq", n_merges=2)
     assert enc.count() == 0
     assert [f.name for f in enc.schema.fields] == ["word", "seq"]
+    from dataengineering_londonhousingmap_spark.operators.vocab import bpe_apply_merges
+
+    merges = spark.createDataFrame([], "iter int, pair_a string, pair_b string")
+    ap = bpe_apply_merges(words.select("word"), "word", merges)
+    assert ap.count() == 0
+    assert [f.name for f in ap.schema.fields] == ["word", "seq"]
 
 
 def test_similarity_family_on_empty(frames):

@@ -1059,3 +1059,32 @@ def test_bpe_encode_words_segments_under_learned_merges(spark):
     enc = {r.word: r.seq for r in bpe_encode_words(words, "word", "freq", 3).collect()}
     # merges learned (see the steps test): (a,a) -> (a,b) -> (aa,aa)
     assert enc == {"aaaa": ["aaaa"], "abab": ["ab", "ab"]}
+
+
+def test_bpe_apply_merges_on_unseen_words(spark):
+    """r12 (X168): a standing merge table tokenizes words the induction
+    never saw; merge ORDER is respected (a later merge can consume an
+    earlier merge's product, and cannot see adjacencies broken by it);
+    an EMPTY merge table degenerates to character segmentation without
+    losing rows."""
+    from dataengineering_londonhousingmap_spark.operators.vocab import bpe_apply_merges
+
+    merges = spark.createDataFrame(
+        [(1, "a", "a"), (2, "aa", "b")], "iter int, pair_a string, pair_b string"
+    )
+    words = spark.createDataFrame(
+        [("aaab",), ("aab",), ("zzz",)], "word string"
+    )
+    got = {r.word: r.seq for r in bpe_apply_merges(words, "word", merges).collect()}
+    # 'aaab': (a,a) -> [aa,a,b]; (aa,b) finds no adjacency -> unchanged
+    # 'aab':  (a,a) -> [aa,b];   (aa,b) -> [aab]
+    # 'zzz':  untouched by either merge
+    assert got == {"aaab": ["aa", "a", "b"], "aab": ["aab"], "zzz": ["z", "z", "z"]}
+
+    empty = spark.createDataFrame([], "iter int, pair_a string, pair_b string")
+    got0 = {r.word: r.seq for r in bpe_apply_merges(words, "word", empty).collect()}
+    assert got0 == {
+        "aaab": ["a", "a", "a", "b"],
+        "aab": ["a", "a", "b"],
+        "zzz": ["z", "z", "z"],
+    }

@@ -72,10 +72,11 @@ NO_CORPUS_BROADCAST = {
     # r12: the incremental window join's BOTH sides are corpus-
     # proportional kept-window tables behind checkpoints
     "q_substring_incremental": ("win",),
-    # r12: the encode join's corpus side is the checkpointed token table
-    # (doc_id, word); the vocab side is merge-pinned — nothing carrying
-    # doc_id may broadcast
+    # r12: the encode/tokenize joins' corpus side is the checkpointed
+    # token table (doc_id, word); the vocab side is merge-pinned —
+    # nothing carrying doc_id may broadcast
     "q_bpe_encode": ("doc_id",),
+    "q_bpe_tokenize": ("doc_id",),
 }
 
 

@@ -751,3 +751,28 @@ def test_bpe_matches_reference_model(spark, words):
     assert got_seqs == want_seqs, (words, got_seqs, want_seqs)
     for w, s in got_seqs.items():
         assert "".join(s) == w
+
+    # apply-to-UNSEEN twin (X168): the standing merge table applied to
+    # words the induction never saw must match the reference merge scan
+    from dataengineering_londonhousingmap_spark.operators.vocab import bpe_apply_merges
+
+    unseen = ["cba", "abcabc", "aa", "b"]
+    mdf = spark.createDataFrame(
+        [(it, a, b) for it, a, b, _, _ in want_steps] or [],
+        "iter int, pair_a string, pair_b string",
+    )
+    udf_ = spark.createDataFrame([(w,) for w in unseen], "word string")
+    got_apply = {
+        r.word: list(r.seq) for r in bpe_apply_merges(udf_, "word", mdf).collect()
+    }
+    for w in unseen:
+        s = list(w)
+        for _, a, b, _, _ in want_steps:
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == a and x == b:
+                    out[-1] = a + b
+                else:
+                    out.append(x)
+            s = out
+        assert got_apply[w] == s, (words, w, got_apply[w], s)

@@ -60,6 +60,7 @@ SCALEUP_SET = [
     # cluster-keyed split (one projection past the clustering)
     "q_bpe_merges",
     "q_bpe_encode",
+    "q_bpe_tokenize",
     "q_split_cluster_safe",
 ]
 
