@@ -545,7 +545,7 @@ catalog audited r12, q_approx_sketches was the only instance.
 
 ## r12 — new surface: incremental-substring, cluster-safe split, BPE
 
-Four catalog additions close two production stories. q_substring_incremental
+Five catalog additions close two production stories. q_substring_incremental
 (X164) is the span-level twin of the daily-batch dedup shape: a 20 % new
 batch equi-joins its selected 64-char window hashes against the 80 %
 standing index — boilerplate cut over BOTH sides first, per-side exact-dup
@@ -563,19 +563,34 @@ left-to-right aggregate() fold — and the apply side segments each DISTINCT
 word once, tokenizing the corpus via one merge-pinned vocab join (10×
 walls 2.8 / 3.9 s; the DuckDB twins replay the fold via list_reduce over
 singleton-wrapped symbols — list slice ends are INCLUSIVE there, acc[:-2]
-drops the last element).
+drops the last element). q_bpe_tokenize (X168) completes the triple with
+apply-to-UNSEEN: merges learned on the 80 % train split only, collected
+into one broadcast ordered array and applied to held-out words as a
+NESTED fold (merge order outer, greedy scan inner — outer-lambda closure
+works on both engines; DuckDB seeds the fold by prepending the char
+sequence since list_reduce has no init arg). A hypothesis sweep against
+a plain-Python reference BPE pins induction, segmentation, apply, and
+reconstruction — and caught a real bug the oracle gate can't see: an
+EMPTY winner frame (merges exhausted) entering via cross join dropped
+the whole vocabulary; single-row broadcast frames that can be empty must
+enter via a constant-key LEFT join (NULL columns degenerate the fold to
+identity).
 
 ## r12 — final-tree measurement state (this round's lanes)
 
-All four lanes re-run on the final 210-query tree with same-vintage
+All lanes re-run on the final 211-query tree with same-vintage
 denominators (BENCH_LOCAL_r12 refreshed first, best-of-2 everywhere):
-clean 10× 210/210 zero errors max ratio 3.63 (r11: 6.23 — most of the
-drop is the best-of-2 protocol plus the sketch split above), adversarial
-10× 210/210 zero errors max 5.35 (r11: 7.75), with the worst entries the
-documented workload shapes (q_corpus_curation 3.63/5.35 — quadratic pair
-output by replication design). driver_sim green on ALL FIVE vintages on
-the final tree (sf0.001 via the pytest oracle suite, sf0.01, sf0.1,
-.advdata, .advdata_skew — 210/210 each); pytest 481 passed / 2 env skips.
+clean 10× 211/211 zero errors max ratio 4.33 (r11: 6.23 — the drop is
+the best-of-2 protocol plus the sketch split above; an intermediate
+210-query pass read 3.63, so ±0.7 of the headline is residual host
+scatter even under best-of-2), adversarial 10× 211/211 zero errors max
+5.12 (r11: 7.75), worst entries the documented workload shapes
+(q_corpus_curation — quadratic pair output by replication design).
+Scale-up lane max step ratio 2.29 with the BPE family flat across 100×
+data (q_bpe_merges 1.47→1.37 s — the vocabulary-bounded claim,
+measured). driver_sim green on ALL FIVE vintages on the final tree
+(sf0.001 via the pytest oracle suite, sf0.01, sf0.1, .advdata,
+.advdata_skew); pytest 482 passed / 2 env skips.
 '''
 
 
