@@ -590,7 +590,17 @@ Scale-up lane max step ratio 2.29 with the BPE family flat across 100×
 data (q_bpe_merges 1.47→1.37 s — the vocabulary-bounded claim,
 measured). driver_sim green on ALL FIVE vintages on the final tree
 (sf0.001 via the pytest oracle suite, sf0.01, sf0.1, .advdata,
-.advdata_skew); pytest 482 passed / 2 env skips.
+.advdata_skew); pytest 485 passed / 2 env skips. Skew-lane footnote:
+q_dedup_minhash's skew ratio read 1.29/1.37 on two consecutive end-of-
+round runs vs 1.05 earlier the same round on IDENTICAL code and staged
+data — the uniform denominator got 15 % faster while the skewed wall got
+10 % slower, and the five sibling queries scattered ±15 % in both
+directions in the same sessions (q_domain_cap 0.80→0.96, q_skew_report
+0.88→1.12, q_heavy_hitters 0.92→0.84): compounded best-of-2 ratio noise
+of the documented host class, not a plan change (operators/dedup.py is
+untouched between the two measurements; the 10× dup-pathological lanes
+show minhash sublinear). Re-open only if a run with its sibling controls
+inside ±10 % ever shows the minhash ratio above 1.5.
 '''
 
 
