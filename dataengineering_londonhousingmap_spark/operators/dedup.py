@@ -332,8 +332,14 @@ def minhash_signatures(
         % MINHASH_P
     )
     with_h = shingles.withColumn("__h", base)
+    # each aggregate as ONE parsed SQL string: the Column-operator form
+    # costs ~6 py4j round-trips per aggregate (lit/mul/add/mod/min/alias),
+    # and round-trips are ~0.3-1 ms each — construction wall, paid per
+    # bench rep (r12 opt, guide §1.2 step 2 applied to the DRIVER). The
+    # parsed expression tree is identical (same literals, same operator
+    # nodes), so signatures are bit-identical.
     aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+        F.expr(f"min(({a} * __h + {b}) % {MINHASH_P}) AS mh{i}")
         for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
     ]
     return with_h.groupBy(id_col).agg(*aggs)
@@ -359,10 +365,14 @@ def lsh_candidate_pairs(
             f"({bands}) — trailing hashes would be silently ignored"
         )
     rows_per_band = num_hashes // bands
+    # one parsed SQL string per band (vs ~2+rows_per_band py4j calls each)
+    # — same expression tree, construction-wall only (r12 opt)
     band_cols = [
-        F.md5(
-            F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
-        ).alias(f"band{b}")
+        F.expr(
+            "md5(concat_ws('|', "
+            + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+            + f")) AS band{b}"
+        )
         for b in range(bands)
     ]
     banded = signatures.select(F.col(id_col), *band_cols)
@@ -518,12 +528,13 @@ def lsh_candidate_pairs_against(
     rows_per_band = num_hashes // bands
 
     def to_bands(sig: DataFrame, out_id: str) -> DataFrame:
+        # parsed-SQL band expressions — see lsh_candidate_pairs (r12 opt)
         band_cols = [
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
-            ).alias(f"band{b}")
+            F.expr(
+                "md5(concat_ws('|', "
+                + ", ".join(f"mh{b * rows_per_band + r}" for r in range(rows_per_band))
+                + f")) AS band{b}"
+            )
             for b in range(bands)
         ]
         banded = sig.select(F.col(id_col).alias(out_id), *band_cols)
@@ -1264,18 +1275,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     # first 8 hex chars → 32-bit int (always positive in a long)
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
     tok = tok.withColumn("__h", h)
+    # per-bit aggregates and the fingerprint fold as parsed SQL strings:
+    # the Column-operator loop costs ~8 py4j round-trips per bit (r12 opt;
+    # construction wall only — the parsed trees, hence the values, are
+    # identical)
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright(__h, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f" AS b{i}"
+        )
         for i in range(bits)
     ]
     sums = tok.groupBy(id_col).agg(*aggs)
-    fp = None
-    for i in range(bits):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
-        fp = bit if fp is None else fp + bit
-    return sums.select(F.col(id_col), fp.alias("simhash"))
+    fp = " + ".join(
+        f"CAST(CASE WHEN b{i} > 0 THEN {2 ** i} ELSE 0 END AS BIGINT)"
+        for i in range(bits)
+    )
+    return sums.select(F.col(id_col), F.expr(f"({fp}) AS simhash"))
 
 
 def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -1304,29 +1320,34 @@ def simhash64(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), WS_RE)).alias("tok"),
     )
-    md5 = F.md5(F.col("tok"))
-    tok = tok.withColumn(
-        "__lo", F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
-    ).withColumn("__hi", F.conv(F.substring(md5, 9, 8), 16, 10).cast("long"))
+    # ONE md5 per token; both 32-bit halves sliced from it. Expression
+    # construction as parsed SQL strings — the Column-operator loop built
+    # ~192 Column objects at ~8 py4j round-trips each, 1.2 s of the
+    # query's 2.0 s wall at sf0.1 (r12 opt measurement; trees and values
+    # identical).
+    tok = tok.withColumn("__md5", F.md5(F.col("tok"))).selectExpr(
+        id_col,
+        "CAST(conv(substring(__md5, 1, 8), 16, 10) AS BIGINT) AS __lo",
+        "CAST(conv(substring(__md5, 9, 8), 16, 10) AS BIGINT) AS __hi",
+    )
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col(h), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"{p}{i}")
+        F.expr(
+            f"sum(CASE WHEN (shiftright({h}, {i}) & 1) = 1 THEN 1 ELSE -1 END)"
+            f" AS {p}{i}"
+        )
         for p, h in (("a", "__lo"), ("b", "__hi"))
         for i in range(32)
     ]
     sums = tok.groupBy(id_col).agg(*aggs)
-    halves = []
-    for p in ("a", "b"):
-        fp = None
-        for i in range(32):
-            bit = F.when(
-                F.col(f"{p}{i}") > 0, F.lit(2**i).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            fp = bit if fp is None else fp + bit
-        halves.append(fp)
+    halves = [
+        " + ".join(
+            f"CAST(CASE WHEN {p}{i} > 0 THEN {2 ** i} ELSE 0 END AS BIGINT)"
+            for i in range(32)
+        )
+        for p in ("a", "b")
+    ]
     return sums.select(
         F.col(id_col),
-        halves[0].alias("simhash_lo"),
-        halves[1].alias("simhash_hi"),
+        F.expr(f"({halves[0]}) AS simhash_lo"),
+        F.expr(f"({halves[1]}) AS simhash_hi"),
     )

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .util import materialize
+from .util import fan_out, materialize
 
 _SMALL_GROUP = 1_000  # below this, [min, max] is the bracket (exact, tiny)
 _MARGIN = 0.01
@@ -40,6 +40,7 @@ def exact_percentiles_scalable(
     value_col: str,
     ps: list[float],
     accuracy: int = 2_000,
+    materialize_result: bool = True,
 ) -> DataFrame:
     """Exact interpolated percentile per group for each p in ``ps``,
     without per-group value buffering. Returns one row per group:
@@ -50,8 +51,24 @@ def exact_percentiles_scalable(
     1/accuracy ≤ _MARGIN, so 2 000 carries a 20× safety factor while the
     sketch merge costs ~20 % less wall than the old 10 000 default
     (bit-equality vs Spark ``percentile`` holds down to 500, unit-tested).
+
+    ``materialize_result=False`` skips the trailing checkpoint — pass it
+    when the result feeds exactly ONE downstream plan (q_winsorize's clamp
+    join, q_percentiles' select): the default eager job only pays off when
+    a caller composes multiple consumers over the result (the MAD shape),
+    where skipping it would replay the whole refinement per consumer
+    (r12 opt).
     """
     v = F.col(value_col)
+    # ONE decode of the input projected to (group, value), spread across
+    # cores and checkpointed: the sketch aggregation, the below counts and
+    # the slice ranking each consumed the raw scan before (r12 opt) —
+    # a single-row-group parquet file decodes in ONE task, so the GK
+    # sketch partials ran effectively serial (measured 1.09 s of
+    # q_winsorize's bracket job at sf0.1; ~0.3 s after). At cluster scale
+    # the narrow checkpoint is |rows|×(key+value) — the same "decide with
+    # small rows" trade the engine's other two-pass operators make.
+    narrow = materialize(fan_out(df.select(group_col, value_col)))
     aggs = [
         F.count(value_col).alias("__n"),
         F.min(value_col).alias("__min"),
@@ -68,46 +85,75 @@ def exact_percentiles_scalable(
                 value_col, min(p + _MARGIN, 1.0), accuracy
             ).alias(f"__shi{i}")
         )
-    br = df.groupBy(group_col).agg(*aggs)
+    br = narrow.groupBy(group_col).agg(*aggs)
     small = F.col("__n") < _SMALL_GROUP
-    # least/greatest demand ≥2 args — a single-percentile call passes the
-    # lone bracket column through
-    slo = [F.col(f"__slo{i}") for i in range(len(ps))]
-    shi = [F.col(f"__shi{i}") for i in range(len(ps))]
-    lo_any = F.when(small, F.col("__min")).otherwise(
-        F.least(*slo) if len(slo) > 1 else slo[0]
-    )
-    hi_any = F.when(small, F.col("__max")).otherwise(
-        F.greatest(*shi) if len(shi) > 1 else shi[0]
-    )
+    # PER-P brackets (r12 opt). The previous shape folded every p's bracket
+    # into ONE [least(slo), greatest(shi)] band, so spread percentiles made
+    # the "2 % slice" a near-full sort: q_winsorize's [0.05, 0.95] ranked
+    # ~92 % of the fact inside |groups| window partitions (3 tasks at
+    # sf0.1, measured ~0.9 s of its 2.5 s wall — and the same near-full
+    # sort at 100 TB). Per-p slices rank only each p's own ~2 % band,
+    # partitioned by (group, p-index): ~4 % of rows shuffle instead of
+    # ~92 %, with len(ps)× the window parallelism (guide §2.3/§2.5).
+    # Exactness per p is the same argument as before — the shared bracket
+    # only ever WIDENED the designed per-p guarantee.
+    bracket_cols = []
+    for i in range(len(ps)):
+        bracket_cols.append(
+            F.when(small, F.col("__min")).otherwise(F.col(f"__slo{i}")).alias(f"__lo{i}")
+        )
+        bracket_cols.append(
+            F.when(small, F.col("__max")).otherwise(F.col(f"__shi{i}")).alias(f"__hi{i}")
+        )
     # br is groups-sized (KBs) but its child is the FULL input aggregation;
     # it feeds fact (→ below, ranked) and the final select, so without a cut
     # the input is re-aggregated once per consumer — and when the input df is
     # itself derived from another percentile pass (the MAD composition), the
     # replay multiplies into a 36-scan plan. Materialize once.
     br = F.broadcast(
-        br.select(group_col, "__n", lo_any.alias("__lo"), hi_any.alias("__hi"))
-        .transform(materialize)
+        br.select(group_col, "__n", *bracket_cols).transform(materialize)
     )
 
-    fact = df.select(group_col, value_col).join(br, group_col)
-    below = (
-        fact.filter(v < F.col("__lo"))
-        .groupBy(group_col)
-        .agg(F.count("*").alias("__below"))
+    fact = narrow.join(br, group_col)
+    # per-p strictly-below counts in ONE pass over the fact (a NULL value
+    # passes no comparison, matching the old filter+count semantics)
+    below = fact.groupBy(group_col).agg(
+        *[
+            F.sum(F.when(v < F.col(f"__lo{i}"), 1).otherwise(0)).alias(f"__below{i}")
+            for i in range(len(ps))
+        ]
     )
-    w = Window.partitionBy(group_col).orderBy(v.asc())
+    # each row explodes into the p-indexes whose bracket contains it
+    # (usually ≤ 1; overlapping brackets rank independently per p)
+    memberships = F.array_compact(
+        F.array(
+            *[
+                F.when(
+                    (v >= F.col(f"__lo{i}")) & (v <= F.col(f"__hi{i}")), F.lit(i)
+                )
+                for i in range(len(ps))
+            ]
+        )
+    )
+    sliced = fact.select(
+        group_col, value_col, F.col("__n"), F.explode(memberships).alias("__pi")
+    )
+    w = Window.partitionBy(group_col, "__pi").orderBy(v.asc())
+    below_for_pi = F.coalesce(
+        *[
+            F.when(F.col("__pi") == i, F.col(f"__below{i}"))
+            for i in range(len(ps))
+        ]
+    ) if len(ps) > 1 else F.col("__below0")
     ranked = (
-        fact.filter((v >= F.col("__lo")) & (v <= F.col("__hi")))
-        .withColumn("__r", F.row_number().over(w))
+        sliced.withColumn("__r", F.row_number().over(w))
         .join(F.broadcast(below), group_col, "left")
         .select(
             group_col,
             value_col,
             F.col("__n"),
-            (F.col("__r") + F.coalesce(F.col("__below"), F.lit(0)) - 1).alias(
-                "__k"
-            ),
+            F.col("__pi"),
+            (F.col("__r") + F.coalesce(below_for_pi, F.lit(0)) - 1).alias("__k"),
         )
     )
 
@@ -119,8 +165,13 @@ def exact_percentiles_scalable(
     for i, p in enumerate(ps):
         # 0-based target position, identical arithmetic to quantile_cont
         kpos = F.floor(F.lit(p) * (F.col("__n") - 1).cast("double"))
-        pick_aggs.append(F.min(F.when(F.col("__k") == kpos, v)).alias(f"__vk{i}"))
-        pick_aggs.append(F.min(F.when(F.col("__k") == kpos + 1, v)).alias(f"__vk1{i}"))
+        in_p = F.col("__pi") == i
+        pick_aggs.append(
+            F.min(F.when(in_p & (F.col("__k") == kpos), v)).alias(f"__vk{i}")
+        )
+        pick_aggs.append(
+            F.min(F.when(in_p & (F.col("__k") == kpos + 1), v)).alias(f"__vk1{i}")
+        )
     picks = ranked.groupBy(group_col).agg(*pick_aggs)
 
     out = br.select(group_col, "__n").join(F.broadcast(picks), group_col, "left")
@@ -137,7 +188,7 @@ def exact_percentiles_scalable(
         )
     # the result is groups-sized and almost always broadcast-joined back
     # against the fact by callers (winsorize, MAD, equi-depth) — materialize
-    # so a caller composing two percentile passes never replays this one.
-    return out.select(
-        group_col, *[f"p_{i}" for i in range(len(ps))]
-    ).transform(materialize)
+    # (by default) so a caller composing two percentile passes never
+    # replays this one; single-consumer callers opt out (see docstring).
+    out = out.select(group_col, *[f"p_{i}" for i in range(len(ps))])
+    return out.transform(materialize) if materialize_result else out

@@ -1409,7 +1409,8 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     pct = exact_percentiles_scalable(
-        li, "l_returnflag", "l_extendedprice", [0.5, 0.9]
+        li, "l_returnflag", "l_extendedprice", [0.5, 0.9],
+        materialize_result=False,  # single consumer: the count join below
     ).select(
         "l_returnflag",
         F.round("p_0", 6).alias("median_price"),
@@ -2802,7 +2803,8 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     pct = exact_percentiles_scalable(
-        li, "l_returnflag", "l_extendedprice", [0.05, 0.95]
+        li, "l_returnflag", "l_extendedprice", [0.05, 0.95],
+        materialize_result=False,  # single consumer: the clamp join below
     ).select(
         "l_returnflag", F.col("p_0").alias("p05"), F.col("p_1").alias("p95")
     )
@@ -6027,7 +6029,8 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "value", "__med", F.abs(F.col("value") - F.col("__med")).alias("__dev")
     )
     mad = exact_percentiles_scalable(
-        dev, "event_type", "__dev", [0.5]
+        dev, "event_type", "__dev", [0.5],
+        materialize_result=False,  # single consumer: the final flag agg
     ).select("event_type", F.col("p_0").alias("__mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")

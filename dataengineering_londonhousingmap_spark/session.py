@@ -52,6 +52,15 @@ def get_session(app_name: str = "dataengineering_londonhousingmap_spark", cpus: 
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4's DataFrame-debugging hook wraps EVERY DataFrame/Column
+        # API call with a conf-get RPC plus origin set/clear RPCs plus a
+        # Python stack walk (pyspark/errors/utils.py:_with_origin) — ~3
+        # extra py4j round-trips per call, only to enrich error messages
+        # with Python call sites. On expression-dense plans that is the
+        # dominant CONSTRUCTION cost (q_dedup_simhash builds ~192 Columns:
+        # plan wall 2.04 → 0.61 s with the hook off, r12 opt measurement).
+        # Driver-side overhead, scale-independent — off in every profile.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     return builder.getOrCreate()
 
@@ -78,6 +87,10 @@ def cluster_conf(executors: int = 1000, cores_per_executor: int = 5) -> dict[str
         "spark.sql.parquet.aggregatePushdown": "true",
         "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
         "spark.sql.ansi.enabled": "false",
+        # disable the PySpark call-site-capture hook (3 py4j RPCs per
+        # DataFrame/Column API call, error-message enrichment only) — pure
+        # driver overhead at any scale; see get_session
+        "spark.python.sql.dataFrameDebugging.enabled": "false",
         # with dynamic allocation / spot executors, executor-local
         # localCheckpoint blocks don't survive executor loss — flip every
         # materialize() call site to reliable checkpoints (requires
