@@ -32,6 +32,21 @@ from .util import fan_out, materialize
 
 _SMALL_GROUP = 1_000  # below this, [min, max] is the bracket (exact, tiny)
 _MARGIN = 0.01
+# inputs estimated under this skip the decode-once fan-out checkpoint —
+# the rescans they'd remove are cheaper than the eager job (see below)
+_NARROW_CKPT_MIN_BYTES = 32 * 1024 * 1024
+
+
+def _est_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate (driver-side, no job) —
+    the guard_global_sort introspection pattern. Unavailable estimates and
+    the Long.MaxValue unknown-size sentinel both return the sentinel, so
+    callers branching on `>= threshold` take their scale-safe arm."""
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        return int(raw if isinstance(raw, int) else str(raw))
+    except Exception:
+        return (1 << 63) - 1
 
 
 def exact_percentiles_scalable(
@@ -68,7 +83,15 @@ def exact_percentiles_scalable(
     # q_winsorize's bracket job at sf0.1; ~0.3 s after). At cluster scale
     # the narrow checkpoint is |rows|×(key+value) — the same "decide with
     # small rows" trade the engine's other two-pass operators make.
-    narrow = materialize(fan_out(df.select(group_col, value_col)))
+    # SIZE-ADAPTIVE: below ~32 MB estimated, one task decodes the input in
+    # ~100 ms and the extra eager job + repartition cost MORE than the
+    # three rescans they remove (measured: q_outlier_mad's two calls over
+    # the ~2 MB events table regressed 1.99 → 2.32 s with an unconditional
+    # checkpoint); an unavailable or sentinel estimate picks the
+    # checkpoint, the scale-safe branch.
+    narrow = df.select(group_col, value_col)
+    if _est_bytes(narrow) >= _NARROW_CKPT_MIN_BYTES:
+        narrow = materialize(fan_out(narrow))
     aggs = [
         F.count(value_col).alias("__n"),
         F.min(value_col).alias("__min"),

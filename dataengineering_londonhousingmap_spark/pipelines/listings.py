@@ -43,28 +43,40 @@ from ..operators.dedup import dedup_first_seen
 
 
 def clean_zoopla(raw: DataFrame, order_col: str = "ad_id") -> DataFrame:
-    """zoopla_raw → cleaned listings rows (FIXTURES.md §1 clean form)."""
+    """zoopla_raw → cleaned listings rows (FIXTURES.md §1 clean form).
+
+    Order of operations (r12 opt): validity filters → first-seen dedup →
+    parse. The winner per ad_id is decided by the validity predicates and
+    (ad_id, order_col) alone — never by a parsed value — so deduping
+    BEFORE the regex/parse chain keeps the winners identical while the
+    parse runs once per surviving ad (~¼ of the rows on colliding-ad
+    vintages; the parse is row-wise pure, so parse-then-dedup and
+    dedup-then-parse commute). The validity filters must stay FIRST:
+    the reference drops malformed rows before dedup, so an invalid row
+    must never win an ad_id (.py:146-150 before .py:215-216).
+    """
     dist_mi, station = split_miles("transport_raw")
-    out = (
+    survivors = dedup_first_seen(
         raw
         # P7: malformed prices are dropped before parsing (.py:146-150)
         .filter(is_valid_price("price_raw"))
         # P7: rows without a ' miles ' separator are skipped (.py:253-255)
-        .filter(F.col("transport_raw").contains(" miles "))
-        .select(
-            "ad_id",
-            "link",
-            to_num("price_raw").alias("price"),
-            none_string_to_null("bedrooms").cast("int").alias("bedrooms"),
-            none_string_to_null("bathrooms").cast("int").alias("bathrooms"),
-            none_string_to_null("living_rooms").cast("int").alias("living_rooms"),
-            "address",
-            station.alias("subway_station"),
-            distance_km_from_miles(dist_mi).alias("distance_km"),
-        )
+        .filter(F.col("transport_raw").contains(" miles ")),
+        # O4: first-occurrence-wins on ad_id (.py:215-216)
+        "ad_id",
+        [order_col],
     )
-    # O4: first-occurrence-wins on ad_id (.py:215-216)
-    return dedup_first_seen(out, "ad_id", [order_col])
+    return survivors.select(
+        "ad_id",
+        "link",
+        to_num("price_raw").alias("price"),
+        none_string_to_null("bedrooms").cast("int").alias("bedrooms"),
+        none_string_to_null("bathrooms").cast("int").alias("bathrooms"),
+        none_string_to_null("living_rooms").cast("int").alias("living_rooms"),
+        "address",
+        station.alias("subway_station"),
+        distance_km_from_miles(dist_mi).alias("distance_km"),
+    )
 
 
 def clean_dexters(raw: DataFrame, order_col: str = "ad_id") -> DataFrame:
@@ -87,7 +99,14 @@ def clean_dexters(raw: DataFrame, order_col: str = "ad_id") -> DataFrame:
     )
     station3 = clean_tube_stop_string(station2)
 
-    out = raw.filter(is_valid_price("price_raw")).select(
+    # validity filter → first-seen dedup → parse (same commute argument as
+    # clean_zoopla, r12 opt): the winner per ad_id depends only on the
+    # price-validity predicate and (ad_id, order_col), so the three-pass
+    # station repair and the distance parse run once per surviving ad
+    survivors = dedup_first_seen(
+        raw.filter(is_valid_price("price_raw")), "ad_id", [order_col]
+    )
+    return survivors.select(
         "ad_id",
         "link",
         clean_dexters_price("price_raw").alias("price"),
@@ -101,7 +120,6 @@ def clean_dexters(raw: DataFrame, order_col: str = "ad_id") -> DataFrame:
         distance_km_from_metres(clean_dexters_distance_m(distance1)).alias("distance_km"),
         "tube_line",
     )
-    return dedup_first_seen(out, "ad_id", [order_col])
 
 
 def unify_listings(

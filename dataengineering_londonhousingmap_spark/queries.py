@@ -5555,7 +5555,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(3):
         # symmetric edges ⇒ every node has an in-edge ⇒ the contrib agg
-        # already covers ALL nodes: no nodes left-join / coalesce needed
+        # already covers ALL nodes: no nodes left-join / coalesce needed.
+        # NO per-iteration checkpoint (r12 opt): the chain is linear (each
+        # iteration consumed exactly once) and the unroll is FIXED at 3,
+        # so the plan stays bounded — per-step eager jobs bought nothing
+        # but 3 job boundaries + block writes (A/B: ~0.3 s at sf0.1,
+        # values bit-identical; ewd stays checkpointed for the 3 reads).
+        # Unbounded driver loops (connected components, Lloyd) keep their
+        # per-iteration cuts — THEIR plans grow without one.
         ranks = (
             ranks.join(ewd, ranks.part == ewd.src)
             .select(F.col("dst").alias("part"), (F.col("rank") / F.col("__deg")).alias("__c"))
@@ -5566,7 +5573,6 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "part",
                 (F.lit(0.15) / F.col("__N") + F.lit(0.85) * F.col("__in")).alias("rank"),
             )
-            .transform(materialize)
         )
     return ranks.select("part", F.round("rank", 9).alias("rank"))
 

@@ -48,13 +48,14 @@ REPS = 3
 # out of band the tool REFUSES to conclude (exit 2) instead of normalizing.
 DRIFT_GATE = 1.25
 
-# bench.py's pinned r07–r08 control references (same constants)
+# bench.py's pinned control references (same constants — re-pinned r12
+# opt for the disabled PySpark debugging hook; see bench.py)
 CONTROLS_REF = {
-    "q_serving_dashboard": 2.704,
-    "q_triangle_count": 2.673,
-    "q_join_nn": 1.165,
-    "q_copurchase": 1.290,
-    "q_stream_hourly": 0.765,
+    "q_serving_dashboard": 2.477,
+    "q_triangle_count": 2.624,
+    "q_join_nn": 1.122,
+    "q_copurchase": 1.228,
+    "q_stream_hourly": 0.717,
 }
 
 # r08 reference walls for the trio, derived from the r10 closing
