@@ -928,16 +928,23 @@ def exact_dup_quotient(
             members: dict = {}
             for r in pairs:
                 members.setdefault(r["__rep"], []).append(r[id_col])
-            # ship the driver-side structures back as LocalRelations — ONE
-            # createDataFrame pickle batch each. Never per-element
-            # expressions: isin(<list>)/F.lit(<list>) cost one py4j call
-            # PER ELEMENT (measured r10: 45k ids ≈ 20s of pure driver
-            # time building the plan)
+            # ship the driver-side structures back as TRUE LocalRelations
+            # (operators/util.local_relation — Arrow batches, JVM-side
+            # decode, exact stats). Never per-element expressions:
+            # isin(<list>)/F.lit(<list>) cost one py4j call PER ELEMENT
+            # (measured r10: 45k ids ≈ 20s of pure driver time building
+            # the plan); and never bare createDataFrame(list) — its
+            # pickled-RDD slices launch one python-worker round-trip per
+            # slice on EVERY broadcast build (r12 opt: ~0.6 s × 32 tasks
+            # of PythonRunner.read wait inside the expansion stage).
             from pyspark.sql.types import ArrayType, StructField, StructType
+
+            from .util import local_relation
 
             id_type = m.schema[id_col].dataType
             spark = df.sparkSession
-            members_df = spark.createDataFrame(
+            members_df = local_relation(
+                spark,
                 list(members.items()),
                 StructType(
                     [
@@ -956,7 +963,8 @@ def exact_dup_quotient(
                 # three-valued-logic arm needed.
                 reps = df.filter(~F.col(id_col).isin(nonrep))  # null-audited: non-null id_col enforced by the detection aggregate's ValueError above; # py4j-audited: literal arm gated on dup_members <= literalMaxDupMembers (default 128)
             else:
-                nonrep_df = spark.createDataFrame(
+                nonrep_df = local_relation(
+                    spark,
                     [(i,) for i in nonrep],
                     StructType([StructField(id_col, id_type)]),
                 )

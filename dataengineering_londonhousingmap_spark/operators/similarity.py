@@ -38,7 +38,7 @@ from ..functions.vectors import (
     dot_product,
     l2_norm,
 )
-from .util import fan_out, materialize
+from .util import fan_out, local_relation, materialize
 
 
 def _query_frame(queries: DataFrame, query_id: str, query_vec: str) -> DataFrame:
@@ -324,9 +324,13 @@ def train_ivf_centroids(
     spark = corpus.sparkSession
     for _ in range(iters):
         cent_df = F.broadcast(
-            spark.createDataFrame(
+            local_relation(
+                spark,
                 [(i, c) for i, c in enumerate(centroids)],
-                "__cid int, __cvec array<double>",
+                T.StructType([
+                    T.StructField("__cid", T.IntegerType()),
+                    T.StructField("__cvec", T.ArrayType(T.DoubleType())),
+                ]),
             )
         )
         assigned = (
@@ -386,9 +390,13 @@ def ann_topk_ivf(
     exact twin).
     """
     if centroids is not None:
-        cent = corpus.sparkSession.createDataFrame(
+        cent = local_relation(
+            corpus.sparkSession,
             [(i + 1, c) for i, c in enumerate(centroids)],
-            "__cid int, __cvec array<double>",
+            T.StructType([
+                T.StructField("__cid", T.IntegerType()),
+                T.StructField("__cvec", T.ArrayType(T.DoubleType())),
+            ]),
         )
     else:
         cent = (

@@ -38,6 +38,36 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def local_relation(spark, rows, schema) -> DataFrame:
+    """Bounded driver-side rows → a TRUE ``LocalRelation`` (r12 opt).
+
+    ``spark.createDataFrame(<python list>)`` parallelizes the pickled rows
+    into ``defaultParallelism`` slices backed by a Python RDD — so EVERY
+    evaluation of the frame (each broadcast build, each re-run) launches
+    one python-worker round-trip per slice; measured inside the sparse-
+    quotient expansion: a 33-task stage with ~0.6 s/task of pure
+    ``PythonRunner.read`` wait and ~0 CPU. The pandas/Arrow path instead
+    ships Arrow batches decoded JVM-side: plan leaf = ``LocalRelation``
+    (exact stats, no job, no python workers at scan). Same rows, same
+    schema, same values — only the physical source changes.
+
+    Falls back to the classic path when pandas/Arrow is unavailable (the
+    driver's vanilla verify session may run without Arrow; correctness is
+    unaffected either way).
+    """
+    try:
+        import pandas as pd
+
+        cols = [f.name for f in schema.fields]
+        pdf = pd.DataFrame(
+            {c: [row[i] for row in rows] for i, c in enumerate(cols)},
+            columns=cols,
+        )
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Cut lineage on a frame that feeds >1 plan subtree (or a driver-loop
     iteration) — the single chokepoint for every checkpoint in the engine.

@@ -25,6 +25,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .functions.cleaning import haversine_km
 from .functions.text import (
@@ -72,7 +73,7 @@ from .operators.multimodal import (
     resize_images,
     synthesize_media,
 )
-from .operators.util import exact_avg_cents, materialize
+from .operators.util import exact_avg_cents, local_relation, materialize
 from .operators.similarity import (
     ann_topk_bruteforce,
     ann_topk_ivf,
@@ -5016,7 +5017,10 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         # feeds the three probe levels below — cut once
         .transform(materialize)
     )
-    levels = F.broadcast(spark.createDataFrame([(1,), (2,), (4,)], "n_probe int"))
+    levels = F.broadcast(local_relation(
+        spark, [(1,), (2,), (4,)],
+        T.StructType([T.StructField("n_probe", T.IntegerType())]),
+    ))
     wl = Window.partitionBy("n_probe", "query_id").orderBy(
         F.col("cosine").desc(), F.col("match_id").asc()
     )
@@ -5076,7 +5080,10 @@ def q_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     man = build_manifest(spark, path, "o_orderkey")
     gmax = man.agg(F.max("o_orderkey_max").alias("__g"))
-    fracs = spark.createDataFrame([(25,), (50,), (75,)], "pct int")
+    fracs = local_relation(
+        spark, [(25,), (50,), (75,)],
+        T.StructType([T.StructField("pct", T.IntegerType())]),
+    )
     j = fracs.crossJoin(F.broadcast(gmax)).select(
         "pct", F.expr("(__g * pct) div 100").alias("threshold")
     )
@@ -5457,8 +5464,12 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("segment") != "MACHINERY")  # null-audited: oracle uses the same <> (symmetric drop), and c_mktsegment carries no NULLs in any vintage
         .select("segment", F.upper("segment").alias("segment_label"))
         .unionByName(
-            spark.createDataFrame(
-                [(None, "UNKNOWN")], "segment string, segment_label string"
+            local_relation(
+                spark, [(None, "UNKNOWN")],
+                T.StructType([
+                    T.StructField("segment", T.StringType()),
+                    T.StructField("segment_label", T.StringType()),
+                ]),
             )
         )
     )
