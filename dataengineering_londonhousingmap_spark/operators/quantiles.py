@@ -33,8 +33,13 @@ from .util import fan_out, materialize
 _SMALL_GROUP = 1_000  # below this, [min, max] is the bracket (exact, tiny)
 _MARGIN = 0.01
 # inputs estimated under this skip the decode-once fan-out checkpoint —
-# the rescans they'd remove are cheaper than the eager job (see below)
-_NARROW_CKPT_MIN_BYTES = 32 * 1024 * 1024
+# the rescans they'd remove are cheaper than the eager job (see below).
+# NOTE the estimate for file-backed frames is COMPRESSED, column-pruned
+# bytes (sf0.1 lineitem projected to 2 columns reads ~3.3 MB for ~45 MB
+# raw), so the threshold is calibrated in compressed terms: ~2 MB
+# compressed ≈ one decode task of ~0.5-1 s — the point where spreading
+# the decode beats rescanning it three times.
+_NARROW_CKPT_MIN_BYTES = 2 * 1024 * 1024
 
 
 def _est_bytes(df: DataFrame) -> int:
@@ -56,6 +61,7 @@ def exact_percentiles_scalable(
     ps: list[float],
     accuracy: int = 2_000,
     materialize_result: bool = True,
+    spread_input: bool | None = None,
 ) -> DataFrame:
     """Exact interpolated percentile per group for each p in ``ps``,
     without per-group value buffering. Returns one row per group:
@@ -73,6 +79,13 @@ def exact_percentiles_scalable(
     a caller composes multiple consumers over the result (the MAD shape),
     where skipping it would replay the whole refinement per consumer
     (r12 opt).
+
+    ``spread_input`` overrides the size-adaptive decode-once checkpoint
+    (None = decide from the Catalyst estimate). Pass it when ``df`` is a
+    DERIVED frame whose estimate is garbage — stats through a broadcast
+    join over a checkpoint read ~1.8e17 bytes for the 100k-row MAD
+    deviations frame, silently forcing the checkpoint arm; the caller
+    knows the true scale proxy (gate on the SOURCE table's estimate).
     """
     v = F.col(value_col)
     # ONE decode of the input projected to (group, value), spread across
@@ -83,14 +96,20 @@ def exact_percentiles_scalable(
     # q_winsorize's bracket job at sf0.1; ~0.3 s after). At cluster scale
     # the narrow checkpoint is |rows|×(key+value) — the same "decide with
     # small rows" trade the engine's other two-pass operators make.
-    # SIZE-ADAPTIVE: below ~32 MB estimated, one task decodes the input in
-    # ~100 ms and the extra eager job + repartition cost MORE than the
-    # three rescans they remove (measured: q_outlier_mad's two calls over
-    # the ~2 MB events table regressed 1.99 → 2.32 s with an unconditional
-    # checkpoint); an unavailable or sentinel estimate picks the
-    # checkpoint, the scale-safe branch.
+    # SIZE-ADAPTIVE: below the (compressed-bytes) threshold, one task
+    # decodes the input in well under the eager job + repartition cost
+    # the checkpoint adds (measured: q_outlier_mad's two calls over the
+    # ~0.9 MB-compressed events table regressed 1.99 → 2.32 s with an
+    # unconditional checkpoint); an unavailable or sentinel estimate
+    # picks the checkpoint, the scale-safe branch, and derived-frame
+    # callers override via ``spread_input``.
     narrow = df.select(group_col, value_col)
-    if _est_bytes(narrow) >= _NARROW_CKPT_MIN_BYTES:
+    spread = (
+        spread_input
+        if spread_input is not None
+        else _est_bytes(narrow) >= _NARROW_CKPT_MIN_BYTES
+    )
+    if spread:
         narrow = materialize(fan_out(narrow))
     aggs = [
         F.count(value_col).alias("__n"),
@@ -147,20 +166,28 @@ def exact_percentiles_scalable(
         ]
     )
     # each row explodes into the p-indexes whose bracket contains it
-    # (usually ≤ 1; overlapping brackets rank independently per p)
-    memberships = F.array_compact(
-        F.array(
-            *[
-                F.when(
-                    (v >= F.col(f"__lo{i}")) & (v <= F.col(f"__hi{i}")), F.lit(i)
-                )
-                for i in range(len(ps))
-            ]
+    # (usually ≤ 1; overlapping brackets rank independently per p).
+    # Single-p callers (the MAD medians) skip the membership array +
+    # Generate entirely — a plain bracket filter is the same row set with
+    # less per-row work (r12 opt; __pi degenerates to a constant).
+    if len(ps) == 1:
+        sliced = fact.filter(
+            (v >= F.col("__lo0")) & (v <= F.col("__hi0"))
+        ).select(group_col, value_col, F.col("__n"), F.lit(0).alias("__pi"))
+    else:
+        memberships = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        (v >= F.col(f"__lo{i}")) & (v <= F.col(f"__hi{i}")), F.lit(i)
+                    )
+                    for i in range(len(ps))
+                ]
+            )
         )
-    )
-    sliced = fact.select(
-        group_col, value_col, F.col("__n"), F.explode(memberships).alias("__pi")
-    )
+        sliced = fact.select(
+            group_col, value_col, F.col("__n"), F.explode(memberships).alias("__pi")
+        )
     w = Window.partitionBy(group_col, "__pi").orderBy(v.asc())
     below_for_pi = F.coalesce(
         *[

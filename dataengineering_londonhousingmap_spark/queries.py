@@ -6045,9 +6045,16 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = ev.join(F.broadcast(med), "event_type").select(
         "event_type", "value", "__med", F.abs(F.col("value") - F.col("__med")).alias("__dev")
     )
+    from .operators.quantiles import _NARROW_CKPT_MIN_BYTES, _est_bytes
+
     mad = exact_percentiles_scalable(
         dev, "event_type", "__dev", [0.5],
         materialize_result=False,  # single consumer: the final flag agg
+        # dev's own Catalyst estimate is garbage (stats through the
+        # broadcast join read ~1.8e17 bytes) — gate the decode-once
+        # checkpoint on the SOURCE events table instead, the frame dev is
+        # row-for-row proportional to (r12 opt)
+        spread_input=_est_bytes(ev) >= _NARROW_CKPT_MIN_BYTES,
     ).select("event_type", F.col("p_0").alias("__mad"))
     return (
         dev.join(F.broadcast(mad), "event_type")
