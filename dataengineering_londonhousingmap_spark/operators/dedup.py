@@ -848,8 +848,172 @@ def exact_dup_quotient(
     a wasted group-table checkpoint, and twin-free is the common curated
     vintage. ``mode=dense`` skips detection entirely (one shuffle, the
     exact r09 plan).
+
+    Driver-job shape (r13 opt): the sparse arm's member fetch is ONE
+    groupBy collect (``_quotient_members_plan``) — the previous shape
+    re-aggregated the (id, fp) pairs as a broadcast build and probed the
+    pairs against it, paying a second input scan plus a broadcast
+    exchange per call. Callers with several independent inputs (the
+    per-side quotients of incremental dedup / decontamination) should
+    call :func:`exact_dup_quotient_multi`, which fuses all inputs'
+    detection aggregates into one job and all sparse member collects
+    into another — 2 driver job round-trips instead of 2 per side.
     """
-    sess = df.sparkSession
+    return exact_dup_quotient_multi([(df, id_col, fingerprint, collapsible)])[0]
+
+
+def _quotient_pairs_frame(df: DataFrame, id_col: str, fingerprint, collapsible):
+    """(id, __fp) projection with the quotient's NULL discipline applied.
+
+    NULL fingerprints route to the singleton arm unconditionally: groupBy
+    puts every NULL in ONE group, so a fingerprint expression that can
+    evaluate to NULL (md5 of a nullable column, concat of nullable casts)
+    would silently cross-collapse unrelated rows with no runtime signal.
+    The coalesce makes "equal __fp ⇔ exact duplicate" hold for every
+    caller, not only ones whose fingerprint recipe happens to be
+    never-NULL."""
+    self_fp = F.concat(F.lit("__self:"), F.col(id_col).cast("string"))
+    fp = fingerprint
+    if collapsible is not None:
+        fp = F.when(collapsible, fingerprint).otherwise(self_fp)
+    fp = F.coalesce(fp, self_fp)
+    return df.select(F.col(id_col), fp.alias("__fp"))
+
+
+def _quotient_stats_frame(m: DataFrame, id_col: str) -> DataFrame:
+    """ONE-row detection aggregate: max group size, dup-involved row count,
+    NULL-id row count. count() counts ALL rows, count(id) only non-NULL
+    ones — their per-group difference is the NULL-id count, with no extra
+    expression shuffled (the free precondition probe)."""
+    grouped = m.groupBy("__fp").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.count(F.col(id_col)).alias("__nn"),
+    )
+    return grouped.agg(
+        F.max("__n").alias("__mx"),
+        F.sum(F.when(F.col("__n") >= 2, F.col("__n")).otherwise(0)).alias("__dup"),
+        F.sum(F.col("__n") - F.col("__nn")).alias("__null_ids"),
+    )
+
+
+def _quotient_members_plan(m: DataFrame, id_col: str) -> DataFrame:
+    """Multi-member groups as (__rep, __ms) — the sparse arm's member
+    fetch, post-detection. ONE groupBy over the (id, fp) projection
+    (r13 opt): the previous shape re-aggregated ``m`` as a broadcast
+    build side and probed ``m`` against it — a second full input scan
+    plus a broadcast exchange per call, just to re-derive rows this
+    single aggregate yields directly. collect_list buffers are bounded
+    because callers only run this plan AFTER detection proved
+    dup_members ≤ sparseMaxDupMembers (no group can exceed it)."""
+    return (
+        m.groupBy("__fp")
+        .agg(
+            F.min(id_col).alias("__rep"),
+            F.collect_list(id_col).alias("__ms"),  # null-audited: non-null id_col enforced by the detection ValueError before this plan is collected, so collect_list drops nothing
+        )
+        .filter(F.size("__ms") >= 2)
+        .select("__rep", "__ms")
+    )
+
+
+def _quotient_sparse(
+    df: DataFrame, id_col: str, id_type, member_rows, lit_max: int
+) -> tuple[DataFrame, QuotientMapping]:
+    """Build the sparse-arm (reps, mapping) from the collected multi-member
+    group rows (bounded by the detection gate)."""
+    members: dict = {r["__rep"]: list(r["__ms"]) for r in member_rows}
+    dup_members = sum(len(v) for v in members.values())
+    # ship the driver-side structures back as TRUE LocalRelations
+    # (operators/util.local_relation — Arrow batches, JVM-side decode,
+    # exact stats). Never per-element expressions: isin(<list>)/
+    # F.lit(<list>) cost one py4j call PER ELEMENT (measured r10: 45k ids
+    # ≈ 20s of pure driver time building the plan); and never bare
+    # createDataFrame(list) — its pickled-RDD slices launch one
+    # python-worker round-trip per slice on EVERY broadcast build (r12
+    # opt: ~0.6 s × 32 tasks of PythonRunner.read wait inside the
+    # expansion stage).
+    from pyspark.sql.types import ArrayType, StructField, StructType
+
+    from .util import local_relation
+
+    spark = df.sparkSession
+    members_df = local_relation(
+        spark,
+        list(members.items()),
+        StructType(
+            [
+                StructField("__q_rep", id_type),
+                StructField("__q_members", ArrayType(id_type)),
+            ]
+        ),
+    )
+    nonrep = [i for r, ms in members.items() for i in ms if i != r]
+    literal = dup_members <= lit_max
+    if literal:
+        # tiny dup set: pure Column expressions (no broadcast exchanges —
+        # measured 25-30% of twin-light query wall). ids are non-NULL here
+        # (the detection aggregate raised otherwise), so plain NOT-IN is
+        # total — no three-valued-logic arm needed.
+        reps = df.filter(~F.col(id_col).isin(nonrep))  # null-audited: non-null id_col enforced by the detection aggregate's ValueError above; # py4j-audited: literal arm gated on dup_members <= literalMaxDupMembers (default 128)
+    else:
+        nonrep_df = local_relation(
+            spark,
+            [(i,) for i in nonrep],
+            StructType([StructField(id_col, id_type)]),
+        )
+        # twin-proportional broadcast anti join (no shuffle). ids are
+        # non-NULL (enforced above); note an anti join would KEEP a NULL
+        # id while the dense arm's semi join would DROP it — exactly the
+        # divergence the precondition forbids.
+        reps = df.join(F.broadcast(nonrep_df), id_col, "left_anti")
+    return reps, QuotientMapping(
+        "sparse", id_col, members=members, members_df=members_df,
+        literal=literal,
+    )
+
+
+def _quotient_dense(
+    df: DataFrame, id_col: str, m: DataFrame
+) -> tuple[DataFrame, QuotientMapping]:
+    """The r09 dense shape — distributed group table, checkpointed once
+    (it feeds the mapping join AND the reps semi-join)."""
+    groups = (
+        m.groupBy("__fp")
+        .agg(F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__n"))
+        .transform(materialize)
+    )
+    mapping = m.join(groups.select("__fp", "__rep"), "__fp").select(
+        F.col(id_col), F.col("__rep")
+    )
+    reps = df.join(
+        groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    return reps, QuotientMapping(
+        "dense", id_col, df=mapping,
+        multi_sizes=groups.filter(F.col("__n") >= 2).select("__rep", "__n"),
+    )
+
+
+def exact_dup_quotient_multi(specs) -> list[tuple[DataFrame, QuotientMapping]]:
+    """:func:`exact_dup_quotient` over several INDEPENDENT inputs with the
+    per-input driver jobs FUSED (r13 opt, guide §5 driver / §2.6 idle
+    capacity): ONE detection job for every input (a union of the one-row
+    stats aggregates — the independent aggregation subtrees run inside a
+    single action, so their stages overlap instead of serializing) and ONE
+    member-collect job for every sparse-arm input whose id type matches.
+    Two-sided callers (incremental dedup, decontamination, interval join)
+    pay 2 driver job round-trips instead of 4; arm selection, results, and
+    the NULL-id precondition are IDENTICAL to calling
+    :func:`exact_dup_quotient` once per input.
+
+    ``specs``: iterable of ``(df, id_col, fingerprint)`` or
+    ``(df, id_col, fingerprint, collapsible)`` tuples, all on one
+    SparkSession. Returns ``[(reps, mapping), ...]`` in spec order.
+    """
+    specs = [tuple(s) + (None,) * (4 - len(s)) for s in specs]
+    if not specs:
+        return []
+    sess = specs[0][0].sparkSession
     mode = str(
         sess.conf.get("spark.dataengineering_londonhousingmap_spark.quotient.mode", "auto")
     ).lower()
@@ -863,135 +1027,84 @@ def exact_dup_quotient(
             "spark.dataengineering_londonhousingmap_spark.quotient.literalMaxDupMembers", "128"
         )
     )
-    self_fp = F.concat(F.lit("__self:"), F.col(id_col).cast("string"))
-    fp = fingerprint
-    if collapsible is not None:
-        fp = F.when(collapsible, fingerprint).otherwise(self_fp)
-    # NULL fingerprints route to the singleton arm unconditionally: groupBy
-    # puts every NULL in ONE group, so a fingerprint expression that can
-    # evaluate to NULL (md5 of a nullable column, concat of nullable casts)
-    # would silently cross-collapse unrelated rows with no runtime signal.
-    # The coalesce makes "equal __fp ⇔ exact duplicate" hold for every
-    # caller, not only ones whose fingerprint recipe happens to be
-    # never-NULL.
-    fp = F.coalesce(fp, self_fp)
-    m = df.select(F.col(id_col), fp.alias("__fp"))
-    grouped = m.groupBy("__fp").agg(
-        F.min(id_col).alias("__rep"),
-        F.count(F.lit(1)).alias("__n"),
-        # free precondition probe: count() counts ALL rows, count(id) only
-        # non-NULL ones — their difference per group is the NULL-id count,
-        # with no extra expression shuffled
-        F.count(F.col(id_col)).alias("__nn"),
-    )
-    if mode != "dense":
+    ms = [
+        _quotient_pairs_frame(df, id_col, fingerprint, collapsible)
+        for df, id_col, fingerprint, collapsible in specs
+    ]
+    results: list = [None] * len(specs)
+    if mode == "dense":
+        # explicit mode=dense skips detection by design (one shuffle, the
+        # exact r09 plan); the NULL-id precondition is documented there,
+        # not checked.
+        dense_sides = list(range(len(specs)))
+    else:
         # arm selection from EXACT counts, BEFORE any checkpoint: one
-        # fingerprint-shuffle detection job is the whole cost of the
-        # bypass arm (twin-free inputs skip the group-table checkpoint,
-        # the mapping, the semi-join, and every expansion join). Exact
-        # counts, never planner stats — checkpoint stats underestimate,
-        # and a wrong broadcast downstream is the driver-OOM shape the
-        # merge-pin contract exists for.
-        stats = grouped.agg(
-            F.max("__n").alias("__mx"),
-            F.sum(F.when(F.col("__n") >= 2, F.col("__n")).otherwise(0)).alias(
-                "__dup"
-            ),
-            F.sum(F.col("__n") - F.col("__nn")).alias("__null_ids"),
-        ).first()
-        if (stats["__null_ids"] or 0) > 0:
-            raise ValueError(
-                f"exact_dup_quotient requires non-NULL {id_col!r} on every "
-                f"row ({stats['__null_ids']} NULL-id rows found): the arms' "
-                "rep filters diverge on NULL ids and a NULL-id rep cannot "
-                "be expanded back"
+        # fused fingerprint-shuffle detection job is the whole cost of
+        # the bypass arm (twin-free inputs skip the group-table
+        # checkpoint, the mapping, the semi-join, and every expansion
+        # join). Exact counts, never planner stats — checkpoint stats
+        # underestimate, and a wrong broadcast downstream is the
+        # driver-OOM shape the merge-pin contract exists for.
+        stats_u = None
+        for i, m in enumerate(ms):
+            s = _quotient_stats_frame(m, specs[i][1]).select(
+                F.lit(i).alias("__q_side"), "__mx", "__dup", "__null_ids"
             )
-        max_n = stats["__mx"] or 0
-        dup_members = stats["__dup"] or 0
-        if max_n <= 1:
-            return df, QuotientMapping("bypass", id_col)
-        if dup_members <= sparse_max:
-            # ONE bounded collect (≤ sparse_max (id, rep) rows, proven by
-            # the exact count above) replaces the dense arm's corpus-sized
-            # mapping checkpoint; the multi-group build side is ≤ dup/2
-            # rows, safely broadcast
-            pairs = (
-                m.join(
-                    F.broadcast(
-                        grouped.filter(F.col("__n") >= 2).select("__fp", "__rep")
-                    ),
-                    "__fp",
+            stats_u = s if stats_u is None else stats_u.unionByName(s)  # union-audited: every branch is a DIFFERENT input's one-row aggregate — no shared un-materialized subtree to replay
+        stats = {r["__q_side"]: r for r in stats_u.collect()}
+        for i, (df, id_col, _, _) in enumerate(specs):
+            if (stats[i]["__null_ids"] or 0) > 0:
+                raise ValueError(
+                    f"exact_dup_quotient requires non-NULL {id_col!r} on "
+                    f"every row ({stats[i]['__null_ids']} NULL-id rows "
+                    "found): the arms' rep filters diverge on NULL ids and "
+                    "a NULL-id rep cannot be expanded back"
                 )
-                .select(F.col(id_col), F.col("__rep"))
-                .collect()
-            )
-            members: dict = {}
-            for r in pairs:
-                members.setdefault(r["__rep"], []).append(r[id_col])
-            # ship the driver-side structures back as TRUE LocalRelations
-            # (operators/util.local_relation — Arrow batches, JVM-side
-            # decode, exact stats). Never per-element expressions:
-            # isin(<list>)/F.lit(<list>) cost one py4j call PER ELEMENT
-            # (measured r10: 45k ids ≈ 20s of pure driver time building
-            # the plan); and never bare createDataFrame(list) — its
-            # pickled-RDD slices launch one python-worker round-trip per
-            # slice on EVERY broadcast build (r12 opt: ~0.6 s × 32 tasks
-            # of PythonRunner.read wait inside the expansion stage).
-            from pyspark.sql.types import ArrayType, StructField, StructType
-
-            from .util import local_relation
-
-            id_type = m.schema[id_col].dataType
-            spark = df.sparkSession
-            members_df = local_relation(
-                spark,
-                list(members.items()),
-                StructType(
-                    [
-                        StructField("__q_rep", id_type),
-                        StructField("__q_members", ArrayType(id_type)),
-                    ]
-                ),
-            )
-            nonrep = [i for r, ms in members.items() for i in ms if i != r]
-            literal = dup_members <= lit_max
-            if literal:
-                # tiny dup set: pure Column expressions (no broadcast
-                # exchanges — measured 25-30% of twin-light query wall).
-                # ids are non-NULL here (the detection aggregate above
-                # raised otherwise), so plain NOT-IN is total — no
-                # three-valued-logic arm needed.
-                reps = df.filter(~F.col(id_col).isin(nonrep))  # null-audited: non-null id_col enforced by the detection aggregate's ValueError above; # py4j-audited: literal arm gated on dup_members <= literalMaxDupMembers (default 128)
+        sparse_sides: list[int] = []
+        dense_sides: list[int] = []
+        for i, (df, id_col, _, _) in enumerate(specs):
+            max_n = stats[i]["__mx"] or 0
+            dup_members = stats[i]["__dup"] or 0
+            if max_n <= 1:
+                results[i] = (df, QuotientMapping("bypass", id_col))
+            elif dup_members <= sparse_max:
+                sparse_sides.append(i)
             else:
-                nonrep_df = local_relation(
-                    spark,
-                    [(i,) for i in nonrep],
-                    StructType([StructField(id_col, id_type)]),
+                dense_sides.append(i)
+        if sparse_sides:
+            # ONE bounded member-collect job for every sparse input
+            # (≤ sparse_max ids each, proven by the exact counts above).
+            # Inputs whose id types differ cannot share a union schema and
+            # collect per type bucket instead (still one job per bucket).
+            id_types = {
+                i: ms[i].schema[specs[i][1]].dataType for i in sparse_sides
+            }
+            buckets: dict[str, list[int]] = {}
+            for i in sparse_sides:
+                buckets.setdefault(id_types[i].simpleString(), []).append(i)
+            member_rows: dict[int, list] = {i: [] for i in sparse_sides}
+            for idxs in buckets.values():
+                if len(idxs) == 1:
+                    member_rows[idxs[0]] = _quotient_members_plan(
+                        ms[idxs[0]], specs[idxs[0]][1]
+                    ).collect()
+                    continue
+                u = None
+                for i in idxs:
+                    t = _quotient_members_plan(ms[i], specs[i][1]).select(
+                        F.lit(i).alias("__q_side"), "__rep", "__ms"
+                    )
+                    u = t if u is None else u.unionByName(t)  # union-audited: every branch is a DIFFERENT input's bounded member aggregate — no shared un-materialized subtree to replay
+                for r in u.collect():
+                    member_rows[r["__q_side"]].append(r)
+            for i in sparse_sides:
+                results[i] = _quotient_sparse(
+                    specs[i][0], specs[i][1], id_types[i], member_rows[i],
+                    lit_max,
                 )
-                # twin-proportional broadcast anti join (no shuffle). ids
-                # are non-NULL (enforced above); note an anti join would
-                # KEEP a NULL id while the dense arm's semi join would DROP
-                # it — exactly the divergence the precondition forbids.
-                reps = df.join(F.broadcast(nonrep_df), id_col, "left_anti")
-            return reps, QuotientMapping(
-                "sparse", id_col, members=members, members_df=members_df,
-                literal=literal,
-            )
-    # dense: the r09 shape — distributed group table, checkpointed once
-    # (it feeds the mapping join AND the reps semi-join). The __nn
-    # precondition probe is pruned first so the checkpoint carries exactly
-    # the r09 columns.
-    groups = grouped.select("__fp", "__rep", "__n").transform(materialize)
-    mapping = m.join(groups.select("__fp", "__rep"), "__fp").select(
-        F.col(id_col), F.col("__rep")
-    )
-    reps = df.join(
-        groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
-    )
-    return reps, QuotientMapping(
-        "dense", id_col, df=mapping,
-        multi_sizes=groups.filter(F.col("__n") >= 2).select("__rep", "__n"),
-    )
+    for i in dense_sides:
+        results[i] = _quotient_dense(specs[i][0], specs[i][1], ms[i])
+    return results
 
 
 def both_orientations(

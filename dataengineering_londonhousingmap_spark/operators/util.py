@@ -51,20 +51,47 @@ def local_relation(spark, rows, schema) -> DataFrame:
     (exact stats, no job, no python workers at scan). Same rows, same
     schema, same values — only the physical source changes.
 
-    Falls back to the classic path when pandas/Arrow is unavailable (the
+    Falls back to the classic path when pandas is unavailable (the
     driver's vanilla verify session may run without Arrow; correctness is
     unaffected either way).
+
+    NULL semantics (ADVICE r12): columns are built with OBJECT dtype so a
+    ``None`` mixed into a numeric column survives as SQL NULL — a plain
+    ``pd.DataFrame`` would infer float64 and turn it into NaN, which Arrow
+    ships as NaN (not NULL) while the classic fallback ships NULL, a
+    silent environment-dependent divergence. The explicit ``schema`` makes
+    the Arrow conversion cast each object column to its declared type.
     """
     try:
         import pandas as pd
-
-        cols = [f.name for f in schema.fields]
-        pdf = pd.DataFrame(
-            {c: [row[i] for row in rows] for i, c in enumerate(cols)},
-            columns=cols,
-        )
+    except ImportError:
+        return spark.createDataFrame(rows, schema)
+    cols = [f.name for f in schema.fields]
+    pdf = pd.DataFrame(
+        {
+            c: pd.Series([row[i] for row in rows], dtype=object)
+            for i, c in enumerate(cols)
+        },
+        columns=cols,
+    )
+    try:
         return spark.createDataFrame(pdf, schema)
     except Exception:
+        # genuine conversion failures (schema mismatch, Arrow overflow)
+        # should surface during development, but a LocalRelation helper
+        # must never turn a working query into a hard failure in an
+        # environment quirk — degrade to the pickled-RDD path WITH a
+        # signal instead of silently (ADVICE r12: the bare except made a
+        # real bug degrade into the exact perf problem this helper
+        # removes, with no warning).
+        import warnings
+
+        warnings.warn(
+            "local_relation: Arrow/pandas conversion failed; falling back "
+            "to the slow pickled-RDD createDataFrame path",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         return spark.createDataFrame(rows, schema)
 
 

@@ -51,9 +51,12 @@ def clean_zoopla(raw: DataFrame, order_col: str = "ad_id") -> DataFrame:
     BEFORE the regex/parse chain keeps the winners identical while the
     parse runs once per surviving ad (~¼ of the rows on colliding-ad
     vintages; the parse is row-wise pure, so parse-then-dedup and
-    dedup-then-parse commute). The validity filters must stay FIRST:
-    the reference drops malformed rows before dedup, so an invalid row
-    must never win an ad_id (.py:146-150 before .py:215-216).
+    dedup-then-parse commute). The validity filters must stay FIRST so an
+    invalid row never wins an ad_id: price validity precedes dedup in the
+    reference too (.py:146-150 before the .py:215-216 insert), while the
+    ' miles ' transport check runs AFTER the reference's dedup (~.py:253)
+    — its pre-dedup position here is this repo's oracle-pinned choice
+    since r01, not reference-mirrored (ADVICE r12).
     """
     dist_mi, station = split_miles("transport_raw")
     survivors = dedup_first_seen(

@@ -46,6 +46,7 @@ from .operators.dedup import (
     connected_components,
     dedup_first_seen,
     exact_dup_quotient,
+    exact_dup_quotient_multi,
     excise_spans,
     lsh_candidate_pairs,
     minhash_signatures,
@@ -1770,14 +1771,14 @@ def q_substring_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     is_new = _hash_bucket(F.col("doc_id"), "ded_idx") < 2000
-    n_reps, n_map = exact_dup_quotient(
-        docs.filter(is_new).select("doc_id", "text"),
-        "doc_id", F.md5("text"), F.col("text").isNotNull(),
-    )
-    i_reps, i_map = exact_dup_quotient(
-        docs.filter(~is_new).select("doc_id", "text"),
-        "doc_id", F.md5("text"), F.col("text").isNotNull(),
-    )
+    # both sides' quotients in ONE fused call: one detection job + one
+    # member-collect job instead of two of each (r13 opt, guide §5)
+    (n_reps, n_map), (i_reps, i_map) = exact_dup_quotient_multi([
+        (docs.filter(is_new).select("doc_id", "text"),
+         "doc_id", F.md5("text"), F.col("text").isNotNull()),
+        (docs.filter(~is_new).select("doc_id", "text"),
+         "doc_id", F.md5("text"), F.col("text").isNotNull()),
+    ])
     # one window table over both sides' reps (rep ids keep their side:
     # groups never cross sides because the bucket decides membership)
     wins = selected_windows(
@@ -1825,12 +1826,12 @@ def q_decontaminate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     bench_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
     corpus_docs = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")  # null-audited: doc_id non-null (pinned vintage invariant), oracle-symmetric <>
-    b_reps, b_map = exact_dup_quotient(
-        bench_docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
-    )
-    c_reps, c_map = exact_dup_quotient(
-        corpus_docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
-    )
+    # both sides' quotients in ONE fused call: one detection job + one
+    # member-collect job instead of two of each (r13 opt, guide §5)
+    (b_reps, b_map), (c_reps, c_map) = exact_dup_quotient_multi([
+        (bench_docs, "doc_id", F.md5("text"), F.col("text").isNotNull()),
+        (corpus_docs, "doc_id", F.md5("text"), F.col("text").isNotNull()),
+    ])
     wb = selected_windows(b_reps, "doc_id", "text", w=64, mod=16).select(
         F.col("doc_id").alias("bench_rep"), "win"
     )
@@ -2543,12 +2544,12 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     bench_docs = docs.filter(F.col("doc_id") % 50 == 0).select("doc_id", "text")
     corpus_docs = docs.filter(F.col("doc_id") % 50 != 0).select("doc_id", "text")  # null-audited: doc_id non-null (pinned vintage invariant), oracle-symmetric <>
-    b_reps, b_map = exact_dup_quotient(
-        bench_docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
-    )
-    c_reps, c_map = exact_dup_quotient(
-        corpus_docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
-    )
+    # both sides' quotients in ONE fused call: one detection job + one
+    # member-collect job instead of two of each (r13 opt, guide §5)
+    (b_reps, b_map), (c_reps, c_map) = exact_dup_quotient_multi([
+        (bench_docs, "doc_id", F.md5("text"), F.col("text").isNotNull()),
+        (corpus_docs, "doc_id", F.md5("text"), F.col("text").isNotNull()),
+    ])
     sh_b = char_shingles(b_reps, "doc_id", "text", w=8).select(
         F.col("doc_id").alias("bench_rep"), "shingle"
     )
@@ -4750,14 +4751,14 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     is_new = _hash_bucket(F.col("doc_id"), "ded_idx") < 2000
-    n_reps, n_map = exact_dup_quotient(
-        docs.filter(is_new).select("doc_id", "text"),
-        "doc_id", F.md5("text"), F.col("text").isNotNull(),
-    )
-    i_reps, i_map = exact_dup_quotient(
-        docs.filter(~is_new).select("doc_id", "text"),
-        "doc_id", F.md5("text"), F.col("text").isNotNull(),
-    )
+    # both sides' quotients in ONE fused call: one detection job + one
+    # member-collect job instead of two of each (r13 opt, guide §5)
+    (n_reps, n_map), (i_reps, i_map) = exact_dup_quotient_multi([
+        (docs.filter(is_new).select("doc_id", "text"),
+         "doc_id", F.md5("text"), F.col("text").isNotNull()),
+        (docs.filter(~is_new).select("doc_id", "text"),
+         "doc_id", F.md5("text"), F.col("text").isNotNull()),
+    ])
     # one shingle table over both sides' reps (rep ids keep their side:
     # a rep is one of its own group's rows, and groups never cross sides)
     sh = char_shingles(
@@ -5847,8 +5848,11 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col(end).cast("string"), F.lit("\x00null")),
         )
 
-    ra, ma = exact_dup_quotient(a, "a_key", _iv_fp("a_start", "a_end"))
-    rb, mb = exact_dup_quotient(b, "b_key", _iv_fp("b_start", "b_end"))
+    # both sides' quotients in ONE fused call (r13 opt, guide §5)
+    (ra, ma), (rb, mb) = exact_dup_quotient_multi([
+        (a, "a_key", _iv_fp("a_start", "a_end")),
+        (b, "b_key", _iv_fp("b_start", "b_end")),
+    ])
     aa = ra.select("*", F.explode(F.sequence("a_start", "a_end")).alias("__day"))
     bb = rb.select("*", F.explode(F.sequence("b_start", "b_end")).alias("__day"))
     rep_pairs = (

@@ -1088,3 +1088,29 @@ def test_bpe_apply_merges_on_unseen_words(spark):
         "aab": ["a", "a", "b"],
         "zzz": ["z", "z", "z"],
     }
+
+
+def test_local_relation_preserves_null_numerics_and_stays_local(spark):
+    """ADVICE r12: a None in a NUMERIC column must arrive as SQL NULL (the
+    naive pandas path would infer float64 and ship NaN via Arrow while the
+    classic fallback ships NULL — silent, environment-dependent). Also pin
+    that the plan leaf is a true LocalRelation, not a pickled-RDD scan."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from dataengineering_londonhousingmap_spark.operators.util import local_relation
+
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("n", LongType()),
+            StructField("x", DoubleType()),
+        ]
+    )
+    df = local_relation(spark, [(1, None, 1.5), (2, 7, None)], schema)
+    rows = {r["k"]: (r["n"], r["x"]) for r in df.collect()}
+    assert rows == {1: (None, 1.5), 2: (7, None)}
+    # NULL, not NaN: a NaN would fail IS NULL and poison joins/aggregates
+    assert df.filter(F.col("x").isNull()).count() == 1
+    assert df.filter(F.col("n").isNull()).count() == 1
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "LocalRelation" in plan and "ExistingRDD" not in plan

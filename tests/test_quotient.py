@@ -1075,3 +1075,107 @@ def test_excise_spans_rescan_finds_zero_flagged_windows(spark):
         for r in selected_windows(clean, "doc_id", "text", w=w, mod=mod).collect()
     }
     assert not (rescan & flagged)
+
+
+# ---------------------------------------------------------------------------
+# r13: exact_dup_quotient_multi — the fused two-sided driver-job shape must
+# pick the identical arms and produce the identical (reps, mapping) results
+# as calling exact_dup_quotient once per input.
+# ---------------------------------------------------------------------------
+
+from dataengineering_londonhousingmap_spark.operators.dedup import exact_dup_quotient_multi  # noqa: E402
+
+
+def _mapping_signature(reps, mapping, id_col):
+    """Everything observable about one quotient result: the rep id set,
+    the arm, and the full expansion (covers members/members_df/df)."""
+    rep_ids = sorted(r[id_col] for r in reps.select(id_col).collect())
+    expanded = sorted(
+        r[id_col] for r in mapping.expand(reps.select(id_col), id_col).collect()
+    )
+    return (rep_ids, mapping.kind, mapping.literal, expanded)
+
+
+def test_quotient_multi_matches_per_side_calls(spark):
+    """Two-sided fused call (q_decontaminate / q_dedup_incremental shape):
+    arms and expansions identical to two independent calls, including a
+    MIXED-arm split (one side twin-free → bypass, one side twin-heavy →
+    sparse)."""
+    docs = _pair_corpus(spark)
+    side_a = docs.filter(F.col("doc_id") % 2 == 0)
+    side_b = docs.filter(F.col("doc_id") % 2 == 1)
+    fused = exact_dup_quotient_multi([
+        (side_a, "doc_id", F.md5("text"), F.col("text").isNotNull()),
+        (side_b, "doc_id", F.md5("text"), F.col("text").isNotNull()),
+    ])
+    solo = [
+        exact_dup_quotient(s, "doc_id", F.md5("text"), F.col("text").isNotNull())
+        for s in (side_a, side_b)
+    ]
+    for (fr, fm), (sr, sm) in zip(fused, solo):
+        assert _mapping_signature(fr, fm, "doc_id") == _mapping_signature(
+            sr, sm, "doc_id"
+        )
+    # the fixture split actually exercises both sparse sides with members
+    assert fused[0][1].kind == "sparse" and fused[1][1].kind == "sparse"
+
+    # mixed arms: a twin-free side rides bypass while the other is sparse
+    twin_free = spark.createDataFrame(
+        [(100, "alpha doc"), (101, "beta doc"), (102, None)], _PAIR_SCHEMA
+    )
+    mixed = exact_dup_quotient_multi([
+        (twin_free, "doc_id", F.md5("text"), F.col("text").isNotNull()),
+        (docs, "doc_id", F.md5("text"), F.col("text").isNotNull()),
+    ])
+    assert mixed[0][1].kind == "bypass"
+    assert mixed[0][0] is twin_free  # bypass returns the input frame itself
+    assert mixed[1][1].kind == "sparse"
+    solo_heavy = exact_dup_quotient(
+        docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
+    )
+    assert _mapping_signature(*mixed[1], "doc_id") == _mapping_signature(
+        *solo_heavy, "doc_id"
+    )
+
+
+def test_quotient_multi_mixed_id_types_collect_per_bucket(spark):
+    """Sparse sides whose id types differ cannot share a union schema —
+    the per-type-bucket path must still produce identical results."""
+    long_docs = _pair_corpus(spark)
+    str_schema = StructType(
+        [StructField("k", StringType()), StructField("text", StringType())]
+    )
+    str_docs = spark.createDataFrame(
+        [("a", "dup text"), ("b", "dup text"), ("c", "other text")], str_schema
+    )
+    fused = exact_dup_quotient_multi([
+        (long_docs, "doc_id", F.md5("text"), F.col("text").isNotNull()),
+        (str_docs, "k", F.md5("text"), F.col("text").isNotNull()),
+    ])
+    assert fused[0][1].kind == "sparse" and fused[1][1].kind == "sparse"
+    assert {k: sorted(v) for k, v in fused[1][1].members.items()} == {
+        "a": ["a", "b"]
+    }
+    solo = exact_dup_quotient(
+        long_docs, "doc_id", F.md5("text"), F.col("text").isNotNull()
+    )
+    assert _mapping_signature(*fused[0], "doc_id") == _mapping_signature(
+        *solo, "doc_id"
+    )
+
+
+def test_quotient_multi_null_id_raises_with_side_attribution(spark):
+    """The NULL-id precondition survives the fusion: a NULL id on EITHER
+    side raises, naming that side's id column."""
+    import pytest
+
+    good = _pair_corpus(spark)
+    bad = spark.createDataFrame(
+        [(None, "x"), (2, "x")],
+        StructType([StructField("other_id", LongType()), StructField("text", StringType())]),
+    )
+    with pytest.raises(ValueError, match="other_id"):
+        exact_dup_quotient_multi([
+            (good, "doc_id", F.md5("text"), F.col("text").isNotNull()),
+            (bad, "other_id", F.md5("text"), F.col("text").isNotNull()),
+        ])
