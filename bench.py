@@ -142,9 +142,31 @@ def main() -> None:
     # state; min-of-N is the standard way to measure the plan itself
     import gc
 
+    # Interleaved drift sentinel (r13, VERDICT r12 task 5): one single-shot
+    # rep of a code-frozen control every 8 headline queries, emitted as
+    # `ctrl_series` (wall/ref ratios in sequence order). A drift WINDOW —
+    # the r12 failure mode where one control read 0.82× its ref while
+    # another read 1.45× in the same session — is now localizable to the
+    # batch of queries it poisoned instead of only showing up as a
+    # suite-wide spread. The sentinel reps run OUTSIDE every timed window
+    # (between queries, gc'd like any other) and only ADD a key to the
+    # JSON line; per-query timings, the query set, and the methodology are
+    # unchanged. q_join_nn is the sentinel: mid-cost (~1.1 s), join-family,
+    # already warmed early in the sequence by its own headline slot.
+    CTRL_SENTINEL = "q_join_nn"
+    CTRL_SENTINEL_REF = 1.122  # = controls_ref[q_join_nn] below
+    ctrl_series: list[float] = []
+
     timings: dict[str, float] = {}
     second_best: dict[str, float] = {}
-    for name in HEADLINE:
+    for qi, name in enumerate(HEADLINE):
+        if qi > 0 and qi % 8 == 0:
+            t0 = time.time()
+            df = QUERIES[CTRL_SENTINEL](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            ctrl_series.append(round((time.time() - t0) / CTRL_SENTINEL_REF, 2))
+            df = None
+            gc.collect()
         runs: list[float] = []
         for _ in range(2):
             t0 = time.time()
@@ -238,6 +260,9 @@ def main() -> None:
             for c, ref in controls_ref.items()
             if c in timings
         },
+        # single-shot q_join_nn wall/ref after every 8th headline query —
+        # the in-session drift TIMELINE (see CTRL_SENTINEL above)
+        "ctrl_series": ctrl_series,
         "spread_med": _median_spread(timings, second_best),
         "spread_max": _max_spread(timings, second_best),
         "value": total,
@@ -255,6 +280,11 @@ def main() -> None:
         out["controls"] = {
             c: v[0] for c, v in out["controls"].items()
         }
+        line = json.dumps(out, separators=(",", ":"))
+    if len(line) > 1900:
+        # last resort: thin the drift timeline to every other sample
+        # (coarser but still a timeline) before anything else gives
+        out["ctrl_series"] = ctrl_series[::2]
         line = json.dumps(out, separators=(",", ":"))
     print(line)
 
